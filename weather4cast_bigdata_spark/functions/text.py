@@ -1,0 +1,146 @@
+"""Text-analysis column functions for the training-data-pipeline layer.
+
+Not present in the reference (it is a raster pipeline); these are the
+first-class extensions the engine adds for LLM-scale data curation:
+tokenization, shingling, deterministic 64/32-bit hashing that a SQL
+oracle can reproduce, language-ID and quality heuristics, and a
+position-weighted document fingerprint. Everything is a JVM-side
+expression — at 100 TB these run inside whole-stage codegen with no
+Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Word tokenizer: split on runs of non-word chars.
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish subword-ish regex: word pieces OR digits OR punctuation runs.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex (letters / digit runs /
+    punct runs counted separately)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
+def md5_hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex digits of md5.
+
+    Chosen over ``xxhash64`` because the DuckDB oracle can reproduce
+    it exactly (md5 is identical in both engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_hash32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash: first 8 hex digits of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-gram word shingles from a token array → array<string>.
+
+    Empty result if the document has fewer than ``n`` tokens.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(-1)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(k + 1)).cast("int")) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- language ID ------------------------------------------------------------
+
+# Tiny marker lexicons (n-gram heuristic stand-in). Deterministic and
+# SQL-reproducible; real deployments would swap in fastText via a
+# Pandas UDF at the same call site.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "de", "que", "una"],
+}
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker-word hits; 'und' (undetermined) when no hits.
+
+    Ties break by language-code order (deterministic, matches the SQL
+    oracle's CASE chain).
+    """
+    toks = tokens(F.lower(text))
+    hits = {code: _marker_hits(toks, markers) for code, markers in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for code in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((hits[code] == best) & (best > 0), F.lit(code)).otherwise(expr)
+    return expr
+
+
+# --- quality scoring --------------------------------------------------------
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punct-ratio / stopword-ratio features.
+
+    Returns named columns so callers can select any subset.
+    """
+    toks = tokens(F.lower(text))
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "stopword_ratio": n_stop.cast("double") / n_tok,
+        "mean_token_len": (n_chars - n_tok + 1).cast("double") / n_tok,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs with
+    a healthy stopword ratio, penalizes punctuation soup."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - f["punct_ratio"] * F.lit(10.0), F.lit(0.0))
+    return (length_term + stop_term + punct_pen) / F.lit(3.0)
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: Σ h32(token_i)·i over
+    1-based positions. Overflow-safe (32-bit hash × ≤2^20 positions
+    fits in int64) and exactly reproducible in the SQL oracle —
+    the deterministic stand-in for a rolling Rabin hash.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    terms = F.transform(
+        idx, lambda i: md5_hash32(F.element_at(toks, i.cast("int"))) * i.cast("bigint")
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)

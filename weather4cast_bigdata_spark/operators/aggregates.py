@@ -1,0 +1,107 @@
+"""Aggregation operators: loss family, Gram/correlation statistics.
+
+The reference's ensemble fit is an incremental Gram-matrix
+aggregation (``ensemble.py:18-41``) — exactly Spark's partial+final
+hash aggregation. All of these are single-shuffle groupBy aggs with
+map-side combine; the k(k+1)/2 product expressions are generated
+programmatically (SURVEY.md §4 item 3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions.scalar import normlogit
+
+
+def mse(pred: Column, truth: Column) -> Column:
+    """Mean squared error. Reference: models.py:316 ('mse' loss)."""
+    return F.avg(F.pow(pred - truth, 2))
+
+
+def rounded_mse(pred: Column, truth: Column) -> Column:
+    """MSE after rounding the prediction (binary ``cma`` loss).
+
+    Reference: models.py:282-287,322-324.
+    """
+    return F.avg(F.pow(F.round(pred) - truth, 2))
+
+
+def normlogit_mse(pred: Column, truth: Column) -> Column:
+    """MSE in normlogit space (``asii_turb_trop_prob`` loss).
+
+    Reference: models.py:293-301,313-316.
+    """
+    return F.avg(F.pow(normlogit(pred) - normlogit(truth), 2))
+
+
+def bool_any(cond: Column) -> Column:
+    """``tf.reduce_any`` analog. Reference: models.py:268-270."""
+    return F.bool_or(cond)
+
+
+def mean_nonfill(value: Column, is_fill: Column) -> Column:
+    """Mean over non-fill pixels. Reference: datasets.py:67."""
+    return F.avg(F.when(~is_fill, value))
+
+
+def gram_matrix_exprs(
+    pred_cols: Sequence[str], truth_col: str | None = None
+) -> list[Column]:
+    """Normal-equation statistics for the ridge ensemble fit:
+    ``ata_i_j = Σ pᵢ·pⱼ / N`` for i ≤ j, and ``aty_i = Σ pᵢ·y / N``.
+
+    Reference: ensemble.py:18-41 (ATA/ATy running means). k ≤ 5 in the
+    reference ⇒ ≤ 15+5 expressions; generated for arbitrary k.
+    """
+    exprs: list[Column] = []
+    n = F.count(F.lit(1)).cast("double")
+    for i, ci in enumerate(pred_cols):
+        for j, cj in enumerate(pred_cols):
+            if j < i:
+                continue
+            exprs.append((F.sum(F.col(ci) * F.col(cj)) / n).alias(f"ata_{i}_{j}"))
+    if truth_col is not None:
+        for i, ci in enumerate(pred_cols):
+            exprs.append((F.sum(F.col(ci) * F.col(truth_col)) / n).alias(f"aty_{i}"))
+    return exprs
+
+
+def gram_matrix(df: DataFrame, pred_cols: Sequence[str], truth_col: str | None = None) -> DataFrame:
+    """One-row DataFrame holding the full upper-triangle Gram stats."""
+    return df.groupBy().agg(*gram_matrix_exprs(pred_cols, truth_col))
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations across model outputs (+ truth).
+
+    Reference: ensemble.py:103-123 (E[x], E[xxᵀ] → cov → corr).
+    """
+    exprs = [
+        F.corr(F.col(a), F.col(b)).alias(f"corr_{i}_{j}")
+        for i, a in enumerate(cols)
+        for j, b in enumerate(cols)
+        if i < j
+    ]
+    return df.groupBy().agg(*exprs)
+
+
+def weighted_multiloss(
+    per_group_loss: DataFrame,
+    group_col: str,
+    loss_col: str,
+    weights: DataFrame,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Total loss = Σ w_g · loss_g / n_groups, weights from a small
+    broadcast dim table. Reference: models.py:304-318 (inverse-variance
+    weights over per-variable losses).
+    """
+    joined = per_group_loss.join(F.broadcast(weights), on=group_col, how="inner")
+    n = F.count(F.lit(1)).cast("double")
+    return joined.groupBy().agg(
+        (F.sum(F.col(loss_col) * F.col(weight_col)) / n).alias("total_loss")
+    )

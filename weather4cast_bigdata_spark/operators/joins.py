@@ -1,0 +1,141 @@
+"""Join operators.
+
+The reference's joins are dict probes and filesystem lookups
+(SURVEY.md §2.3); here each becomes a declarative equi join whose
+physical strategy (broadcast vs sort-merge) Catalyst + AQE pick.
+Scale notes per operator: dimension sides are explicitly
+``broadcast()``-hinted so a 1000-executor plan never shuffles the
+fact table for a kB-sized dim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_static_broadcast(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Attach a small static dimension (geo grid / region offsets /
+    per-variable constants) to every fact row.
+
+    Reference: datasets.py:328-330,151-162 (static lat/lon/elev
+    channels), datasets.py:113-125 (region-offset table).
+    Broadcast-hinted: the dim never exceeds a few MB by design.
+    """
+    return fact.join(F.broadcast(dim), on=list(on), how=how)
+
+
+def join_fallback(
+    primary: DataFrame,
+    alternate: DataFrame,
+    on: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Primary source with per-key fallback to an alternate source:
+    left join + coalesce.
+
+    Reference: datasets.py:86-89 (MSG4→MSG2 satellite fallback) and
+    datasets.py:430-435 (previous-day directory fallback).
+    """
+    out = out_col or value_col
+    alt = alternate.withColumnRenamed(value_col, "__alt_value")
+    joined = primary.join(alt, on=list(on), how="left")
+    return joined.withColumn(out, F.coalesce(F.col(value_col), F.col("__alt_value"))).drop(
+        "__alt_value", *([value_col] if out != value_col else [])
+    )
+
+
+def join_offset(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    offset_expr: str,
+    value_cols: Sequence[str],
+    suffix: str = "_future",
+) -> DataFrame:
+    """Degenerate as-of join: align each row with the row exactly
+    ``offset`` later on the same keys (equi join after a timestamp
+    shift). Reference: datasets.py:322-323 (targets start at
+    t0 + 4·15 min relative to predictors).
+    """
+    shifted = df.select(
+        *keys,
+        (F.col(ts_col) - F.expr(offset_expr)).alias(ts_col),
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+    )
+    return df.join(shifted, on=[*keys, ts_col], how="inner")
+
+
+def join_multichannel(
+    df: DataFrame,
+    keys: Sequence[str],
+    channel_col: str,
+    value_col: str,
+    channels: Sequence[str],
+    agg: str = "avg",
+) -> DataFrame:
+    """Align k channel streams on the same key into one wide record —
+    the CTTH+CRR+ASII+CMA channel stack.
+
+    Reference: datasets.py:326-336. Implemented as groupBy().pivot()
+    with an explicit channel list (no extra distinct-scan; one
+    shuffle on the grouping keys, map-side partial aggregation).
+    """
+    fn = getattr(F, agg)
+    return (
+        df.groupBy(*keys)
+        .pivot(channel_col, list(channels))
+        .agg(fn(F.col(value_col)))
+    )
+
+
+def join_ensemble_align(
+    members: dict[str, DataFrame], on: Sequence[str], value_col: str
+) -> DataFrame:
+    """Zip k member-model prediction streams by key for blending
+    (positional zip in the reference becomes key-based equi join).
+
+    Reference: ensemble.py:86-91, main.py:168-179.
+    """
+    out: DataFrame | None = None
+    for name, df in members.items():
+        sel = df.select(*on, F.col(value_col).alias(f"pred_{name}"))
+        out = sel if out is None else out.join(sel, on=list(on), how="inner")
+    assert out is not None, "need at least one member"
+    return out
+
+
+def weighted_blend(
+    df: DataFrame, pred_cols: Sequence[str], weights: Sequence[float], out_col: str = "blend"
+) -> DataFrame:
+    """Σ wᵢ·predᵢ — pure column arithmetic, not a UDF.
+
+    Reference: ensemble.py:81-101 (weighted_model), main.py:10-33.
+    """
+    expr: Column = F.lit(0.0)
+    for c, w in zip(pred_cols, weights):
+        expr = expr + F.col(c) * F.lit(float(w))
+    return df.withColumn(out_col, expr)
+
+
+def logit_blend(
+    df: DataFrame,
+    pred_cols: Sequence[str],
+    weights: Sequence[float],
+    out_col: str = "blend",
+) -> DataFrame:
+    """Blend in normlogit space then invert — the ASII blending mode.
+
+    Reference: ensemble.py:86-101 (logit=True path), main.py:99-103.
+    """
+    from weather4cast_bigdata_spark.functions.scalar import inv_normlogit, normlogit
+
+    expr: Column = F.lit(0.0)
+    for c, w in zip(pred_cols, weights):
+        expr = expr + normlogit(F.col(c)) * F.lit(float(w))
+    return df.withColumn(out_col, inv_normlogit(expr))

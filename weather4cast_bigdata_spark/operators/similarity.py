@@ -1,0 +1,75 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline, plus a
+partition-pruned (IVF-style) variant as the scale path: with a coarse
+bucket assignment column, the search join only touches same-bucket
+rows — at 100 TB that's the difference between an O(n·q) cross join
+and bucket-local probes. All vector math is JVM higher-order
+functions (zip_with/aggregate) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions.arrays import cosine, to_double_array
+
+
+def _scored(queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, on=None) -> DataFrame:
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("qv"),
+        *([F.col(c) for c in on] if on else []),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("item_id"),
+        to_double_array(F.col(vec_col)).alias("cv"),
+        *([F.col(c_) for c_ in on] if on else []),
+    )
+    joined = q.join(c, on=list(on), how="inner") if on else q.crossJoin(c)
+    return joined.where(F.col("query_id") != F.col("item_id")).select(
+        "query_id",
+        "item_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: every query scored against the whole
+    corpus, ``row_number`` per query. Ties break on item id
+    (deterministic)."""
+    scored = _scored(queries, corpus, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cos_sim")
+    )
+
+
+def cosine_topk_bucketed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: score only within the same coarse bucket
+    (precomputed assignment column ≈ nearest-centroid list). The join
+    becomes an equi join on the bucket key — shuffle-partitioned,
+    bucket-local, no cross join."""
+    scored = _scored(queries, corpus, id_col, vec_col, on=[bucket_col])
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cos_sim")
+    )

@@ -1,0 +1,122 @@
+"""Window / time-series operators: sequence assembly, validity
+filtering, day-boundary handling.
+
+The reference materializes 4-past + 32-future frame sequences into a
+dense batch tensor (``datasets.py:303-347``); here sequences are
+window functions over a ``(keys..., ts)``-sorted frame table — one
+shuffle on the partition keys, then pure sorted-scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_time_slot(df: DataFrame, ts_col: str, minutes: int = 15, out_col: str = "slot") -> DataFrame:
+    """Snap event timestamps to the frame cadence grid (15-min slots).
+
+    Reference cadence: datasets.py:16,175 (timedelta(minutes=15)).
+    """
+    secs = minutes * 60
+    return df.withColumn(
+        out_col,
+        F.timestamp_seconds((F.unix_timestamp(F.col(ts_col)) / secs).cast("bigint") * secs),
+    )
+
+
+def past_sequence(
+    df: DataFrame, keys: Sequence[str], ts_col: str, value_col: str, n_past: int = 4
+) -> DataFrame:
+    """Gather the current + (n_past-1) preceding frames per key as
+    ``lag`` columns (the 4-frame predictor window).
+
+    Reference: datasets.py:303-347 (loop 325-337), sequence_length
+    datasets.py:16,173.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    out = df
+    for i in range(1, n_past):
+        out = out.withColumn(f"{value_col}_lag{i}", F.lag(value_col, i).over(w))
+    return out
+
+
+def future_horizon(
+    df: DataFrame, keys: Sequence[str], ts_col: str, value_col: str, n_future: int = 32
+) -> DataFrame:
+    """Gather n_future following frames per key as ``lead`` columns
+    (the 32-frame target horizon). Reference: datasets.py:322-337.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    out = df
+    for i in range(1, n_future + 1):
+        out = out.withColumn(f"{value_col}_lead{i}", F.lead(value_col, i).over(w))
+    return out
+
+
+def filter_valid_sequence(
+    slots: DataFrame,
+    keys: Sequence[str],
+    slot_col: str = "slot",
+    n_slots: int = 4,
+    cadence_minutes: int = 15,
+) -> DataFrame:
+    """Keep start slots where all ``n_slots`` consecutive cadence
+    slots exist for the key — the sequence-validity filter.
+
+    Reference: datasets.py:39-47 (all 36 15-min slots present).
+    Implemented with ``lead`` on the deduplicated slot grid: slot i+k
+    must equal slot + k·cadence for every k < n_slots. Works on
+    irregular grids (no regular-spacing assumption) with a single
+    shuffle on ``keys``; equivalent to the time-spine join of
+    SURVEY.md §4 but cheaper (no spine materialization).
+    """
+    w = Window.partitionBy(*keys).orderBy(slot_col)
+    out = slots.select(*keys, slot_col).distinct()
+    cond = F.lit(True)
+    for k in range(1, n_slots):
+        cond = cond & (
+            F.lead(slot_col, k).over(w)
+            == F.col(slot_col) + F.expr(f"INTERVAL {k * cadence_minutes} MINUTES")
+        )
+    return out.withColumn("__valid", cond).where(F.col("__valid")).drop("__valid")
+
+
+def prev_value_fallback(
+    df: DataFrame, keys: Sequence[str], order_col: str, value_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Carry the last non-null value forward — use yesterday's frame
+    when today's is missing. Reference: datasets.py:430-435.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col or value_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def day_boundary_correct(df: DataFrame, ts_col: str, out_col: str = "day_dir") -> DataFrame:
+    """Stamp midnight start times with the *previous* day's ``%Y%j``
+    directory. Reference: datasets.py:450-454.
+    """
+    ts = F.col(ts_col)
+    is_midnight = (F.hour(ts) == 0) & (F.minute(ts) == 0) & (F.second(ts) == 0)
+    eff = F.when(is_midnight, ts - F.expr("INTERVAL 1 DAY")).otherwise(ts)
+    return df.withColumn(out_col, F.date_format(eff, "yyyyDDD"))
+
+
+def argmin_best(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str], n: int = 1
+) -> DataFrame:
+    """Top-n per key (the best-checkpoint pattern: keep the model with
+    minimum validation loss). Reference: models.py:453-470.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

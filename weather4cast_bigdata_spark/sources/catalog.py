@@ -1,0 +1,75 @@
+"""Catalog: load the driver's star-schema parquet lake.
+
+The reference's "catalog" is a filesystem walk + hard-coded schema
+convention (``datasets.py:229-237, 256-269``). Here the lake is
+partition-discoverable parquet; Catalyst gets partition pruning,
+column pruning, and predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer."""
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table.
+
+    The driver writes pandas-style TIMESTAMP(NANOS) columns, which
+    Spark's vectorized reader rejects; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as int64
+    nanos and are converted here with integer division (no
+    double-precision round-trip — 2^63 ns overflows a double's 53-bit
+    mantissa). Truncation to micros matches DuckDB's read of the same
+    files.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # Defensive: the driver may hand us a session built without these.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in _ns_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (mirrors the driver's DuckDB views)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
