@@ -63,12 +63,14 @@ def flagship_evaluate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = join_static_broadcast(losses, weights, on=["event_type"])
+    # Tie-breaking epsilon before rounding — see plans.registry
+    # numeric policy #3.
     return out.select(
         "event_type",
         F.col("n_pairs"),
-        F.round("mse", 6).alias("mse"),
-        F.round("weight", 9).alias("weight"),
-        F.round(F.col("mse") * F.col("weight"), 6).alias("weighted_loss"),
+        F.round(F.col("mse") + F.lit(1e-9), 6).alias("mse"),
+        F.round(F.col("weight") + F.lit(1e-12), 9).alias("weight"),
+        F.round(F.col("mse") * F.col("weight") + F.lit(1e-9), 6).alias("weighted_loss"),
     ).orderBy("event_type")
 
 
@@ -98,9 +100,9 @@ w AS (
 wn AS (
     SELECT event_type, inv_var / (SELECT sum(inv_var) FROM w) AS weight FROM w
 )
-SELECT l.event_type, l.n_pairs, round(l.mse, 6) AS mse,
-       round(wn.weight, 9) AS weight,
-       round(l.mse * wn.weight, 6) AS weighted_loss
+SELECT l.event_type, l.n_pairs, round(l.mse + 1e-9, 6) AS mse,
+       round(wn.weight + 1e-12, 9) AS weight,
+       round(l.mse * wn.weight + 1e-9, 6) AS weighted_loss
 FROM losses l JOIN wn ON wn.event_type = l.event_type
 ORDER BY l.event_type
 """

@@ -8,9 +8,25 @@ oracle is independent ANSI SQL. Column names and rounding are aligned
 on both sides because the driver's compare hashes values after
 sorting columns by name.
 
-Numeric policy: every derived double is rounded (6-9 decimals) on
-BOTH sides so JVM-vs-libm ulp differences can't break hash equality;
-integers, strings, and timestamps are emitted exactly.
+Numeric policy (load-bearing — Spark rounds doubles via
+shortest-decimal-repr HALF_UP while DuckDB nudges toward the intended
+decimal, so they disagree whenever a computed double sits an ulp off
+a decimal tie):
+
+1. Per-row pure arithmetic (+,-,*,/ on identical inputs) is emitted
+   RAW — IEEE ops are deterministic, both engines produce
+   bit-identical doubles, no rounding needed.
+2. Quantization to integers uses ``floor(x + 0.5)`` on both sides —
+   pure IEEE, no engine-specific round.
+3. Order-dependent aggregates (sum/avg/corr) and transcendentals
+   (ln/exp, which differ by ulps between JVM and libm) are rounded
+   WITH a tie-breaking epsilon: ``round(x + 1e-9, 6)`` /
+   ``round(x + 1e-12, 9)``. The epsilon dwarfs cross-engine ulp
+   noise but is invisible at the rounded precision, so exact decimal
+   ties (e.g. sum/32 of 2-decimal data terminating in ...5) resolve
+   identically in both engines.
+4. round() directly on RAW parquet doubles (2-decimal money) is fine:
+   the canonical parse is what both engines see.
 """
 
 from __future__ import annotations
@@ -18,7 +34,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions import scalar, strings, text
@@ -59,6 +75,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # DuckDB 15-min slot expression (naive timestamp, matches Spark's
 # unix_timestamp floor with session tz = UTC).
 SLOT_SQL = "make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000)"
+
+# Tie-breaking epsilons (see module docstring, numeric policy #3).
+EPS6 = 1e-9
+EPS9 = 1e-12
+
+
+def r6(col: Column) -> Column:
+    """Cross-engine-stable 6-decimal round for aggregated doubles."""
+    return F.round(col + F.lit(EPS6), 6)
+
+
+def r9(col: Column) -> Column:
+    """Cross-engine-stable 9-decimal round for transcendental outputs."""
+    return F.round(col + F.lit(EPS9), 9)
 
 
 # =====================================================================
@@ -116,7 +146,7 @@ def q_partition_subset_select(spark, sf_dir):
         FROM events WHERE event_type = 'click' GROUP BY 1, 2
     )
     SELECT p.user_id, p.slot,
-           round(coalesce(p.value, a.value), 6) AS value
+           round(coalesce(p.value, a.value) + 1e-9, 6) AS value
     FROM p LEFT JOIN a ON a.user_id = p.user_id AND a.slot = p.slot
     """,
 )
@@ -134,7 +164,7 @@ def q_scan_fallback_source(spark, sf_dir):
         )
 
     out = joins.join_fallback(chan("purchase"), chan("click"), on=["user_id", "slot"], value_col="value")
-    return out.select("user_id", "slot", F.round("value", 6).alias("value"))
+    return out.select("user_id", "slot", r6(F.col("value")).alias("value"))
 
 
 # =====================================================================
@@ -145,7 +175,7 @@ def q_scan_fallback_source(spark, sf_dir):
 @qdef(
     "project_minmax_normalize",
     oracle="""
-    SELECT event_id, round((value - 0.0) / 400.0, 9) AS norm_value
+    SELECT event_id, (value - 0.0) / 400.0 AS norm_value
     FROM events
     """,
 )
@@ -154,7 +184,7 @@ def q_project_minmax_normalize(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.round(scalar.minmax_normalize(F.col("value"), 0.0, 400.0), 9).alias("norm_value"),
+        scalar.minmax_normalize(F.col("value"), 0.0, 400.0).alias("norm_value"),
     )
 
 
@@ -178,10 +208,10 @@ def q_predicate_fill_detect(spark, sf_dir):
     "impute_mean_nonfill",
     oracle="""
     SELECT event_id,
-           round(CASE WHEN value < 1.0
+           round((CASE WHEN value < 1.0
                  THEN coalesce(avg(CASE WHEN value >= 1.0 THEN value END)
                                OVER (PARTITION BY event_type), 0.0)
-                 ELSE value END, 6) AS imputed
+                 ELSE value END) + 1e-9, 6) AS imputed
     FROM events
     """,
 )
@@ -196,7 +226,7 @@ def q_impute_mean_nonfill(spark, sf_dir):
     grp = Window.partitionBy("event_type")
     mean_ok = aggregates.mean_nonfill(F.col("value"), is_fill).over(grp)
     imputed = F.when(is_fill, F.coalesce(mean_ok, F.lit(0.0))).otherwise(F.col("value"))
-    return events.select("event_id", F.round(imputed, 6).alias("imputed"))
+    return events.select("event_id", r6(imputed).alias("imputed"))
 
 
 @qdef(
@@ -219,8 +249,8 @@ def q_impute_constant(spark, sf_dir):
     "project_affine_geo",
     oracle="""
     SELECT event_id,
-           round((value + 76.0) / 152.0, 9) AS lon_norm,
-           round((value - 23.0) / 63.0, 9) AS lat_norm
+           (value + 76.0) / 152.0 AS lon_norm,
+           (value - 23.0) / 63.0 AS lat_norm
     FROM events
     """,
 )
@@ -229,8 +259,8 @@ def q_project_affine_geo(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.round(scalar.affine(F.col("value"), 76.0, 152.0), 9).alias("lon_norm"),
-        F.round(scalar.affine(F.col("value"), -23.0, 63.0), 9).alias("lat_norm"),
+        scalar.affine(F.col("value"), 76.0, 152.0).alias("lon_norm"),
+        scalar.affine(F.col("value"), -23.0, 63.0).alias("lat_norm"),
     )
 
 
@@ -238,8 +268,8 @@ def q_project_affine_geo(spark, sf_dir):
     "project_clamp_scale",
     oracle="""
     SELECT event_id,
-           round(greatest(value - 200.0, 0.0)
-                 / (SELECT max(greatest(value - 200.0, 0.0)) FROM events), 9) AS elev_norm
+           greatest(value - 200.0, 0.0)
+               / (SELECT max(greatest(value - 200.0, 0.0)) FROM events) AS elev_norm
     FROM events
     """,
 )
@@ -251,14 +281,14 @@ def q_project_clamp_scale(spark, sf_dir):
     clamped = events.select("event_id", scalar.clamp_nonneg(F.col("value") - 200.0).alias("clamped"))
     gmax = clamped.agg(F.max("clamped").alias("gmax"))
     return clamped.crossJoin(F.broadcast(gmax)).select(
-        "event_id", F.round(F.col("clamped") / F.col("gmax"), 9).alias("elev_norm")
+        "event_id", (F.col("clamped") / F.col("gmax")).alias("elev_norm")
     )
 
 
 @qdef(
     "project_log_clamp",
     oracle="""
-    SELECT event_id, round(ln(greatest(value / 400.0, 0.0002)), 9) AS log_crr
+    SELECT event_id, round(ln(greatest(value / 400.0, 0.0002)) + 1e-12, 9) AS log_crr
     FROM events
     """,
 )
@@ -267,14 +297,14 @@ def q_project_log_clamp(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.round(scalar.log_clamp(F.col("value") / 400.0), 9).alias("log_crr"),
+        r9(scalar.log_clamp(F.col("value") / 400.0)).alias("log_crr"),
     )
 
 
 @qdef(
     "project_logit",
     oracle="""
-    SELECT event_id, round(ln(x / (1.0 - x)), 9) AS logit_v
+    SELECT event_id, round(ln(x / (1.0 - x)) + 1e-12, 9) AS logit_v
     FROM (SELECT event_id, least(greatest(value/400.0, 0.01), 0.99) AS x FROM events)
     """,
 )
@@ -284,7 +314,7 @@ def q_project_logit(spark, sf_dir):
     before logit (ensemble.py:12)."""
     events = _t(spark, sf_dir, "events")
     x = F.least(F.greatest(F.col("value") / 400.0, F.lit(0.01)), F.lit(0.99))
-    return events.select("event_id", F.round(scalar.logit(x), 9).alias("logit_v"))
+    return events.select("event_id", r9(scalar.logit(x)).alias("logit_v"))
 
 
 @qdef(
@@ -292,7 +322,7 @@ def q_project_logit(spark, sf_dir):
     oracle="""
     SELECT event_id,
            round((ln(x/(1.0-x)) - ln(0.003/0.997))
-                 / (ln(0.997/0.003) - ln(0.003/0.997)), 9) AS nl
+                 / (ln(0.997/0.003) - ln(0.003/0.997)) + 1e-12, 9) AS nl
     FROM (SELECT event_id,
                  least(greatest(value/400.0, 0.003), 0.997) AS x
           FROM events)
@@ -303,7 +333,7 @@ def q_project_normlogit(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.round(scalar.normlogit(F.col("value") / 400.0), 9).alias("nl"),
+        r9(scalar.normlogit(F.col("value") / 400.0)).alias("nl"),
     )
 
 
@@ -312,7 +342,7 @@ def q_project_normlogit(spark, sf_dir):
     oracle="""
     SELECT event_id,
            round(1.0 / (1.0 + exp(-((value/400.0) * (ln(0.997/0.003) - ln(0.003/0.997))
-                                    + ln(0.003/0.997)))), 9) AS inl
+                                    + ln(0.003/0.997)))) + 1e-12, 9) AS inl
     FROM events
     """,
 )
@@ -321,7 +351,7 @@ def q_project_inv_normlogit(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.round(scalar.inv_normlogit(F.col("value") / 400.0), 9).alias("inl"),
+        r9(scalar.inv_normlogit(F.col("value") / 400.0)).alias("inl"),
     )
 
 
@@ -329,7 +359,7 @@ def q_project_inv_normlogit(spark, sf_dir):
     "project_quantize",
     oracle="""
     SELECT e.event_id,
-           CAST(round((e.value/400.0) * (c.hi - c.lo) + c.lo) AS INT) AS qv
+           CAST(floor((e.value/400.0) * (c.hi - c.lo) + c.lo + 0.5) AS INT) AS qv
     FROM events e
     JOIN (VALUES ('click', 0.0, 22000.0), ('view', 0.0, 500.0),
                  ('purchase', 0.0, 100.0), ('signup', 0.0, 1.0),
@@ -347,7 +377,9 @@ def q_project_quantize(spark, sf_dir):
         ["event_type", "lo", "hi"],
     )
     j = joins.join_static_broadcast(events, consts, on=["event_type"])
-    qv = F.round((F.col("value") / 400.0) * (F.col("hi") - F.col("lo")) + F.col("lo")).cast("int")
+    qv = F.floor(
+        (F.col("value") / 400.0) * (F.col("hi") - F.col("lo")) + F.col("lo") + F.lit(0.5)
+    ).cast("int")
     return j.select("event_id", qv.alias("qv"))
 
 
@@ -368,7 +400,7 @@ def q_project_channel_select(spark, sf_dir):
     "conditional_where",
     oracle="""
     SELECT event_id,
-           round(CASE WHEN value > 100.0 THEN value * 2.0 ELSE value / 2.0 END, 6) AS branched
+           CASE WHEN value > 100.0 THEN value * 2.0 ELSE value / 2.0 END AS branched
     FROM events
     """,
 )
@@ -378,7 +410,7 @@ def q_conditional_where(spark, sf_dir):
     out = scalar.conditional_where(
         F.col("value") > 100.0, F.col("value") * 2.0, F.col("value") / 2.0
     )
-    return events.select("event_id", F.round(out, 6).alias("branched"))
+    return events.select("event_id", out.alias("branched"))
 
 
 @qdef(
@@ -455,3 +487,538 @@ REGISTRY["flagship_evaluate"] = QueryDef(
     FLAGSHIP_ORACLE_SQL,
     "Evaluate-analog: per-variable persistence MSE with inverse-variance weights.",
 )
+
+
+# =====================================================================
+# §2.3 Joins
+# =====================================================================
+
+# Normalized member-model prediction series derived from lineitem
+# (keeps Gram/MSE sums O(1) magnitude so 6-decimal rounding is robust
+# to summation order at any scale).
+_MEMBER_SQL = """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           l_extendedprice * (1.0 - l_discount) / 100000.0 AS m1,
+           l_extendedprice / 100000.0 AS m2,
+           l_extendedprice * (1.0 + l_tax) / 100000.0 AS m3,
+           l_quantity / 50.0 AS y
+    FROM lineitem
+"""
+
+
+def _members(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1.0 - F.col("l_discount")) / 100000.0).alias("m1"),
+        (F.col("l_extendedprice") / 100000.0).alias("m2"),
+        (F.col("l_extendedprice") * (1.0 + F.col("l_tax")) / 100000.0).alias("m3"),
+        (F.col("l_quantity") / 50.0).alias("y"),
+    )
+
+
+@qdef(
+    "join_time_intersect",
+    oracle=f"""
+    SELECT slot FROM (SELECT DISTINCT {SLOT_SQL} AS slot FROM events WHERE event_type='click')
+    INTERSECT
+    SELECT slot FROM (SELECT DISTINCT {SLOT_SQL} AS slot FROM events WHERE event_type='view')
+    INTERSECT
+    SELECT slot FROM (SELECT DISTINCT {SLOT_SQL} AS slot FROM events WHERE event_type='purchase')
+    """,
+)
+def q_join_time_intersect(spark, sf_dir):
+    """Valid start times = intersection of per-(product,region) time
+    sets (datasets.py:229-240)."""
+    events = _t(spark, sf_dir, "events")
+    slotted = windows.with_time_slot(events, "ts", 15)
+    sets = [
+        slotted.where(F.col("event_type") == t).select("slot").distinct()
+        for t in ("click", "view", "purchase")
+    ]
+    return setops.intersect_all_sets(sets)
+
+
+@qdef(
+    "join_multichannel",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           round(avg(CASE WHEN event_type='click' THEN value END) + 1e-9, 6) AS click,
+           round(avg(CASE WHEN event_type='view' THEN value END) + 1e-9, 6) AS view,
+           round(avg(CASE WHEN event_type='purchase' THEN value END) + 1e-9, 6) AS purchase,
+           round(avg(CASE WHEN event_type='signup' THEN value END) + 1e-9, 6) AS signup,
+           round(avg(CASE WHEN event_type='error' THEN value END) + 1e-9, 6) AS error
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_join_multichannel(spark, sf_dir):
+    """Channel-stack alignment: CTTH+CRR+ASII+CMA → one wide record
+    (datasets.py:326-336) via groupBy().pivot() with an explicit
+    channel list (single shuffle, no distinct-scan)."""
+    events = _t(spark, sf_dir, "events")
+    chans = ["click", "view", "purchase", "signup", "error"]
+    wide = joins.join_multichannel(
+        events.withColumn("day", F.to_date("ts")),
+        keys=["user_id", "day"],
+        channel_col="event_type",
+        value_col="value",
+        channels=chans,
+    )
+    return wide.select("user_id", "day", *[r6(F.col(c)).alias(c) for c in chans])
+
+
+@qdef(
+    "join_static_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name, n.n_name, r.r_name,
+           l.l_extendedprice AS price
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def q_join_static_broadcast(spark, sf_dir):
+    """Static-dimension attach: lat/lon/elev per region
+    (datasets.py:328-330,151-162) as broadcast equi joins — the fact
+    side never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    out = joins.join_static_broadcast(
+        li, sup.withColumnRenamed("s_suppkey", "l_suppkey"), on=["l_suppkey"]
+    )
+    out = joins.join_static_broadcast(
+        out, nat.withColumnRenamed("n_nationkey", "s_nationkey"), on=["s_nationkey"]
+    )
+    out = joins.join_static_broadcast(
+        out, reg.withColumnRenamed("r_regionkey", "n_regionkey"), on=["n_regionkey"]
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "s_name", "n_name", "r_name",
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@qdef(
+    "join_asof_offset",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hslot, avg(value) AS value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.hslot,
+           round(a.value + 1e-9, 6) AS value,
+           round(b.value + 1e-9, 6) AS value_future
+    FROM hourly a
+    JOIN hourly b ON b.event_type = a.event_type
+                 AND b.hslot = a.hslot + INTERVAL 1 HOUR
+    """,
+)
+def q_join_asof_offset(spark, sf_dir):
+    """Degenerate as-of join: align each frame with the frame exactly
+    one step later (datasets.py:322-323)."""
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.withColumn("hslot", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hslot")
+        .agg(F.avg("value").alias("value"))
+    )
+    paired = joins.join_offset(
+        hourly, keys=["event_type"], ts_col="hslot",
+        offset_expr="INTERVAL 1 HOUR", value_cols=["value"], suffix="_future",
+    )
+    return paired.select(
+        "event_type", "hslot",
+        r6(F.col("value")).alias("value"),
+        r6(F.col("value_future")).alias("value_future"),
+    )
+
+
+@qdef(
+    "join_frame_lookup",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name,
+           l.l_extendedprice AS price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 10
+    """,
+)
+def q_join_frame_lookup(spark, sf_dir):
+    """var_at_time keyed lookup (datasets.py:299-301): fetch fact rows
+    for an exact dimension key set."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return out.select(
+        "l_orderkey", "l_linenumber", "p_name", F.col("l_extendedprice").alias("price")
+    )
+
+
+@qdef(
+    "join_ensemble_align",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_orderkey, l_linenumber,
+               min(l_extendedprice * (1.0 - l_discount) / 100000.0) AS m1,
+               min(l_extendedprice / 100000.0) AS m2,
+               min(l_extendedprice * (1.0 + l_tax) / 100000.0) AS m3
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey, l_linenumber,
+           m1 AS pred_a, m2 AS pred_b, m3 AS pred_c,
+           0.5*m1 + 0.3*m2 + 0.2*m3 AS blend
+    FROM m
+    """,
+)
+def q_join_ensemble_align(spark, sf_dir):
+    """Zip k member prediction streams by key + Σ wᵢ·predᵢ blending
+    (ensemble.py:81-101, main.py:10-33). Key-based equi joins replace
+    the reference's positional zip. Members are pre-aggregated to the
+    join key (lineitem's (orderkey, linenumber) is not unique; min is
+    arithmetic-free so rounding sees bit-identical inputs)."""
+    keys = ["l_orderkey", "l_linenumber"]
+    m = _members(spark, sf_dir).groupBy(*keys).agg(
+        F.min("m1").alias("m1"), F.min("m2").alias("m2"), F.min("m3").alias("m3")
+    )
+    members = {
+        "a": m.select(*keys, F.col("m1").alias("value")),
+        "b": m.select(*keys, F.col("m2").alias("value")),
+        "c": m.select(*keys, F.col("m3").alias("value")),
+    }
+    aligned = joins.join_ensemble_align(members, on=keys, value_col="value")
+    blended = joins.weighted_blend(aligned, ["pred_a", "pred_b", "pred_c"], [0.5, 0.3, 0.2])
+    return blended.select(*keys, "pred_a", "pred_b", "pred_c", "blend")
+
+
+@qdef(
+    "udf_ensemble_blend",
+    oracle="""
+    WITH p AS (
+        SELECT event_id,
+               least(greatest(value/400.0, 0.003), 0.997) AS p1,
+               least(greatest(value/500.0, 0.003), 0.997) AS p2
+    FROM events
+    ),
+    nl AS (
+        SELECT event_id,
+               (ln(p1/(1.0-p1)) - ln(0.003/0.997)) / (ln(0.997/0.003) - ln(0.003/0.997)) AS n1,
+               (ln(p2/(1.0-p2)) - ln(0.003/0.997)) / (ln(0.997/0.003) - ln(0.003/0.997)) AS n2
+        FROM p
+    )
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-((0.6*n1 + 0.4*n2) * (ln(0.997/0.003) - ln(0.003/0.997))
+                                    + ln(0.003/0.997)))) + 1e-12, 9) AS blend
+    FROM nl
+    """,
+)
+def q_udf_ensemble_blend(spark, sf_dir):
+    """Logit-space ensemble blend (the ASII mode): inv_normlogit of
+    the weighted normlogit sum (ensemble.py:86-101 logit=True path).
+    Pure column arithmetic — not a UDF in Spark."""
+    events = _t(spark, sf_dir, "events")
+    preds = events.select(
+        "event_id",
+        (F.col("value") / 400.0).alias("p1"),
+        (F.col("value") / 500.0).alias("p2"),
+    )
+    out = joins.logit_blend(preds, ["p1", "p2"], [0.6, 0.4])
+    return out.select("event_id", r9(F.col("blend")).alias("blend"))
+
+
+@qdef(
+    "join_fallback_day",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT t.user_id, t.day,
+           round(coalesce(t.value, y.value) + 1e-9, 6) AS value
+    FROM daily t
+    LEFT JOIN daily y ON y.user_id = t.user_id AND y.day = t.day - INTERVAL 1 DAY
+    """,
+)
+def q_join_fallback_day(spark, sf_dir):
+    """Missing frame → previous day's directory fallback
+    (datasets.py:430-435): left join to the day-1 partition +
+    coalesce."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(F.avg("value").alias("value"))
+    )
+    prev = daily.select(
+        "user_id", (F.date_add(F.col("day"), 1)).alias("day"), F.col("value").alias("prev_value")
+    )
+    out = daily.join(prev, on=["user_id", "day"], how="left")
+    return out.select(
+        "user_id", "day",
+        r6(F.coalesce(F.col("value"), F.col("prev_value"))).alias("value"),
+    )
+
+
+# =====================================================================
+# §2.4 Aggregations
+# =====================================================================
+
+
+@qdef(
+    "agg_mean_nonfill",
+    oracle="""
+    SELECT event_type,
+           round(avg(CASE WHEN value >= 1.0 THEN value END) + 1e-9, 6) AS mean_nonfill,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_mean_nonfill(spark, sf_dir):
+    """Mean of non-fill pixels per frame (datasets.py:67)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        r6(aggregates.mean_nonfill(F.col("value"), F.col("value") < 1.0)).alias("mean_nonfill"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@qdef(
+    "agg_global_max",
+    oracle="""
+    SELECT max(value) AS max_value, max(ts) AS max_ts, count(*) AS n
+    FROM events
+    """,
+)
+def q_agg_global_max(spark, sf_dir):
+    """Global max (elevation normalization, datasets.py:149)."""
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.max("value").alias("max_value"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@qdef(
+    "agg_bool_any",
+    oracle="""
+    SELECT event_type, bool_or(value > 300.0) AS any_extreme
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_bool_any(spark, sf_dir):
+    """reduce_any over sample axes (models.py:268-270)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        aggregates.bool_any(F.col("value") > 300.0).alias("any_extreme")
+    )
+
+
+@qdef(
+    "agg_mse",
+    oracle=f"""
+    WITH m AS ({_MEMBER_SQL})
+    SELECT l_returnflag, round(avg(pow(m1 - m2, 2)) + 1e-12, 9) AS mse
+    FROM m GROUP BY 1
+    """,
+)
+def q_agg_mse(spark, sf_dir):
+    """Per-variable MSE (models.py:316)."""
+    m = _members(spark, sf_dir)
+    return m.groupBy("l_returnflag").agg(
+        r9(aggregates.mse(F.col("m1"), F.col("m2"))).alias("mse")
+    )
+
+
+@qdef(
+    "agg_rounded_mse",
+    oracle="""
+    SELECT event_type,
+           round(avg(pow(round(value/400.0) - (CASE WHEN value > 200.0 THEN 1 ELSE 0 END), 2)) + 1e-12, 9)
+               AS rmse
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_rounded_mse(spark, sf_dir):
+    """MSE after rounding the prediction — binary cma loss
+    (models.py:282-287,322-324)."""
+    events = _t(spark, sf_dir, "events")
+    truth = F.when(F.col("value") > 200.0, 1).otherwise(0)
+    return events.groupBy("event_type").agg(
+        r9(aggregates.rounded_mse(F.col("value") / 400.0, truth)).alias("rmse")
+    )
+
+
+@qdef(
+    "agg_normlogit_mse",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               least(greatest(value/400.0, 0.003), 0.997) AS p1,
+               least(greatest(value/500.0, 0.003), 0.997) AS p2
+        FROM events
+    )
+    SELECT event_type,
+           round(avg(pow(
+               (ln(p1/(1.0-p1)) - ln(p2/(1.0-p2)))
+               / (ln(0.997/0.003) - ln(0.003/0.997)), 2)) + 1e-12, 9) AS nl_mse
+    FROM p GROUP BY 1
+    """,
+)
+def q_agg_normlogit_mse(spark, sf_dir):
+    """MSE in normlogit space — asii loss (models.py:293-301,313-316).
+    (The logit(lo) offsets cancel in the difference; the oracle uses
+    the cancelled form, the Spark side composes normlogit directly.)"""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        r9(aggregates.normlogit_mse(F.col("value") / 400.0, F.col("value") / 500.0)).alias(
+            "nl_mse"
+        )
+    )
+
+
+@qdef(
+    "agg_weighted_multiloss",
+    oracle="""
+    WITH losses AS (
+        SELECT event_type, avg(pow(value/400.0 - value/500.0, 2)) AS loss
+        FROM events GROUP BY 1
+    )
+    SELECT round(sum(l.loss * w.weight) / count(*) + 1e-12, 9) AS total_loss
+    FROM losses l
+    JOIN (VALUES ('click', 0.2611), ('view', 1.1241), ('purchase', 2.8800),
+                 ('signup', 0.1100), ('error', 2.0300)) AS w(event_type, weight)
+      ON w.event_type = l.event_type
+    """,
+)
+def q_agg_weighted_multiloss(spark, sf_dir):
+    """Total loss = Σ w_v·loss_v / n_outputs with a broadcast weight
+    dim (models.py:304-318)."""
+    events = _t(spark, sf_dir, "events")
+    losses = events.groupBy("event_type").agg(
+        aggregates.mse(F.col("value") / 400.0, F.col("value") / 500.0).alias("loss")
+    )
+    weights = spark.createDataFrame(
+        [("click", 0.2611), ("view", 1.1241), ("purchase", 2.8800),
+         ("signup", 0.1100), ("error", 2.0300)],
+        ["event_type", "weight"],
+    )
+    out = aggregates.weighted_multiloss(losses, "event_type", "loss", weights)
+    return out.select(r9(F.col("total_loss")).alias("total_loss"))
+
+
+@qdef(
+    "agg_gram_matrix",
+    oracle=f"""
+    WITH m AS ({_MEMBER_SQL})
+    SELECT round(sum(m1*m1)/count(*) + 1e-9, 6) AS ata_0_0,
+           round(sum(m1*m2)/count(*) + 1e-9, 6) AS ata_0_1,
+           round(sum(m1*m3)/count(*) + 1e-9, 6) AS ata_0_2,
+           round(sum(m2*m2)/count(*) + 1e-9, 6) AS ata_1_1,
+           round(sum(m2*m3)/count(*) + 1e-9, 6) AS ata_1_2,
+           round(sum(m3*m3)/count(*) + 1e-9, 6) AS ata_2_2,
+           round(sum(m1*y)/count(*) + 1e-9, 6) AS aty_0,
+           round(sum(m2*y)/count(*) + 1e-9, 6) AS aty_1,
+           round(sum(m3*y)/count(*) + 1e-9, 6) AS aty_2
+    FROM m
+    """,
+)
+def q_agg_gram_matrix(spark, sf_dir):
+    """Normal-equation Gram statistics ATA/ATy for the ridge ensemble
+    fit (ensemble.py:18-41): one partial+final hash aggregation with
+    programmatically generated product expressions."""
+    m = _members(spark, sf_dir)
+    g = aggregates.gram_matrix(m, ["m1", "m2", "m3"], "y")
+    return g.select(*[r6(F.col(c)).alias(c) for c in g.columns])
+
+
+@qdef(
+    "agg_running_mean",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, avg(value) AS day_mean
+        FROM events GROUP BY 1
+    )
+    SELECT day, round(day_mean + 1e-9, 6) AS day_mean,
+           round(avg(day_mean) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS running_mean
+    FROM daily
+    """,
+)
+def q_agg_running_mean(spark, sf_dir):
+    """Incremental batch-mean update (k·A + A_batch)/(k+1)
+    (ensemble.py:35-36,115-116) as a cumulative window mean over
+    batch order."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .agg(F.avg("value").alias("day_mean"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        r6(F.col("day_mean")).alias("day_mean"),
+        r6(F.avg("day_mean").over(w)).alias("running_mean"),
+    )
+
+
+@qdef(
+    "agg_correlation_matrix",
+    oracle=f"""
+    WITH m AS ({_MEMBER_SQL})
+    SELECT round(corr(m1, m2) + 1e-9, 6) AS corr_0_1,
+           round(corr(m1, m3) + 1e-9, 6) AS corr_0_2,
+           round(corr(m1, y) + 1e-9, 6) AS corr_0_3,
+           round(corr(m2, m3) + 1e-9, 6) AS corr_1_2,
+           round(corr(m2, y) + 1e-9, 6) AS corr_1_3,
+           round(corr(m3, y) + 1e-9, 6) AS corr_2_3
+    FROM m
+    """,
+)
+def q_agg_correlation_matrix(spark, sf_dir):
+    """Pairwise model-output correlation matrix (ensemble.py:103-123)."""
+    m = _members(spark, sf_dir)
+    c = aggregates.correlation_matrix(m, ["m1", "m2", "m3", "y"])
+    return c.select(*[r6(F.col(col)).alias(col) for col in c.columns])
+
+
+@qdef(
+    "agg_count_sequences",
+    oracle=f"""
+    SELECT user_id, count(DISTINCT {SLOT_SQL}) AS n_slots,
+           count(DISTINCT {SLOT_SQL}) // 32 AS n_batches
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_count_sequences(spark, sf_dir):
+    """len(generator) = n // batch_size (datasets.py:241-249)."""
+    events = _t(spark, sf_dir, "events")
+    slotted = windows.with_time_slot(events, "ts", 15)
+    return slotted.groupBy("user_id").agg(
+        F.count_distinct(F.col("slot")).alias("n_slots"),
+        F.floor(F.count_distinct(F.col("slot")) / F.lit(32)).alias("n_batches"),
+    )
+
+
+@qdef(
+    "agg_distinct_times",
+    oracle=f"""
+    SELECT count(*) AS n_distinct, min(slot) AS first_slot, max(slot) AS last_slot
+    FROM (SELECT DISTINCT {SLOT_SQL} AS slot FROM events)
+    """,
+)
+def q_agg_distinct_times(spark, sf_dir):
+    """The time index as a deduplicated set (datasets.py:31-36)."""
+    events = _t(spark, sf_dir, "events")
+    slots = windows.with_time_slot(events, "ts", 15).select("slot").distinct()
+    return slots.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("slot").alias("first_slot"),
+        F.max("slot").alias("last_slot"),
+    )
