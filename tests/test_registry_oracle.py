@@ -26,3 +26,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+ROWS_ONLY = sorted(name for name, qd in REGISTRY.items() if not qd.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    qd = REGISTRY[name]
+    df = qd.fn(spark, sf_dir)
+    assert df.count() >= 0
+    # determinism: same plan twice → same row count
+    assert qd.fn(spark, sf_dir).count() == df.count()

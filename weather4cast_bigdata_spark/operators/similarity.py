@@ -28,10 +28,12 @@ def _scored(queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, on
         *([F.col(c_) for c_ in on] if on else []),
     )
     joined = q.join(c, on=list(on), how="inner") if on else q.crossJoin(c)
+    # +1e-9 tie-break epsilon before rounding (see plans.registry
+    # numeric policy): summation order differs across engines.
     return joined.where(F.col("query_id") != F.col("item_id")).select(
         "query_id",
         "item_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias("cos_sim"),
     )
 
 

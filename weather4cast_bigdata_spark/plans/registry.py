@@ -1022,3 +1022,746 @@ def q_agg_distinct_times(spark, sf_dir):
         F.min("slot").alias("first_slot"),
         F.max("slot").alias("last_slot"),
     )
+
+
+# =====================================================================
+# §2.5 Windows / time series
+# =====================================================================
+
+_HOURLY_SQL = """
+    SELECT event_type, date_trunc('hour', ts) AS hslot,
+           round(avg(value) + 1e-9, 6) AS value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _hourly(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("hslot", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "hslot")
+        .agg(r6(F.avg("value")).alias("value"))
+    )
+
+
+@qdef(
+    "window_past_sequence",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hslot, value,
+           lag(value, 1) OVER w AS value_lag1,
+           lag(value, 2) OVER w AS value_lag2,
+           lag(value, 3) OVER w AS value_lag3
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hslot)
+    """,
+)
+def q_window_past_sequence(spark, sf_dir):
+    """4-frame predictor window: current + 3 preceding frames per
+    stream (datasets.py:303-347, sequence_length datasets.py:16)."""
+    return windows.past_sequence(
+        _hourly(spark, sf_dir), keys=["event_type"], ts_col="hslot",
+        value_col="value", n_past=4,
+    )
+
+
+@qdef(
+    "window_future_horizon",
+    oracle=f"""
+    WITH hourly AS ({_HOURLY_SQL})
+    SELECT event_type, hslot, value,
+           lead(value, 1) OVER w AS value_lead1,
+           lead(value, 2) OVER w AS value_lead2,
+           lead(value, 3) OVER w AS value_lead3,
+           lead(value, 4) OVER w AS value_lead4
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hslot)
+    """,
+)
+def q_window_future_horizon(spark, sf_dir):
+    """Target horizon: following frames per stream
+    (datasets.py:322-337)."""
+    return windows.future_horizon(
+        _hourly(spark, sf_dir), keys=["event_type"], ts_col="hslot",
+        value_col="value", n_future=4,
+    )
+
+
+@qdef(
+    "interval_arith",
+    oracle=f"""
+    SELECT DISTINCT {SLOT_SQL} AS slot,
+           {SLOT_SQL} + INTERVAL 15 MINUTES AS slot_p1,
+           {SLOT_SQL} + INTERVAL 30 MINUTES AS slot_p2,
+           {SLOT_SQL} + INTERVAL 45 MINUTES AS slot_p3
+    FROM events
+    """,
+)
+def q_interval_arith(spark, sf_dir):
+    """t + i·15 min cadence stepping (datasets.py:323,337,423)."""
+    events = _t(spark, sf_dir, "events")
+    slotted = windows.with_time_slot(events, "ts", 15).select("slot").distinct()
+    return slotted.select(
+        "slot",
+        *[
+            (F.col("slot") + F.expr(f"INTERVAL {15 * i} MINUTES")).alias(f"slot_p{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+
+
+@qdef(
+    "window_prev_day_fallback",
+    oracle="""
+    WITH days AS (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY))::DATE AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(avg(value) + 1e-9, 6) AS value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id, d.day,
+           last_value(dl.value IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM days d
+    CROSS JOIN users u
+    LEFT JOIN daily dl ON dl.user_id = u.user_id AND dl.day = d.day
+    """,
+)
+def q_window_prev_day_fallback(spark, sf_dir):
+    """Use the most recent prior day's frame when today's is missing
+    (datasets.py:430-435): date-spine left join + last(ignorenulls).
+    The spine is generated, so gaps of any length carry forward."""
+    events = _t(spark, sf_dir, "events")
+    spine_days = events.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2024-01-01")),
+                F.to_date(F.lit("2024-01-30")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    users = events.select("user_id").distinct()
+    daily = (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(r6(F.avg("value")).alias("value"))
+    )
+    spine = spine_days.crossJoin(users)
+    joined = spine.join(daily, on=["user_id", "day"], how="left")
+    out = windows.prev_value_fallback(
+        joined, keys=["user_id"], order_col="day", value_col="value", out_col="value_filled"
+    )
+    return out.select("user_id", "day", "value_filled")
+
+
+@qdef(
+    "day_boundary_correct",
+    oracle=f"""
+    WITH slots AS (SELECT DISTINCT {SLOT_SQL} AS slot FROM events)
+    SELECT slot,
+           strftime(CASE WHEN extract(hour FROM slot) = 0
+                          AND extract(minute FROM slot) = 0
+                          AND extract(second FROM slot) = 0
+                    THEN slot - INTERVAL 1 DAY ELSE slot END, '%Y%j') AS day_dir
+    FROM slots
+    """,
+)
+def q_day_boundary_correct(spark, sf_dir):
+    """Midnight start times stamped with the previous day's %Y%j dir
+    (datasets.py:450-454)."""
+    events = _t(spark, sf_dir, "events")
+    slots = windows.with_time_slot(events, "ts", 15).select("slot").distinct()
+    return windows.day_boundary_correct(slots, "slot")
+
+
+@qdef(
+    "argmin_checkpoint",
+    oracle="""
+    SELECT user_id, event_id AS best_event, value AS best_value
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_argmin_checkpoint(spark, sf_dir):
+    """Best-checkpoint pattern: keep the row with minimum loss per key
+    (models.py:453-470), deterministic tie-break on id."""
+    events = _t(spark, sf_dir, "events")
+    best = windows.argmin_best(events, keys=["user_id"], order_cols=["value", "event_id"])
+    return best.select(
+        "user_id", F.col("event_id").alias("best_event"), F.col("value").alias("best_value")
+    )
+
+
+# =====================================================================
+# §2.6 Sorts / set ops / sampling
+# =====================================================================
+
+
+@qdef(
+    "sort_time",
+    oracle=f"""
+    SELECT DISTINCT {SLOT_SQL} AS slot FROM events ORDER BY 1
+    """,
+)
+def q_sort_time(spark, sf_dir):
+    """Sorted valid start times (datasets.py:47,238-240)."""
+    events = _t(spark, sf_dir, "events")
+    return setops.distinct_sorted(windows.with_time_slot(events, "ts", 15), ["slot"])
+
+
+@qdef(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    """set.intersection over entity sets (datasets.py:238-240)."""
+    events = _t(spark, sf_dir, "events")
+    return setops.intersect_all_sets(
+        [
+            events.where(F.col("event_type") == "purchase").select("user_id"),
+            events.where(F.col("event_type") == "error").select("user_id"),
+        ]
+    )
+
+
+@qdef(
+    "set_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_set_distinct(spark, sf_dir):
+    """Index dedup (datasets.py:31-36)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct()
+
+
+@qdef("shuffle_seeded")  # rows-only: permutation order is engine-specific
+def q_shuffle_seeded(spark, sf_dir):
+    """Seeded epoch shuffle (datasets.py:245,251-254): deterministic
+    within Spark for a fixed partitioning; no cross-engine oracle
+    (row order is the semantics, hashes can't agree)."""
+    events = _t(spark, sf_dir, "events")
+    return setops.seeded_shuffle(events.select("event_id", "user_id"), seed=42)
+
+
+@qdef("sample_random_crop")  # rows-only: seeded RNG is engine-specific
+def q_sample_random_crop(spark, sf_dir):
+    """Random 2-D crop box per batch (datasets.py:271-276): a seeded
+    box filter on grid coordinates."""
+    events = _t(spark, sf_dir, "events")
+    grid = events.select(
+        "event_id",
+        (F.col("event_id") % 16).alias("y"),
+        ((F.col("event_id") / 16).cast("bigint") % 16).alias("x"),
+        "value",
+    )
+    # Seeded crop origin: derived from rand(seed) of a 1-row frame key.
+    crop = grid.sparkSession.range(1).select(
+        (F.floor(F.rand(42) * 8)).alias("y0"), (F.floor(F.rand(43) * 8)).alias("x0")
+    )
+    return grid.crossJoin(F.broadcast(crop)).where(
+        (F.col("y") >= F.col("y0")) & (F.col("y") < F.col("y0") + 8)
+        & (F.col("x") >= F.col("x0")) & (F.col("x") < F.col("x0") + 8)
+    ).select("event_id", "y", "x", "value")
+
+
+@qdef(
+    "sample_augment",
+    oracle="""
+    SELECT event_id,
+           event_id % 16 AS y, (event_id // 16) % 16 AS x,
+           15 - (event_id % 16) AS y_flipud,
+           15 - ((event_id // 16) % 16) AS x_fliplr,
+           (event_id // 16) % 16 AS rot90_y,
+           15 - (event_id % 16) AS rot90_x
+    FROM events
+    """,
+)
+def q_sample_augment(spark, sf_dir):
+    """Rot90/flip augmentation (datasets.py:278-297) as pure
+    coordinate-remap projections on the long layout — no data
+    movement, just key arithmetic."""
+    events = _t(spark, sf_dir, "events")
+    y = F.col("event_id") % 16
+    x = (F.col("event_id") / 16).cast("bigint") % 16
+    return events.select(
+        "event_id",
+        y.alias("y"), x.alias("x"),
+        (F.lit(15) - y).alias("y_flipud"),
+        (F.lit(15) - x).alias("x_fliplr"),
+        x.alias("rot90_y"),
+        (F.lit(15) - y).alias("rot90_x"),
+    )
+
+
+# =====================================================================
+# §2.7 Array / string functions
+# =====================================================================
+
+
+@qdef(
+    "array_slice_2d",
+    oracle="""
+    SELECT event_id, event_id % 16 AS y, (event_id // 16) % 16 AS x, value
+    FROM events
+    WHERE event_id % 16 BETWEEN 4 AND 11
+      AND (event_id // 16) % 16 BETWEEN 2 AND 9
+    """,
+)
+def q_array_slice_2d(spark, sf_dir):
+    """2-D crop data[i0:i1, j0:j1] (datasets.py:102,161) as a (y,x)
+    range filter on the long layout — pushes to the scan."""
+    events = _t(spark, sf_dir, "events")
+    y = F.col("event_id") % 16
+    x = (F.col("event_id") / 16).cast("bigint") % 16
+    return events.select("event_id", y.alias("y"), x.alias("x"), "value").where(
+        y.between(4, 11) & x.between(2, 9)
+    )
+
+
+@qdef(
+    "array_stack_channels",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           concat_ws('|',
+             coalesce(CAST(CAST(floor(round(avg(CASE WHEN event_type='click' THEN value END) + 1e-9, 6) + 0.5) AS INT) AS VARCHAR), 'NA'),
+             coalesce(CAST(CAST(floor(round(avg(CASE WHEN event_type='view' THEN value END) + 1e-9, 6) + 0.5) AS INT) AS VARCHAR), 'NA'),
+             coalesce(CAST(CAST(floor(round(avg(CASE WHEN event_type='purchase' THEN value END) + 1e-9, 6) + 0.5) AS INT) AS VARCHAR), 'NA')
+           ) AS stacked
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_array_stack_channels(spark, sf_dir):
+    """np.stack(channel_data, axis=-1) (datasets.py:110,162):
+    channel-aligned stack, emitted as a quantized string encoding so
+    the value-hash is layout-independent across engines."""
+    events = _t(spark, sf_dir, "events")
+    chans = ["click", "view", "purchase"]
+    wide = joins.join_multichannel(
+        events.withColumn("day", F.to_date("ts")),
+        keys=["user_id", "day"],
+        channel_col="event_type",
+        value_col="value",
+        channels=chans,
+    )
+    enc = [
+        F.coalesce(F.floor(r6(F.col(c)) + F.lit(0.5)).cast("int").cast("string"), F.lit("NA"))
+        for c in chans
+    ]
+    return wide.select("user_id", "day", F.concat_ws("|", *enc).alias("stacked"))
+
+
+@qdef(
+    "array_concat",
+    oracle="""
+    SELECT event_id, 'purchase' AS channel, value FROM events WHERE event_type='purchase'
+    UNION ALL
+    SELECT event_id, 'click' AS channel, value FROM events WHERE event_type='click'
+    """,
+)
+def q_array_concat(spark, sf_dir):
+    """Channel-axis concat (datasets.py:447, models.py:106) = UNION ALL
+    of per-channel streams in the long layout."""
+    events = _t(spark, sf_dir, "events")
+
+    def chan(t):
+        return events.where(F.col("event_type") == t).select(
+            "event_id", F.lit(t).alias("channel"), "value"
+        )
+
+    return chan("purchase").unionAll(chan("click"))
+
+
+@qdef(
+    "array_flatten",
+    oracle="""
+    SELECT vec_id, r.i AS idx, embedding[r.i]::DOUBLE AS val
+    FROM embeddings, (SELECT unnest(range(1, 129)) AS i) r
+    WHERE r.i <= len(embedding)
+    """,
+)
+def q_array_flatten(spark, sf_dir):
+    """.ravel() before Gram products (ensemble.py:28,111-113):
+    explode to (id, idx, value) long rows, 1-based."""
+    from weather4cast_bigdata_spark.functions.arrays import flatten_to_rows
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = flatten_to_rows(emb, "embedding", ["vec_id"])
+    return out.select("vec_id", "idx", F.col("val").cast("double").alias("val"))
+
+
+@qdef(
+    "str_format_path",
+    oracle="""
+    SELECT event_id,
+           'w4c' || '/' || 'R' || user_id || '/' || 'training' || '/'
+                 || strftime(ts, '%Y%j') || '/' || event_type AS path
+    FROM events
+    """,
+)
+def q_str_format_path(spark, sf_dir):
+    """Partition-path template comp/region/subset/%Y%j/product
+    (datasets.py:256-269)."""
+    events = _t(spark, sf_dir, "events")
+    region = F.concat(F.lit("R"), F.col("user_id").cast("string"))
+    return events.select(
+        "event_id",
+        strings.format_frame_path("w4c", region, "training", F.col("ts"), F.col("event_type")).alias("path"),
+    )
+
+
+@qdef(
+    "str_replace",
+    oracle="""
+    SELECT event_id,
+           replace('CTTH_MSG4_' || strftime(ts, '%Y%m%dT%H%M%S') || 'Z.nc',
+                   'MSG4', 'MSG2') AS alt_filename
+    FROM events
+    """,
+)
+def q_str_replace(spark, sf_dir):
+    """MSG4→MSG2 alternate-satellite substitution (datasets.py:86-89,431)."""
+    events = _t(spark, sf_dir, "events")
+    fname = strings.format_ts_filename(F.col("ts"), "CTTH_MSG4_")
+    return events.select(
+        "event_id", strings.satellite_fallback_name(fname).alias("alt_filename")
+    )
+
+
+@qdef(
+    "json_get",
+    oracle="""
+    SELECT json_extract_string(props, '$.k')::INT % 10 AS k_bucket,
+           count(*) AS n, round(avg(value) + 1e-9, 6) AS mean_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_get(spark, sf_dir):
+    """JSON property extraction over events.props (standard-library
+    extension, SURVEY.md §2.7 note)."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), r6(F.avg("value")).alias("mean_value")
+    )
+
+
+# =====================================================================
+# Training-data-pipeline extensions: dedup / text / similarity
+# =====================================================================
+
+# DuckDB twins of functions.text helpers.
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_H32_SQL = "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+_SHINGLES_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    shingled AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
+        WHERE i + 2 <= len(w)
+    )
+"""
+
+
+@qdef(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeping min id as canonical. Uniform
+    128-bit keys — no skew at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+@qdef(
+    "dedup_minhash_signature",
+    oracle=f"""
+    {_SHINGLES_SQL}
+    SELECT doc_id,
+           min(({_H32_SQL.format(expr='shingle')} * 1103515245 + 12345) % 2147483647) AS mh_0,
+           min(({_H32_SQL.format(expr='shingle')} * 214013 + 2531011) % 2147483647) AS mh_1,
+           min(({_H32_SQL.format(expr='shingle')} * 69069 + 362437) % 2147483647) AS mh_2,
+           min(({_H32_SQL.format(expr='shingle')} * 1664525 + 1013904223) % 2147483647) AS mh_3
+    FROM shingled GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures over word-3-gram shingles: 4 affine
+    permutations of an md5-derived 32-bit hash mod 2^31-1. Map-side
+    min-combine keeps shuffle volume at 32 B/doc regardless of
+    document length."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(dedup.doc_shingles(docs))
+
+
+@qdef(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               min(({_H32_SQL.format(expr='shingle')} * 1103515245 + 12345) % 2147483647) AS mh_0,
+               min(({_H32_SQL.format(expr='shingle')} * 214013 + 2531011) % 2147483647) AS mh_1,
+               min(({_H32_SQL.format(expr='shingle')} * 69069 + 362437) % 2147483647) AS mh_2,
+               min(({_H32_SQL.format(expr='shingle')} * 1664525 + 1013904223) % 2147483647) AS mh_3
+        FROM shingled GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx,
+               CAST(mh_0 AS VARCHAR) || '_' || CAST(mh_1 AS VARCHAR) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               CAST(mh_2 AS VARCHAR) || '_' || CAST(mh_3 AS VARCHAR) FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH banding (2 bands × 2 hashes): docs agreeing on any full
+    band become candidate pairs. The self-join is bucket-local —
+    shuffle on (band, key), pairs form only inside buckets, never an
+    n² cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(dedup.doc_shingles(docs))
+    return dedup.lsh_candidate_pairs(sig)
+
+
+@qdef(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    sz AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM shingled a JOIN shingled b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (x.sz + y.sz - inter) + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = id_a
+    JOIN sz y ON y.doc_id = id_b
+    WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (threshold 0.5): pair formation
+    is shingle-bucket-local, cost tracks shared-shingle volume."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(dedup.doc_shingles(docs), threshold=0.5)
+    return pairs.select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
+
+
+@qdef(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_H32_SQL.format(expr='tok')} AS h FROM toks),
+    bits AS (
+        SELECT doc_id,
+               {', '.join(
+                   f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+                   for b in range(16)
+               )}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {' + '.join(f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))}
+               AS simhash
+    FROM bits
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint: per-bit ±1 majority vote over
+    md5-derived token hashes, composed into one integer."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=16)
+
+
+@qdef(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+               AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmenter
+    (letters / digit runs / punctuation runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+def _lang_hits_sql(markers):
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_SQL.replace('text', 'lower(text)')}, t -> t IN ({inlist})))"
+
+
+@qdef(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_lang_hits_sql(text.LANG_MARKERS['de'])} AS h_de,
+               {_lang_hits_sql(text.LANG_MARKERS['en'])} AS h_en,
+               {_lang_hits_sql(text.LANG_MARKERS['es'])} AS h_es,
+               {_lang_hits_sql(text.LANG_MARKERS['fr'])} AS h_fr
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    """Language ID: marker-lexicon hit argmax (n-gram heuristic
+    stand-in; a fastText Pandas UDF slots into the same call site)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@qdef(
+    "text_quality_score",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           (least(n_tok / 50.0, 1.0)
+            + least((n_stop * 1.0 / n_tok) * 5.0, 1.0)
+            + greatest(1.0 - (n_punct * 1.0 / n_chars) * 10.0, 0.0)) / 3.0 AS quality
+    FROM f
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    """Composite quality heuristic: length + stopword-ratio terms
+    minus punctuation-soup penalty (pure per-row arithmetic, emitted
+    raw)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@qdef(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    positioned AS (
+        SELECT doc_id, {_H32_SQL.format(expr='w[i]')} * i AS term
+        FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
+        WHERE i <= len(w)
+    )
+    SELECT doc_id, sum(term) AS fingerprint FROM positioned GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: Σ h32(token_i)·i —
+    integer arithmetic, exactly reproducible cross-engine (the
+    deterministic stand-in for a rolling Rabin hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_COSINE_SQL = """
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings {qfilter}),
+    c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+    dots AS (
+        SELECT query_id, item_id,
+               sum(q.qv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE) AS dot,
+               sqrt(sum(q.qv[r.i]::DOUBLE * q.qv[r.i]::DOUBLE)) AS nq,
+               sqrt(sum(c.cv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE)) AS nc
+        FROM q, c, (SELECT unnest(range(1, 129)) AS i) r
+        WHERE r.i <= len(q.qv) AND query_id != item_id {pair_cond}
+        GROUP BY query_id, item_id
+    ),
+    scored AS (
+        SELECT query_id, item_id, round(dot / (nq * nc) + 1e-9, 6) AS cos_sim
+        FROM dots
+    )
+    SELECT query_id, rank, item_id, cos_sim FROM (
+        SELECT query_id, item_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, item_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@qdef(
+    "sim_cosine_topk",
+    oracle="WITH " + _COSINE_SQL.format(qfilter="WHERE vec_id < 8", pair_cond=""),
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column: the ANN
+    correctness baseline. JVM-side zip_with/aggregate vector math;
+    deterministic tie-break on item id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
+@qdef(
+    "sim_cosine_bucketed",
+    oracle="WITH "
+    + _COSINE_SQL.format(
+        qfilter="WHERE vec_id < 40", pair_cond=""
+    ).replace(
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 40),",
+        "q AS (SELECT vec_id AS query_id, label, embedding AS qv FROM embeddings WHERE vec_id < 40),",
+    ).replace(
+        "c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),",
+        "c AS (SELECT vec_id AS item_id, label, embedding AS cv FROM embeddings),",
+    ).replace(
+        "WHERE r.i <= len(q.qv) AND query_id != item_id ",
+        "WHERE r.i <= len(q.qv) AND query_id != item_id AND q.label = c.label ",
+    ),
+)
+def q_sim_cosine_bucketed(spark, sf_dir):
+    """IVF-style bucketed ANN: cosine top-k restricted to the same
+    coarse bucket (label ≈ nearest-centroid assignment) — the search
+    join becomes bucket-local instead of a cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bucketed(
+        emb.where(F.col("vec_id") < 40), emb, bucket_col="label", k=5
+    )
