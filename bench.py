@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced with the noop sink (full execution, no driver
+collect), measured after a one-query JVM warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from weather4cast_bigdata_spark.plans.registry import REGISTRY
+from weather4cast_bigdata_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join-heavy plans that dominate at scale.
+HEADLINE = [
+    "flagship_evaluate",
+    "join_multichannel",
+    "join_static_broadcast",
+    "join_time_intersect",
+    "filter_valid_sequence",
+    "window_past_sequence",
+    "window_prev_day_fallback",
+    "agg_gram_matrix",
+    "agg_correlation_matrix",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "text_fingerprint",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("w4c-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM / codegen / parquet footer caches.
+    force(REGISTRY["flagship_evaluate"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

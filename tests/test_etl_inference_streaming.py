@@ -1,0 +1,210 @@
+"""M5/M6 surface tests: NetCDF-lake ETL plumbing, batched inference,
+multimodal stubs, and the Structured Streaming forms."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.operators import inference, multimodal
+from weather4cast_bigdata_spark.sources import netcdf
+from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+
+# --- NetCDF lake ETL --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fake_lake(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lake")
+    for region in ("R1", "R2"):
+        for product in ("CTTH", "CRR"):
+            d = root / "w4c" / region / "training" / "2019204" / product
+            d.mkdir(parents=True, exist_ok=True)
+            for hhmm in ("060000", "061500", "063000"):
+                name = f"S_NWC_{product}_MSG4_{region}-VISIR_20190723T{hhmm}Z.nc"
+                (d / name).write_bytes(os.urandom(256))
+    return str(root)
+
+
+def test_scan_and_decode(spark, fake_lake):
+    scanned = netcdf.scan_frame_files(spark, f"{fake_lake}/w4c/*/*/*/*/*.nc")
+    rows = scanned.select("region", "subset", "product", "ts").collect()
+    assert len(rows) == 12
+    assert {r["region"] for r in rows} == {"R1", "R2"}
+    assert all(r["ts"].minute in (0, 15, 30) for r in rows)
+
+    decoded = netcdf.decode_frames(
+        scanned,
+        product_vars={"CTTH": ["temperature"], "CRR": ["crr_intensity"]},
+        grid=(8, 8),
+    )
+    n = decoded.count()
+    assert n == 12 * 8 * 8  # one variable per product per file
+    # Deterministic decode: same plan twice → identical content hash.
+    h = lambda df: df.agg(F.sum(F.hash("region", "variable", "y", "x", "value"))).collect()[0][0]
+    assert h(decoded) == h(
+        netcdf.decode_frames(
+            scanned,
+            product_vars={"CTTH": ["temperature"], "CRR": ["crr_intensity"]},
+            grid=(8, 8),
+        )
+    )
+
+
+def test_etl_partitioned_sink(spark, fake_lake, tmp_path):
+    scanned = netcdf.scan_frame_files(spark, f"{fake_lake}/w4c/*/*/*/*/*.nc")
+    decoded = netcdf.decode_frames(scanned, {"CTTH": ["temperature"]}, grid=(4, 4))
+    out = str(tmp_path / "frames")
+    netcdf.etl_to_parquet(decoded, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 6 * 16
+    # Hive partitioning restored partition columns; pruning applies.
+    assert {"region", "subset", "day", "product"} <= set(back.columns)
+    plan = back.where(F.col("region") == "R1")._jdf.queryExecution().executedPlan().toString()
+    assert "R1" in plan  # partition filter reached the scan
+
+
+# --- Inference --------------------------------------------------------------
+
+
+def test_predict_frames_linear(spark):
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 0.01).alias("f1"),
+        (F.col("id") * 0.02).alias("f2"),
+    )
+    w = np.array([2.0, -1.0])
+    out = inference.predict_frames(
+        df, ["f1", "f2"], lambda: inference.linear_stub_model(w)
+    )
+    bad = out.where(
+        F.abs(F.col("pred") - (F.col("f1") * 2.0 - F.col("f2"))) > 1e-12
+    ).count()
+    assert bad == 0
+
+
+def test_crr_combo_switch(spark):
+    rows = [
+        ("s1", 0.5, 10.0, 20.0),   # rain in sample s1 (0.5 > 0.026)
+        ("s1", 0.0, 11.0, 21.0),
+        ("s2", 0.001, 12.0, 22.0),  # no rain in s2
+        ("s2", 0.002, 13.0, 23.0),
+    ]
+    df = spark.createDataFrame(rows, ["sample", "crr_intensity", "wet", "dry"])
+    out = inference.crr_combo_switch(df, ["sample"], "wet", "dry").collect()
+    got = {(r["sample"], r["pred"]) for r in out}
+    assert got == {("s1", 10.0), ("s1", 11.0), ("s2", 22.0), ("s2", 23.0)}
+
+
+# --- Multimodal -------------------------------------------------------------
+
+
+def test_image_features_contract(spark):
+    rows = [
+        (1, "image", b"fakejpegbytes1", "image/jpeg", 640, 480, None),
+        (2, "image", b"fakejpegbytes2", "image/jpeg", 800, 600, None),
+        (3, "audio", b"fakewav", "audio/wav", None, None, 2000),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.decode_image_features(media, resize_to=(16, 16), n_features=8)
+    out = feats.collect()
+    assert len(out) == 2  # audio row filtered by the image stage
+    for r in out:
+        assert len(r["features"]) == 8
+        assert 0.0 <= r["mean_luma"] <= 1.0
+    # Determinism: content-seeded fake decode.
+    again = multimodal.decode_image_features(media, resize_to=(16, 16), n_features=8).collect()
+    assert sorted(r["features"] for r in again) == sorted(r["features"] for r in out)
+
+
+def test_frame_sample_plan(spark):
+    rows = [
+        (1, "video", b"v1", "video/mp4", None, None, 3500),
+        (2, "image", b"i1", "image/png", 10, 10, None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+# --- Streaming --------------------------------------------------------------
+
+
+@pytest.fixture()
+def frame_stream_dir(spark, tmp_path):
+    t0 = dt.datetime(2019, 7, 23, 21, 0, 0)
+    rows = [
+        ("R1", t0 + i * dt.timedelta(minutes=15), float(i))
+        for i in range(12)
+    ] + [
+        ("R2", t0 + i * dt.timedelta(minutes=15), float(100 + i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["region", "ts", "value"])
+    path = str(tmp_path / "stream_in")
+    df.coalesce(2).write.parquet(path)
+    return path, df.schema
+
+
+def _run_stream(q_df, name):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name.startswith("agg") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_sliding_sequence_windows(spark, frame_stream_dir):
+    path, schema = frame_stream_dir
+    stream = streaming.frame_stream(spark, path, schema)
+    assert stream.isStreaming
+    win = streaming.sliding_sequence_windows(
+        stream, span="1 hour", slide="15 minutes"
+    )
+    _run_stream(win, "agg_windows")
+    out = spark.sql("SELECT * FROM agg_windows").collect()
+    assert out
+    # A fully-covered 1h window holds 4 frames — completeness filter.
+    full = [r for r in out if r["n_frames"] == 4 and r["region"] == "R1"]
+    assert full
+
+
+def test_running_gram_stats_stream(spark, frame_stream_dir):
+    path, schema = frame_stream_dir
+    stream = streaming.frame_stream(spark, path, schema).select(
+        "ts",
+        (F.col("value") / 100.0).alias("p1"),
+        (F.col("value") / 200.0).alias("p2"),
+        (F.col("value") / 50.0).alias("y"),
+    )
+    g = streaming.running_gram_stats(stream, ["p1", "p2"], "y")
+    _run_stream(g, "agg_gram")
+    row = spark.sql("SELECT * FROM agg_gram").collect()[0]
+    assert row["n_rows"] == 18
+    assert row["ata_0_0"] > 0
+
+
+def test_stateful_sequence_assembly(spark, frame_stream_dir):
+    path, schema = frame_stream_dir
+    stream = streaming.frame_stream(spark, path, schema).select(
+        "region", "ts", F.col("value").alias("mean_value")
+    )
+    seqs = streaming.stateful_sequence_assembly(stream, n_past=4)
+    _run_stream(seqs, "seq_assembly")
+    out = spark.sql("SELECT * FROM seq_assembly").collect()
+    by_region = {}
+    for r in out:
+        by_region.setdefault(r["region"], []).append(r)
+    # R1: 12 frames → 9 completed 4-windows; R2: 6 → 3.
+    assert len(by_region["R1"]) == 9
+    assert len(by_region["R2"]) == 3
+    assert all(len(r["seq_values"]) == 4 for r in out)

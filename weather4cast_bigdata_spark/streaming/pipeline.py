@@ -1,0 +1,156 @@
+"""Structured Streaming forms of the batch pipeline (SURVEY.md §2.5
+streaming note, §7 M6).
+
+The reference's cadence is one frame / 15 min / (region, product)
+(``datasets.py:175``); the live reading of its pipeline is:
+
+- file-arrival micro-batches over the same partitioned lake,
+- sliding 36-slot windows (9 h span, 15-min slide) for sequence
+  assembly, with a ~24 h watermark covering the previous-day
+  fallback tolerance (``datasets.py:430-435``),
+- update-mode running aggregates for the ensemble's incremental
+  Gram statistics (``ensemble.py:26-41``).
+
+Because the batch operators are pure DataFrame transforms, they
+compose onto ``readStream`` unchanged — that is the payoff of the
+DataFrame-pure design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from weather4cast_bigdata_spark.operators.aggregates import gram_matrix_exprs
+
+
+def frame_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-arrival source over the decoded frame lake (one new file
+    per cadence tick ≈ the reference's scan loop)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 32)
+        .load(path)
+    )
+
+
+def sliding_sequence_windows(
+    stream: DataFrame,
+    keys: Sequence[str] = ("region",),
+    ts_col: str = "ts",
+    span: str = "9 hours",
+    slide: str = "15 minutes",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Sliding sequence windows: each window is one candidate
+    4+32-frame sequence (36 × 15 min = 9 h, datasets.py:16,173);
+    emits per-(key, window) frame counts so completeness
+    (= filter_valid_sequence) is a downstream filter ``n_frames ==
+    expected``. Late frames up to the watermark still land in their
+    window — the streaming form of the previous-day fallback."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, span, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.avg("value").alias("mean_value"),
+        )
+    )
+
+
+def running_gram_stats(
+    stream: DataFrame,
+    pred_cols: Sequence[str],
+    truth_col: str,
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Update-mode running Gram statistics — the incremental
+    ``(k·A + A_batch)/(k+1)`` mean (ensemble.py:26-41) expressed as
+    Spark's native partial+final streaming aggregation."""
+    return stream.withWatermark(ts_col, watermark).groupBy().agg(
+        *gram_matrix_exprs(pred_cols, truth_col),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def stateful_sequence_assembly(
+    stream: DataFrame,
+    n_past: int = 4,
+    ts_col: str = "ts",
+    value_col: str = "mean_value",
+    timeout_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful operator: per-region rolling buffer of the last
+    ``n_past`` frame aggregates, emitting a completed predictor window
+    per arriving frame (``applyInPandasWithState``). State is bounded
+    (n_past rows per key) and expired on processing-time timeout ≈ the
+    fallback tolerance — the streaming twin of ``window_past_sequence``.
+
+    Expects a pre-aggregated per-(region, ts) frame stream (one row
+    per frame), e.g. ``groupBy(region, ts).agg(avg(value))``.
+    """
+    out_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "region", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "seq_end_ts", "type": "timestamp", "nullable": True, "metadata": {}},
+                {"name": "seq_values", "type": {"type": "array", "elementType": "double", "containsNull": True}, "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    state_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "ts_list", "type": {"type": "array", "elementType": "long", "containsNull": True}, "nullable": True, "metadata": {}},
+                {"name": "val_list", "type": {"type": "array", "elementType": "double", "containsNull": True}, "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+    def assemble(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts_list, val_list = state.get if state.exists else ([], [])
+        ts_list, val_list = list(ts_list), list(val_list)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(getattr(r, ts_col)).value // 1000)
+                ts_list.append(ts_us)
+                val_list.append(float(getattr(r, value_col)))
+                ts_list, val_list = ts_list[-n_past:], val_list[-n_past:]
+                if len(val_list) == n_past:
+                    rows.append(
+                        {
+                            "region": key[0],
+                            "seq_end_ts": pd.Timestamp(ts_us * 1000),
+                            "seq_values": list(val_list),
+                        }
+                    )
+        state.update((ts_list, val_list))
+        state.setTimeoutDuration(timeout_ms)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy("region").applyInPandasWithState(
+        assemble,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
