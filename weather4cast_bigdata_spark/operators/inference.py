@@ -91,3 +91,51 @@ def crr_combo_switch(
     return df.withColumn(
         out_col, F.when(has_rain, F.col(wet_col)).otherwise(F.col(dry_col))
     )
+
+
+def assemble_frame_tensors(
+    df: DataFrame,
+    keys: list[str],
+    y_col: str = "y",
+    x_col: str = "x",
+    val_col: str = "value",
+    grid: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Dense-tensor scatter assembly — the numba scatter kernel analog
+    (datasets.py:350-356): per group, scatter (y, x, value) rows into
+    an H×W array inside an Arrow batch. The shuffle on ``keys``
+    replaces the reference's manual batch indexing; emits shape +
+    pixel count + checksum (not the tensor) so coverage is verifiable
+    without shipping rasters back through the driver.
+    """
+    from pyspark.sql.types import IntegerType
+
+    h, w = grid
+    schema = StructType(
+        [df.schema[k] for k in keys]
+        + [
+            StructField("h", IntegerType()),
+            StructField("w", IntegerType()),
+            StructField("n_px", IntegerType()),
+            StructField("checksum", DoubleType()),
+        ]
+    )
+
+    def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((h, w), dtype=np.float32)
+        vals = np.nan_to_num(pdf[val_col].to_numpy(dtype=np.float32))
+        arr[pdf[y_col].to_numpy(dtype=np.int64), pdf[x_col].to_numpy(dtype=np.int64)] = vals
+        head = {k: pdf[k].iloc[0] for k in keys}
+        return pd.DataFrame(
+            [
+                {
+                    **head,
+                    "h": h,
+                    "w": w,
+                    "n_px": int(len(pdf)),
+                    "checksum": float(arr.sum(dtype=np.float64)),
+                }
+            ]
+        )
+
+    return df.groupBy(*keys).applyInPandas(scatter, schema)

@@ -75,3 +75,28 @@ def cosine_topk_bucketed(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "cos_sim")
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: same-bucket
+    self-join (a<b dedup of the pair space), keep pairs whose rounded
+    cosine ≥ threshold. The bucket key makes the candidate space
+    bucket-local — the embedding analog of LSH banding."""
+    scored = _scored(df, df, id_col, vec_col, on=[bucket_col])
+    return (
+        scored.where(
+            (F.col("query_id") < F.col("item_id"))
+            & (F.col("cos_sim") >= F.lit(threshold))
+        )
+        .select(
+            F.col("query_id").alias("a_id"),
+            F.col("item_id").alias("b_id"),
+            "cos_sim",
+        )
+    )

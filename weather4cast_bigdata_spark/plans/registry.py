@@ -1765,3 +1765,11 @@ def q_sim_cosine_bucketed(spark, sf_dir):
     return similarity.cosine_topk_bucketed(
         emb.where(F.col("vec_id") < 40), emb, bucket_col="label", k=5
     )
+
+
+# ---------------------------------------------------------------------
+# Weather-lake ETL / inference / solver entries + fixture-backed
+# extensions live in a sibling module (imported for its @qdef side
+# effects; placed last so it can import helpers from this module).
+# ---------------------------------------------------------------------
+from weather4cast_bigdata_spark.plans import registry_weather  # noqa: E402,F401

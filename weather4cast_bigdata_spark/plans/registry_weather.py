@@ -1,0 +1,407 @@
+"""Registry entries for the weather-lake ETL / inference / solver
+surface (SURVEY.md §2.1, §2.8) plus extension queries that need
+fixture inputs the star schema lacks.
+
+Oracle-checked entries run on the driver's tables like the rest of
+the registry; rows-only entries (no SQL-expressible oracle,
+SURVEY.md §2 "⚠rows") run on a deterministic on-disk fixture lake
+built once per process under the system temp dir — the binaryFile →
+mapInPandas decode path is exercised end-to-end, not simulated.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions import strings
+from weather4cast_bigdata_spark.operators import inference, multimodal, similarity
+from weather4cast_bigdata_spark.plans import weather
+from weather4cast_bigdata_spark.plans.registry import _t, qdef, r6
+from weather4cast_bigdata_spark.sources import netcdf, weather_fixtures
+
+# =====================================================================
+# Fixture lake (deterministic, built once per process)
+# =====================================================================
+
+_LAKE_GRID = (8, 8)
+_LAKE_PRODUCTS = {"CTTH": ["temperature"], "CRR": ["crr_intensity"]}
+
+
+def _fixture_lake() -> str:
+    """Materialize a tiny deterministic frame lake + navigation dir:
+    comp_dir/region/subset/dayofyear/product/file layout
+    (datasets.py:256-269) plus per-region nav files (lat/lon "NetCDF"
+    and REAL float32 elevation binary, datasets.py:129-162)."""
+    root = os.path.join(tempfile.gettempdir(), "w4c_fixture_lake_v1")
+    marker = os.path.join(root, "_SUCCESS")
+    if os.path.exists(marker):
+        return root
+    h, w = _LAKE_GRID
+    for region in ("R1", "R2"):
+        for product in _LAKE_PRODUCTS:
+            d = os.path.join(root, "w4c", region, "training", "2019204", product)
+            os.makedirs(d, exist_ok=True)
+            for hhmm in ("060000", "061500", "063000", "064500"):
+                name = f"S_NWC_{product}_MSG4_{region}-VISIR_20190723T{hhmm}Z.nc"
+                content = hashlib.sha256(f"{region}/{product}/{name}".encode()).digest() * 8
+                with open(os.path.join(d, name), "wb") as f:
+                    f.write(content)
+        nav = os.path.join(root, "nav")
+        os.makedirs(nav, exist_ok=True)
+        with open(os.path.join(nav, f"{region}_latlon.nc"), "wb") as f:
+            f.write(hashlib.sha256(f"nav/{region}".encode()).digest() * 8)
+        seed = int.from_bytes(hashlib.md5(region.encode()).digest()[:4], "little")
+        elev = np.random.default_rng(seed).uniform(-200, 3000, h * w).astype(np.float32)
+        with open(os.path.join(nav, f"{region}_elevation.dat"), "wb") as f:
+            f.write(elev.tobytes())
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _decoded_fixture_frames(spark):
+    lake = _fixture_lake()
+    scanned = netcdf.scan_frame_files(spark, f"{lake}/w4c/*/*/*/*/*.nc")
+    return netcdf.decode_frames(scanned, _LAKE_PRODUCTS, grid=_LAKE_GRID)
+
+
+# =====================================================================
+# §2.1 scans / sinks (rows-only: binary decode is not SQL)
+# =====================================================================
+
+
+@qdef("scan_netcdf_decode")
+def q_scan_netcdf_decode(spark, sf_dir):
+    """binaryFile scan of the frame lake + Arrow-batched NetCDF decode
+    to the long layout (datasets.py:55-57,75-110). Import-gated real
+    decoder; deterministic fake in this container (sources/netcdf)."""
+    return _decoded_fixture_frames(spark)
+
+
+@qdef("scan_static_netcdf")
+def q_scan_static_netcdf(spark, sf_dir):
+    """Navigation-NetCDF lat/lon grid decode (datasets.py:137-141) —
+    small dim table meant for cache + broadcast."""
+    lake = _fixture_lake()
+    return netcdf.scan_static_navigation(
+        spark, f"{lake}/nav/*_latlon.nc", grid=_LAKE_GRID
+    )
+
+
+@qdef("scan_static_raw")
+def q_scan_static_raw(spark, sf_dir):
+    """Raw float32 elevation binary decode (np.fromfile analog,
+    datasets.py:145-147). Decode is fully real: np.frombuffer over
+    binaryFile content."""
+    lake = _fixture_lake()
+    return netcdf.scan_static_raw(spark, f"{lake}/nav/*_elevation.dat", grid=_LAKE_GRID)
+
+
+@qdef("sink_quantized_partitioned")
+def q_sink_quantized_partitioned(spark, sf_dir):
+    """Quantize + per-(region, day) partitioned compressed sink, read
+    back (datasets.py:379-394,444-459; HDF5/gzip-9 → parquet/zstd,
+    uint16 stored as int32 per SURVEY.md §4)."""
+    fx = weather_fixtures.load_fixtures(spark)
+    dec = weather.impute(weather.decode_normalize(fx["frames"], fx["variable_meta"]))
+    q = weather.quantize_for_submission(dec, fx["variable_meta"])
+    # Fresh dir per call: overwriting a shared path would invalidate
+    # the file listing of DataFrames returned by earlier calls.
+    out = tempfile.mkdtemp(prefix="w4c_submission_sink_")
+    weather.write_submission(q.select("region", "day", "variable", "ts", "y", "x", "qv"), out)
+    return spark.read.parquet(out)
+
+
+@qdef("cache_decoded")
+def q_cache_decoded(spark, sf_dir):
+    """Decode-once memoization (datasets.py:51-53,83-100) as
+    persist(): the second traversal hits the InMemoryRelation, not the
+    Python decoder."""
+    dec = _decoded_fixture_frames(spark).persist()
+    dec.count()  # warm the cache; plan below reads the materialized form
+    return dec
+
+
+# =====================================================================
+# §2.7 / §2.8 remaining IDs
+# =====================================================================
+
+
+@qdef(
+    "str_parse_ts",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%Y%m%dT%H%M%S'), '%Y%m%dT%H%M%S') AS parsed_ts
+    FROM events
+    """,
+)
+def q_str_parse_ts(spark, sf_dir):
+    """Filename-stamp → timestamp parse (datasets.py:26-28):
+    regexp_extract + to_timestamp on the composed frame filename."""
+    events = _t(spark, sf_dir, "events")
+    fname = strings.format_ts_filename(F.col("ts"), "S_NWC_ASII_MSG4_")
+    return events.select(
+        "event_id", strings.parse_filename_ts(fname).alias("parsed_ts")
+    )
+
+
+@qdef(
+    "array_transpose",
+    oracle="""
+    SELECT vec_id, ti, tj, embedding[tj*4 + ti + 1]::DOUBLE AS val
+    FROM embeddings,
+         (SELECT unnest(range(0, 4)) AS ti) a,
+         (SELECT unnest(range(0, 2)) AS tj) b
+    """,
+)
+def q_array_transpose(spark, sf_dir):
+    """(T,H,W,V)→(T,V,H,W) axis swap (datasets.py:445) as a pure
+    higher-order-function transpose of a nested array, flattened back
+    to indexed rows for comparison."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = F.array(
+        F.slice(F.col("embedding"), 1, 4), F.slice(F.col("embedding"), 5, 4)
+    )
+    t = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(1)),
+            lambda i: F.element_at(F.element_at(m, i + 1), j + 1),
+        ),
+    )
+    rows = emb.select("vec_id", F.posexplode(t).alias("ti", "trow"))
+    return rows.select(
+        "vec_id", "ti", F.posexplode("trow").alias("tj", "valf")
+    ).select("vec_id", "ti", "tj", F.col("valf").cast("double").alias("val"))
+
+
+@qdef("udf_vectorized_kernel")
+def q_udf_vectorized_kernel(spark, sf_dir):
+    """Batch-tensor scatter assembly (the numba kernel,
+    datasets.py:350-356): applyInPandas dense H×W scatter per
+    (region, product, variable, ts) group."""
+    dec = _decoded_fixture_frames(spark)
+    return inference.assemble_frame_tensors(
+        dec, keys=["region", "product", "variable", "ts"], val_col="value", grid=_LAKE_GRID
+    )
+
+
+_INFER_W = (0.5, -0.25, 0.125, 1.0)
+
+
+@qdef(
+    "udf_batch_inference",
+    oracle="""
+    SELECT vec_id,
+           round(0.5*embedding[1]::DOUBLE - 0.25*embedding[2]::DOUBLE
+                 + 0.125*embedding[3]::DOUBLE + 1.0*embedding[4]::DOUBLE
+                 + 1e-9, 6) AS pred
+    FROM embeddings
+    """,
+)
+def q_udf_batch_inference(spark, sf_dir):
+    """Arrow-batched model inference (model.predict analog,
+    datasets.py:440): mapInPandas with a per-worker model factory.
+    The deterministic linear stub makes the whole UDF path
+    SQL-checkable — the oracle recomputes the dot product."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[
+            F.col("embedding")[i].cast("double").alias(f"f{i}")
+            for i in range(len(_INFER_W))
+        ],
+    )
+    out = inference.predict_frames(
+        emb,
+        [f"f{i}" for i in range(len(_INFER_W))],
+        lambda: inference.linear_stub_model(np.array(_INFER_W)),
+    )
+    return out.select("vec_id", r6(F.col("pred")).alias("pred"))
+
+
+@qdef(
+    "crr_combo_switch",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN max(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY l_orderkey) = 1
+                THEN l_extendedprice ELSE l_quantity END AS pred
+    FROM lineitem
+    """,
+)
+def q_crr_combo_switch(spark, sf_dir):
+    """Two-model regime switch (models.py:249-279): sample-level ANY
+    over the rain channel picks wet- vs dry-model output per group —
+    one window shuffle, then pure projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = inference.crr_combo_switch(
+        li,
+        ["l_orderkey"],
+        wet_col="l_extendedprice",
+        dry_col="l_quantity",
+        rain_col="l_discount",
+        threshold=0.05,
+    )
+    return out.select("l_orderkey", "l_linenumber", "pred")
+
+
+@qdef("solve_ridge")
+def q_solve_ridge(spark, sf_dir):
+    """Distributed Gram aggregation → driver-side ridge solve
+    (ensemble.py:18-46): k×k normal equations from one groupBy().agg
+    pass, numpy solve on the collected p×p matrix."""
+    fx = weather_fixtures.load_fixtures(spark)
+    w = weather.fit_ensemble_weights_plan(fx["predictions"], sum1=False)
+    return spark.createDataFrame(
+        [(int(i), round(float(x), 4)) for i, x in enumerate(w)],
+        ["model_id", "weight"],
+    )
+
+
+@qdef("solve_ridge_sum1")
+def q_solve_ridge_sum1(spark, sf_dir):
+    """Ridge with the Σw=1 Lagrange constraint (bordered system,
+    ensemble.py:49-57)."""
+    fx = weather_fixtures.load_fixtures(spark)
+    w = weather.fit_ensemble_weights_plan(fx["predictions"], sum1=True)
+    return spark.createDataFrame(
+        [(int(i), round(float(x), 4)) for i, x in enumerate(w)],
+        ["model_id", "weight"],
+    )
+
+
+# =====================================================================
+# Extensions: embedding near-dup, multimodal, grouping sets
+# =====================================================================
+
+
+@qdef(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               sum(a.v[r.i] * b.v[r.i]) AS dot,
+               sqrt(sum(a.v[r.i] * a.v[r.i])) AS na,
+               sqrt(sum(b.v[r.i] * b.v[r.i])) AS nb
+        FROM e a
+        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+             (SELECT unnest(range(1, 65)) AS i) r
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT a_id, b_id, round(dot / (na * nb) + 1e-9, 6) AS cos_sim FROM dots
+    ) WHERE cos_sim >= 0.2
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, label-bucketed so the
+    candidate join is bucket-local (the embedding analog of LSH
+    banding). Threshold on the rounded score keeps the cut
+    cross-engine stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, bucket_col="label", threshold=0.2)
+
+
+@qdef(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(range(0, greatest(n_chars * 10, 1), 1000)) AS frame_ms
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: JVM-side sequence+explode fans one
+    media row out to a row per frame timestamp BEFORE the expensive
+    Python decode — decode parallelism scales with frames, not
+    files. Media fixture derives from documents (text bytes as opaque
+    content)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=1000).select(
+        "media_id", "frame_ms"
+    )
+
+
+@qdef("multimodal_image_features")
+def q_multimodal_image_features(spark, sf_dir):
+    """decode → resize → feature-extract in one Arrow stage over
+    opaque binary media columns (codec import-gated; deterministic
+    fake decode here — the schema/batch contract is real)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
+    return multimodal.decode_image_features(media, resize_to=(16, 16), n_features=8)
+
+
+@qdef(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice) + 1e-9, 6) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP — zero-cost Spark extension
+    over the reference's per-variable aggregates (SURVEY.md §2.4
+    note); partial aggregation handles all grouping sets in one
+    shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@qdef(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity) + 1e-9, 6) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """Full cross-dimension subtotals via CUBE (zero-cost extension,
+    SURVEY.md §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+@qdef("agg_approx_distinct")
+def q_agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimate per event type — the
+    sketch-based form of agg_distinct_times for the 100 TB regime
+    (rows-only: sketch estimates are engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -167,3 +167,116 @@ def etl_to_parquet(decoded: DataFrame, out_path: str) -> None:
         .mode("overwrite")
         .parquet(out_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Static grids: navigation NetCDF (lat/lon) and raw float32 binary
+# (elevation). Both are tiny per-region dim tables meant to be decoded
+# once, cached, and broadcast (datasets.py:129-162).
+# ---------------------------------------------------------------------------
+
+NAV_PATH_RE = r".*/nav/([^/]+)_latlon\.nc$"
+ELEV_PATH_RE = r".*/nav/([^/]+)_elevation\.dat$"
+
+STATIC_NAV_SCHEMA = StructType(
+    [
+        StructField("region", StringType()),
+        StructField("y", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("latitude", FloatType()),
+        StructField("longitude", FloatType()),
+    ]
+)
+
+STATIC_RAW_SCHEMA = StructType(
+    [
+        StructField("region", StringType()),
+        StructField("y", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("elevation", FloatType()),
+    ]
+)
+
+
+def scan_static_navigation(
+    spark: SparkSession, path_glob: str, grid: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """Navigation-NetCDF scan → per-pixel (lat, lon) dim table.
+
+    Reference: datasets.py:137-141. Import-gated real decode; the
+    fake branch emits deterministic lat/lon in the reference's
+    European ranges so the affine-normalize step downstream is
+    exercised with realistic values.
+    """
+    h, w = grid
+    raw = spark.read.format("binaryFile").load(path_glob).select(
+        F.col("path"),
+        F.regexp_extract("path", NAV_PATH_RE, 1).alias("region"),
+        F.col("content"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if HAVE_NETCDF4:  # pragma: no cover
+                    lat = _real_decode(bytes(row.content), "latitude")
+                    lon = _real_decode(bytes(row.content), "longitude")
+                else:
+                    lat = _fake_decode(row.path, "latitude", h, w) * 0.063 + 23.0
+                    lon = _fake_decode(row.path, "longitude", h, w) * 0.152 - 76.0
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "region": row.region,
+                            "y": yy.ravel().astype(np.int32),
+                            "x": xx.ravel().astype(np.int32),
+                            "latitude": lat.ravel(),
+                            "longitude": lon.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                columns=[f.name for f in STATIC_NAV_SCHEMA]
+            )
+
+    return raw.mapInPandas(decode, schema=STATIC_NAV_SCHEMA)
+
+
+def scan_static_raw(
+    spark: SparkSession, path_glob: str, grid: tuple[int, int] = (8, 8)
+) -> DataFrame:
+    """Raw float32 binary grid scan (np.fromfile analog).
+
+    Reference: datasets.py:145-147. This decode path is fully REAL —
+    ``np.frombuffer`` over the binaryFile content, no codec library
+    involved.
+    """
+    h, w = grid
+    raw = spark.read.format("binaryFile").load(path_glob).select(
+        F.regexp_extract("path", ELEV_PATH_RE, 1).alias("region"),
+        F.col("content"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                vals = np.frombuffer(bytes(row.content), dtype=np.float32)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "region": row.region,
+                            "y": yy.ravel().astype(np.int32),
+                            "x": xx.ravel().astype(np.int32),
+                            "elevation": vals.reshape(h, w).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                columns=[f.name for f in STATIC_RAW_SCHEMA]
+            )
+
+    return raw.mapInPandas(decode, schema=STATIC_RAW_SCHEMA)
