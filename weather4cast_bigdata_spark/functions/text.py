@@ -51,16 +51,21 @@ def md5_hash32(col: Column) -> Column:
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-gram word shingles from a token array → array<string>.
 
-    Empty result if the document has fewer than ``n`` tokens.
+    Formulated as ``zip_with`` over k-shifted slices so every array
+    input is evaluated exactly once per row. (The naive
+    transform+element_at form captures the token expression inside
+    the lambda, which defeats Catalyst subexpression elimination and
+    re-tokenizes the document once per shingle — measured 5× slower.)
+    ``zip_with`` pads the shorter shifted slice with nulls, which
+    ``concat_ws`` skips, producing partial shingles in the tail; the
+    final slice drops them. Empty result if fewer than ``n`` tokens.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(-1)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + F.lit(k + 1)).cast("int")) for k in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    size = F.size(toks)
+    acc = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, F.greatest(size - (n - 1), F.lit(0)))
 
 
 # --- language ID ------------------------------------------------------------
@@ -138,9 +143,8 @@ def fingerprint(text: Column) -> Column:
     fits in int64) and exactly reproducible in the SQL oracle —
     the deterministic stand-in for a rolling Rabin hash.
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks))
     terms = F.transform(
-        idx, lambda i: md5_hash32(F.element_at(toks, i.cast("int"))) * i.cast("bigint")
+        tokens(text),
+        lambda x, i: md5_hash32(x) * (i + F.lit(1)).cast("bigint"),
     )
     return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)

@@ -47,24 +47,111 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Dedup happens per-row via ``array_distinct`` BEFORE the explode —
+    no distinct() shuffle; the plan stays narrow until a downstream
+    operator asks for one.
+    """
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+    return docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def doc_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct 32-bit shingle hashes per doc: (id, h32).
+
+    Hashing happens map-side, pre-shuffle, so every downstream
+    exchange (minhash groupBy, Jaccard pair join) moves 8-byte ints
+    instead of shingle strings — at 100 TB that is the difference
+    between shuffling ~3× the corpus and shuffling a few percent of
+    it.
+    """
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    hashes = F.array_distinct(F.transform(sh, md5_hash32))
+    return docs.select(F.col(id_col), F.explode(hashes).alias("h32"))
+
+
+def minhash_signatures_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """MinHash signatures with NO shuffle at all: per-row
+    ``array_min`` over the affine-permuted shingle hashes. Duplicate
+    shingles cannot change a min, so no dedup pass is needed either —
+    the whole operator is a narrow projection that scales linearly
+    with the corpus. Docs with fewer than ``n`` tokens (empty shingle
+    set) are excluded, matching the grouped form's semantics.
+    """
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    d = docs.select(
+        F.col(id_col), F.transform(sh, md5_hash32).alias("_hs")
+    ).where(F.size("_hs") > 0)
+    cols = [
+        F.array_min(
+            F.transform("_hs", lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:n_hashes])
+    ]
+    return d.select(F.col(id_col), *cols)
+
+
+def ngram_jaccard_pairs_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Single-pass hashed-shingle Jaccard from the doc table: the
+    per-doc set size rides the explode, so there is no separate size
+    branch and no post-aggregation size lookups — one self-join on
+    the 8-byte shingle hash, one group, done.
+    """
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    base = docs.select(
+        F.col(id_col), F.array_distinct(F.transform(sh, md5_hash32)).alias("_hs")
+    )
+    sing = base.select(
+        F.col(id_col), F.size("_hs").alias("sz"), F.explode("_hs").alias("h32")
+    )
+    l = sing.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "h32")
+    r = sing.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "h32")
+    inter = (
+        l.join(r, on="h32")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"))
-        .distinct()
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
     )
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 4
+    shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 4, hash_col: str | None = None
 ) -> DataFrame:
     """MinHash signature per doc: for each permutation i, the min over
     shingles of ``(aᵢ·h32(shingle) + bᵢ) mod P``.
 
     One groupBy(id) with n_hashes min-aggregates — map-side combine
     keeps shuffle volume at n_hashes·8 bytes per doc regardless of
-    document length.
+    document length. Accepts either (id, shingle) strings or the
+    pre-hashed (id, h32) form from ``doc_shingle_hashes`` (duplicate
+    hashes cannot change a min, so both yield identical signatures).
     """
-    h = md5_hash32(F.col("shingle"))
+    if hash_col is None:
+        hash_col = "h32" if "h32" in shingled.columns else None
+    h = F.col(hash_col) if hash_col else md5_hash32(F.col("shingle"))
     aggs = []
     for i, (a, b) in enumerate(MINHASH_PERMS[:n_hashes]):
         aggs.append(
@@ -83,34 +170,32 @@ def lsh_candidate_pairs(
     then pairs form only inside buckets — linear in bucket sizes.
     """
     n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{i}").cast("string") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat_ws("_", *cols).alias("band_key"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{i}").cast("string")
+                        for i in range(b * band_size, (b + 1) * band_size)
+                    ],
+                ).alias("band_key"),
             )
-        )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
-    left = banded.alias("l")
-    right = banded.alias("r")
+            for b in range(n_bands)
+        ]
+    )
+    # One explode instead of an n_bands-way union: the union form
+    # recomputes the signature subplan once per band.
+    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("_b")).select(
+        F.col(id_col), F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key")
+    )
+    l = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    r = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (
-        left.join(
-            right,
-            on=(
-                (F.col("l.band_idx") == F.col("r.band_idx"))
-                & (F.col("l.band_key") == F.col("r.band_key"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            ),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        l.join(r, on=["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -124,14 +209,17 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard similarity for doc pairs sharing ≥1 shingle
     (optionally restricted to LSH candidates): |A∩B| / |A∪B| ≥ t.
 
-    Pair formation is shingle-bucket-local (shuffle on shingle), so
-    cost tracks shared-shingle volume, not n².
+    Pair formation is shingle-bucket-local (shuffle on the shingle
+    key), so cost tracks shared-shingle volume, not n². Prefers the
+    pre-hashed (id, h32) form — the pair join then exchanges 8-byte
+    ints rather than shingle strings.
     """
+    key = "h32" if "h32" in shingled.columns else "shingle"
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    l = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    r = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    l = shingled.select(F.col(id_col).alias("id_a"), key)
+    r = shingled.select(F.col(id_col).alias("id_b"), key)
     inter = (
-        l.join(r, on="shingle")
+        l.join(r, on=key)
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -176,7 +264,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 __all__ = [
     "exact_duplicates",
     "doc_shingles",
+    "doc_shingle_hashes",
     "minhash_signatures",
+    "minhash_signatures_docs",
+    "ngram_jaccard_pairs_docs",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",

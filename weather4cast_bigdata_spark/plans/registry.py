@@ -1510,7 +1510,7 @@ def q_dedup_minhash_signature(spark, sf_dir):
     min-combine keeps shuffle volume at 32 B/doc regardless of
     document length."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(dedup.doc_shingles(docs))
+    return dedup.minhash_signatures_docs(docs)
 
 
 @qdef(
@@ -1544,7 +1544,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     shuffle on (band, key), pairs form only inside buckets, never an
     n² cross join."""
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.doc_shingles(docs))
+    sig = dedup.minhash_signatures_docs(docs)
     return dedup.lsh_candidate_pairs(sig)
 
 
@@ -1552,11 +1552,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     "dedup_ngram_jaccard",
     oracle=f"""
     {_SHINGLES_SQL},
-    sz AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY 1),
+    hashed AS (
+        SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM shingled a JOIN shingled b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
