@@ -120,3 +120,85 @@ def argmin_best(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_minutes: int = 30,
+    order_tiebreak: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the gap
+    to the previous event of the same key exceeds ``gap_minutes``.
+
+    lag + cumulative sum over one (key, ts)-ordered window — a single
+    shuffle on the key; the batch twin of Structured Streaming's
+    ``session_window``. Gap comparison runs on exact microseconds, so
+    the cut is engine-stable.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    new_session = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_minutes * 60_000_000),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(new_session).over(cum))
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    right_val_cols: Sequence[str],
+    right_ts_as: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach each right-side value as of the
+    latest right row with ``right.ts <= left.ts`` per key.
+
+    Implemented as union + one ordered window scan (last non-null),
+    NOT as a range join — the range-join form explodes to
+    O(|left|·|right|) per key before filtering; this form is one
+    shuffle on the key and a linear scan, the only shape that
+    survives 100 TB. Right rows at the exact left timestamp are
+    visible (right sorts before left on ties).
+    """
+    keys = list(keys)
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(0))
+    for c in right_val_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    if right_ts_as:
+        l = l.withColumn("_r_ts", F.lit(None).cast(right.schema[ts_col].dataType))
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_val_cols],
+        *([F.col(ts_col).alias("_r_ts")] if right_ts_as else []),
+    )
+    u = l.select(
+        *keys, ts_col, "_side",
+        *[f"_r_{c}" for c in right_val_cols],
+        *(["_r_ts"] if right_ts_as else []),
+        *[F.col(c) for c in lcols if c not in keys + [ts_col]],
+    ).unionByName(r, allowMissingColumns=True)
+    # _side descending: right=1 sorts BEFORE left=0 at equal ts, so a
+    # right row at the exact left timestamp is visible to the left row.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u
+    for c in right_val_cols:
+        out = out.withColumn(c + "_asof", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    if right_ts_as:
+        out = out.withColumn(right_ts_as, F.last("_r_ts", ignorenulls=True).over(w))
+    drop = ["_side"] + [f"_r_{c}" for c in right_val_cols] + (["_r_ts"] if right_ts_as else [])
+    return out.where(F.col("_side") == 0).drop(*drop)

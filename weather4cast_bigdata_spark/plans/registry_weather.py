@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions import strings
-from weather4cast_bigdata_spark.operators import inference, multimodal, similarity
+from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
 from weather4cast_bigdata_spark.plans import weather
 from weather4cast_bigdata_spark.plans.registry import _t, qdef, r6
 from weather4cast_bigdata_spark.sources import netcdf, weather_fixtures
@@ -405,3 +405,120 @@ def q_agg_approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# =====================================================================
+# Extensions round 2: sessionization, as-of join, exact percentiles,
+# audio features
+# =====================================================================
+
+
+@qdef(
+    "window_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s,
+               ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+    """,
+)
+def q_window_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag + cumulative sum in
+    one keyed window — the batch twin of the streaming
+    session_window. Single shuffle on the session key."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.sessionize(
+        ev, keys=["user_id"], ts_col="ts", gap_minutes=30, order_tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", "session_id")
+
+
+@qdef(
+    "join_asof_nearest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, value, 0 AS side FROM events
+        WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, NULL, value, 1 FROM events
+        WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT user_id, event_id, side, ts,
+               max(CASE WHEN side = 1 THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, side DESC
+                         ROWS UNBOUNDED PRECEDING) AS last_purchase_ts
+        FROM u
+    )
+    SELECT event_id, user_id, ts, last_purchase_ts FROM m WHERE side = 0
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """General backward as-of join: latest right row with ts ≤ left
+    ts per key, via union + one ordered window scan — never a range
+    join (which explodes O(L·R) per key before filtering). Here: each
+    click gets the user's most recent prior purchase."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = windows.join_asof(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="ts",
+        right_val_cols=["value"],
+        right_ts_as="last_purchase_ts",
+    )
+    return out.select("event_id", "user_id", "ts", "last_purchase_ts")
+
+
+@qdef(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition). The sketch-based
+    percentile_approx is the 100 TB path; this is its correctness
+    anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+        r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+    )
+
+
+@qdef("multimodal_audio_features")
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio decode → RMS / zero-crossing features in one Arrow stage
+    (codec import-gated; deterministic fake waveform — schema and
+    batch contract are real)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("audio/wav").alias("mime"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        (F.col("n_chars") * 2).cast("int").alias("duration_ms"),
+    )
+    return multimodal.decode_audio_features(media)
