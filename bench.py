@@ -34,9 +34,14 @@ HEADLINE = [
     "window_prev_day_fallback",
     "agg_gram_matrix",
     "agg_correlation_matrix",
+    "crr_combo_switch",
+    "window_sessionize",
+    "join_asof_nearest",
+    "agg_percentile",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
     "text_fingerprint",
 ]

@@ -100,3 +100,53 @@ def near_dup_pairs(
             "cos_sim",
         )
     )
+
+
+def near_dup_pairs_blas(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Vectorized variant of :func:`near_dup_pairs`: one BLAS matrix
+    product per bucket via ``applyInPandas`` instead of per-pair
+    interpreted array lambdas (~10× at 64 dims, growing with
+    dimension). Each bucket must fit one worker — that is the IVF
+    contract (bucket granularity is the knob). Raw cosines are
+    computed in float64; rounding/threshold semantics applied
+    JVM-side so they stay identical to the HOF form.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("raw_cos", DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["a_id", "b_id", "raw_cos"])
+        order = pdf[id_col].to_numpy().argsort()
+        ids = pdf[id_col].to_numpy()[order]
+        x = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = xn @ xn.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"a_id": ids[ai], "b_id": ids[bi], "raw_cos": sims[ai, bi]}
+        )
+
+    scored = df.select(F.col(bucket_col), F.col(id_col), F.col(vec_col)).groupBy(
+        bucket_col
+    ).applyInPandas(pairs, schema=out_schema)
+    rounded = F.round(F.col("raw_cos") + F.lit(1e-9), 6)
+    return (
+        scored.select("a_id", "b_id", rounded.alias("cos_sim"))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+    )

@@ -305,7 +305,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     banding). Threshold on the rounded score keeps the cut
     cross-engine stable."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(emb, bucket_col="label", threshold=0.2)
+    return similarity.near_dup_pairs_blas(emb, bucket_col="label", threshold=0.2)
 
 
 @qdef(
@@ -522,3 +522,73 @@ def q_multimodal_audio_features(spark, sf_dir):
         (F.col("n_chars") * 2).cast("int").alias("duration_ms"),
     )
     return multimodal.decode_audio_features(media)
+
+
+# =====================================================================
+# Streaming forms (rows-only: executed with availableNow + memory sink)
+# =====================================================================
+
+_STREAM_COUNTER = [0]
+
+
+def _stream_frames_dir(spark) -> tuple[str, object]:
+    """Per-(region, ts) frame aggregates written once as the streaming
+    input lake (the decoded-frame cadence stream, datasets.py:175)."""
+    root = os.path.join(tempfile.gettempdir(), "w4c_stream_frames_v1")
+    fx = weather_fixtures.load_fixtures(spark)
+    per_frame = (
+        fx["frames"]
+        .groupBy("region", "ts")
+        .agg(F.avg("value").alias("value"))
+    )
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        per_frame.coalesce(4).write.mode("overwrite").parquet(root)
+    return root, per_frame.schema
+
+
+def _run_to_table(win, name: str, mode: str):
+    q = (
+        win.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@qdef("streaming_sliding_windows")
+def q_streaming_sliding_windows(spark, sf_dir):
+    """Structured Streaming sequence assembly: file-arrival source →
+    watermarked sliding windows (the live form of
+    filter_valid_sequence + window_past_sequence; SURVEY.md §2.5
+    streaming note). Runs availableNow to completion; returns the
+    materialized window table."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_frames_dir(spark)
+    _STREAM_COUNTER[0] += 1
+    name = f"w4c_stream_windows_{_STREAM_COUNTER[0]}"
+    st = streaming.frame_stream(spark, path, schema)
+    win = streaming.sliding_sequence_windows(st, span="1 hour", slide="15 minutes")
+    _run_to_table(win, name, "complete")
+    return spark.table(name)
+
+
+@qdef("streaming_stateful_assembly")
+def q_streaming_stateful_assembly(spark, sf_dir):
+    """Custom stateful streaming operator: per-region rolling buffer
+    of the last 4 frames via applyInPandasWithState — bounded state,
+    processing-time TTL ≈ the previous-day fallback tolerance
+    (datasets.py:430-435)."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_frames_dir(spark)
+    _STREAM_COUNTER[0] += 1
+    name = f"w4c_stream_state_{_STREAM_COUNTER[0]}"
+    st = spark.readStream.format("parquet").schema(schema).load(path).select(
+        "region", "ts", F.col("value").alias("mean_value")
+    )
+    seqs = streaming.stateful_sequence_assembly(st, n_past=4)
+    _run_to_table(seqs, name, "append")
+    return spark.table(name)
