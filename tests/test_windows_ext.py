@@ -1,0 +1,59 @@
+"""Edge semantics for the extension window operators: as-of join
+visibility/tie rules and sessionization gap boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from weather4cast_bigdata_spark.operators import windows
+
+T0 = dt.datetime(2021, 6, 1, 12, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_join_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(0), "l0"), ("u1", _ts(10), "l1"), ("u2", _ts(5), "l2")],
+        ["k", "ts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(0), 100.0), ("u1", _ts(7), 200.0), ("u2", _ts(6), 300.0)],
+        ["k", "ts", "v"],
+    )
+    out = windows.join_asof(left, right, keys=["k"], ts_col="ts", right_val_cols=["v"])
+    got = {r["lid"]: r["v_asof"] for r in out.collect()}
+    # Exact-ts right row IS visible (l0 at ts=0 sees v=100).
+    assert got["l0"] == 100.0
+    # Latest prior wins (l1 at ts=10 sees ts=7's 200, not ts=0's 100).
+    assert got["l1"] == 200.0
+    # No right row at or before the left ts → null.
+    assert got["l2"] is None
+
+
+def test_join_asof_right_ts_passthrough(spark):
+    left = spark.createDataFrame([("u1", _ts(10), 1)], ["k", "ts", "x"])
+    right = spark.createDataFrame([("u1", _ts(3), 9.0)], ["k", "ts", "v"])
+    out = windows.join_asof(
+        left, right, keys=["k"], ts_col="ts", right_val_cols=["v"], right_ts_as="src_ts"
+    ).collect()[0]
+    assert out["src_ts"] == _ts(3)
+    assert out["x"] == 1  # left payload columns survive
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        ("u1", _ts(0)),
+        ("u1", _ts(30)),        # gap == 30 min exactly → SAME session (strict >)
+        ("u1", _ts(60.5)),      # gap 30.5 min → new session
+        ("u2", _ts(0)),         # separate key → its own session numbering
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts"])
+    out = windows.sessionize(df, keys=["user"], ts_col="ts", gap_minutes=30)
+    got = {(r["user"], r["ts"]): r["session_id"] for r in out.collect()}
+    assert got[("u1", _ts(0))] == 1
+    assert got[("u1", _ts(30))] == 1
+    assert got[("u1", _ts(60.5))] == 2
+    assert got[("u2", _ts(0))] == 1
