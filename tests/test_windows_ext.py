@@ -57,3 +57,32 @@ def test_sessionize_gap_boundary(spark):
     assert got[("u1", _ts(30))] == 1
     assert got[("u1", _ts(60.5))] == 2
     assert got[("u2", _ts(0))] == 1
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with nprobe=4 of 8 cells must recover most of the exact
+    top-5 (spot recall bound; exact when nprobe == n_centroids)."""
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.operators import similarity
+    from weather4cast_bigdata_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["item_id"])
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    approx = {
+        (r["query_id"], r["item_id"])
+        for r in similarity.ivf_cosine_topk(queries, emb, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    # nprobe == n_centroids ⇒ every pair scored ⇒ exact equality.
+    full = {
+        (r["query_id"], r["item_id"])
+        for r in similarity.ivf_cosine_topk(queries, emb, cents, k=5, nprobe=8).collect()
+    }
+    assert full == exact

@@ -10,6 +10,8 @@ functions (zip_with/aggregate) — no Python in the loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,8 +119,6 @@ def near_dup_pairs_blas(
     computed in float64; rounding/threshold semantics applied
     JVM-side so they stay identical to the HOF form.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     out_schema = StructType(
@@ -149,4 +149,106 @@ def near_dup_pairs_blas(
     return (
         scored.select("a_id", "b_id", rounded.alias("cos_sim"))
         .where(F.col("cos_sim") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: real centroid training + assignment (the 100 TB ANN path).
+# Training is driver-side numpy over a BOUNDED sample (the classic IVF
+# recipe — centroid count and sample size are independent of corpus
+# size); assignment and search are distributed.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 10,
+    sample_limit: int = 10_000,
+    seed: int = 42,
+):
+    """Spherical k-means on a bounded sample, driver-side.
+
+    Returns a unit-normalized (k, d) numpy array. The sample cap (not
+    a fraction) keeps driver memory constant at any corpus size;
+    deterministic under the seed.
+    """
+    # Narrow deterministic sample: hash-filter then limit — no global
+    # sort/shuffle of the corpus, constant driver memory.
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(4)) == 0)
+        .limit(sample_limit)
+        .collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def assign_ivf_buckets(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "ivf_bucket",
+) -> DataFrame:
+    """Attach the top-``nprobe`` centroid ids per row (vectorized
+    argpartition over the broadcast (k, d) centroid matrix; one output
+    row per probe via explode). nprobe=1 for corpus indexing, >1 for
+    query-side multi-probe recall."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = centroids.astype("float64")
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cents.T
+        if nprobe >= sims.shape[1]:
+            top = np.argsort(-sims, axis=1)
+        else:
+            part = np.argpartition(-sims, nprobe, axis=1)[:, :nprobe]
+            order = np.take_along_axis(sims, part, axis=1).argsort(axis=1)[:, ::-1]
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row[:nprobe].tolist() for row in top])
+
+    return df.withColumn(out_col, F.explode(probes(F.col(vec_col))))
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN search: corpus indexed once (nprobe=1), queries probe
+    their ``nprobe`` nearest cells, scoring is bucket-local (equi join
+    on the cell id — never a cross join). Recall improves with nprobe
+    at linear probe cost; exact results = cosine_topk when nprobe=k."""
+    c = assign_ivf_buckets(corpus, centroids, vec_col, nprobe=1)
+    q = assign_ivf_buckets(queries, centroids, vec_col, nprobe=nprobe)
+    scored = _scored(q, c, id_col, vec_col, on=["ivf_bucket"])
+    # A (query, item) pair can meet in several probed cells → dedup
+    # before ranking.
+    scored = scored.groupBy("query_id", "item_id").agg(F.max("cos_sim").alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "item_id", "cos_sim")
     )

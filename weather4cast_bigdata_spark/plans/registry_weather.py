@@ -592,3 +592,17 @@ def q_streaming_stateful_assembly(spark, sf_dir):
     seqs = streaming.stateful_sequence_assembly(st, n_past=4)
     _run_to_table(seqs, name, "append")
     return spark.table(name)
+
+
+@qdef("sim_ivf_topk")
+def q_sim_ivf_topk(spark, sf_dir):
+    """End-to-end IVF ANN: spherical k-means on a bounded driver-side
+    sample (centroid count independent of corpus size), broadcast
+    centroids, vectorized cell assignment, nprobe=2 bucket-local
+    search. Rows-only: centroid training is not SQL-expressible; the
+    recall-vs-brute-force property is pinned in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    return similarity.ivf_cosine_topk(
+        emb.where(F.col("vec_id") < 8), emb, cents, k=5, nprobe=2
+    )
