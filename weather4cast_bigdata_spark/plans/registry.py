@@ -1571,10 +1571,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (threshold 0.5): pair formation
-    is shingle-bucket-local, cost tracks shared-shingle volume."""
+    """n-gram Jaccard near-dup pairs (threshold 0.5): one shuffle on
+    the 8-byte shingle hash, ordered pairs enumerated JVM-side inside
+    each bucket — cost tracks shared-shingle volume."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(dedup.doc_shingles(docs), threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.5)
     return pairs.select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
 
 

@@ -499,10 +499,19 @@ def q_agg_percentile(spark, sf_dir):
     percentile_approx is the 100 TB path; this is its correctness
     anchor."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
-        r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
-        r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+    # One percentile(col, array(...)) call: a single sort buffer per
+    # group serves all three quantiles (3x less agg memory/CPU than
+    # three separate percentile() aggregates).
+    ps = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            r6(F.col("ps")[0]).alias("p50"),
+            r6(F.col("ps")[1]).alias("p90"),
+            r6(F.col("ps")[2]).alias("p99"),
+        )
     )
 
 

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalesce floor is byte-driven (1 MB default); CPU-heavy
+        # post-shuffle stages (bucket-local pair joins over hashed
+        # shingles) collapse to 1 task on small-but-expensive
+        # exchanges. A 64k floor keeps them on all cores; irrelevant at
+        # real scale where partitions are MBs.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
