@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "agg_salted",
     "text_fingerprint",
 ]
 

@@ -1,0 +1,100 @@
+"""Scale-infrastructure tests: bucketed co-located joins and salted
+aggregation (SCALING.md §2/§3 made checkable)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.operators import skew
+from weather4cast_bigdata_spark.sources import bucketed
+from weather4cast_bigdata_spark.sources.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join without shuffling either side."""
+    tag = uuid.uuid4().hex[:8]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    bucketed.write_bucketed(
+        li, f"t_li_{tag}", ["l_orderkey"], 4,
+        sort_keys=["l_orderkey"], path=str(tmp_path / "li"),
+    )
+    bucketed.write_bucketed(
+        orders, f"t_ord_{tag}", ["o_orderkey"], 4,
+        sort_keys=["o_orderkey"], path=str(tmp_path / "ord"),
+    )
+    # Force SMJ (broadcast would hide the property being tested).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed.colocated_join(
+            spark, f"t_li_{tag}", f"t_ord_{tag}",
+            on=[F.col("l_orderkey") == F.col("o_orderkey")],
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # No Exchange detail node anywhere: co-location replaced the
+        # shuffle. (BroadcastExchange disabled above.)
+        import re
+
+        assert not re.search(r"^\(\d+\) Exchange", plan, re.M), plan
+        # And the join still returns the right rows.
+        n = joined.count()
+        assert n == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("total"),
+            F.count("value").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.avg("value").alias("mean"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: r
+        for r in skew.salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "total": ("sum", "value"),
+                "n": ("count", "value"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+                "mean": ("avg", "value"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k, p in plain.items():
+        s = salted[k]
+        assert s["n"] == p["n"]
+        assert s["vmin"] == p["vmin"] and s["vmax"] == p["vmax"]
+        # sums/avgs differ only by float summation order
+        assert s["total"] == pytest.approx(p["total"], rel=1e-12)
+        assert s["mean"] == pytest.approx(p["mean"], rel=1e-12)
+
+
+def test_salted_agg_rejects_nondecomposable(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        skew.salted_agg(ev, ["event_type"], {"m": ("median", "value")})

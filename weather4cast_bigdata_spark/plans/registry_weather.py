@@ -615,3 +615,98 @@ def q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_cosine_topk(
         emb.where(F.col("vec_id") < 8), emb, cents, k=5, nprobe=2
     )
+
+
+@qdef(
+    "agg_salted",
+    oracle="""
+    SELECT event_type,
+           round(sum(value) + 1e-9, 6) AS total,
+           count(value) AS n,
+           min(value) AS vmin,
+           max(value) AS vmax,
+           round(avg(value) + 1e-9, 6) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark, sf_dir):
+    """Skew-safe two-stage salted aggregation (SCALING.md §3 recipe
+    made first-class): each hot group splits into n_salts reducer
+    sub-groups, then merges — exchange volume unchanged, reducer hot
+    spot gone. Result equals the plain groupBy (oracle is the
+    unsalted SQL)."""
+    from weather4cast_bigdata_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "total": ("sum", "value"),
+            "n": ("count", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+            "mean": ("avg", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", r6(F.col("total")).alias("total"), "n", "vmin", "vmax",
+        r6(F.col("mean")).alias("mean"),
+    )
+
+
+@qdef(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(avg(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 6) AS avg_revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bucketed_colocated(spark, sf_dir):
+    """Shuffle-free repeated join via bucketed layout (SCALING.md §2):
+    both sides written bucketBy(8, order key) + sortBy once, then the
+    sort-merge join runs with NO exchange on either side (plan
+    asserted in tests/test_bucketed.py). The ingest shuffle is paid
+    once; every later join on the key is exchange-free."""
+    import uuid
+
+    from weather4cast_bigdata_spark.sources import bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="w4c_bucketed_")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    bucketed.write_bucketed(li, f"li_bkt_{tag}", ["l_orderkey"], 8,
+                            sort_keys=["l_orderkey"], path=f"{base}/li")
+    bucketed.write_bucketed(orders, f"ord_bkt_{tag}", ["o_orderkey"], 8,
+                            sort_keys=["o_orderkey"], path=f"{base}/ord")
+    joined = spark.table(f"li_bkt_{tag}").join(
+        spark.table(f"ord_bkt_{tag}"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        r6(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("avg_revenue"),
+    )
+
+
+@qdef("streaming_dedup")
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming idempotent ingest: the frame stream unioned with a
+    full replay of itself (every frame delivered twice), deduped by
+    (region, ts) within the watermark — output equals the distinct
+    frame set, state stays bounded. Rows-only (streaming execution)."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_frames_dir(spark)
+    _STREAM_COUNTER[0] += 1
+    name = f"w4c_stream_dedup_{_STREAM_COUNTER[0]}"
+    st = streaming.frame_stream(spark, path, schema)
+    replayed = st.union(streaming.frame_stream(spark, path, schema))
+    deduped = streaming.dedup_within_watermark(replayed, keys=("region", "ts"))
+    _run_to_table(deduped, name, "append")
+    return spark.table(name)

@@ -154,3 +154,21 @@ def stateful_sequence_assembly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str] = ("region", "ts"),
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Idempotent ingest: drop re-delivered frames by key, keeping
+    state only within the watermark (``dropDuplicatesWithinWatermark``
+    — state is bounded by watermark horizon × key cardinality, unlike
+    an unbounded ``dropDuplicates``). The streaming guard for the
+    at-least-once file sources the reference's scan loop retries
+    (``datasets.py:86-89,430-435``): a replayed satellite frame must
+    not double-count in downstream windows or Gram statistics."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
