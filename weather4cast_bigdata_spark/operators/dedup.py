@@ -279,6 +279,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over a
+    near-dup pair graph via iterative min-label propagation. Returns
+    ``(id, comp)`` where ``comp`` is the minimum id reachable in the
+    node's component — the canonical document of that cluster.
+
+    Each round is one shuffle (neighbor-label groupBy-min over the
+    symmetrized edge list) plus a cheap convergence probe; rounds
+    needed = the longest hop distance to a component's minimum node,
+    which for near-dup clusters (dense, tiny diameter) is 2-3. Labels
+    are ``localCheckpoint``-ed per round so lineage stays O(1) instead
+    of doubling per iteration. For adversarial diameters (long chains)
+    swap the loop body for large-star/small-star contraction — same
+    join shape, O(log² n) rounds — without changing the interface.
+    """
+    sym = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select("id").distinct().select("id", F.col("id").alias("comp"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = (
+            sym.join(labels.withColumnRenamed("id", "nbr"), on="nbr")
+            .select("id", "comp")
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        improved = (
+            nxt.join(labels.withColumnRenamed("comp", "prev"), on="id")
+            .where(F.col("comp") < F.col("prev"))
+            .take(1)
+        )
+        labels = nxt
+        if not improved:
+            break
+    sym.unpersist()
+    return labels
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per bit b, sign of Σ_tokens (±1 by bit b of
     h32(token)); composed into a ``bits``-wide integer.
@@ -308,6 +357,7 @@ __all__ = [
     "minhash_signatures_docs",
     "ngram_jaccard_pairs_docs",
     "lsh_candidate_pairs",
+    "connected_components",
     "ngram_jaccard_pairs",
     "simhash",
     "MINHASH_PERMS",

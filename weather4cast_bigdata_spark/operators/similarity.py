@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions.arrays import cosine, to_double_array
@@ -101,6 +101,67 @@ def near_dup_pairs(
             F.col("item_id").alias("b_id"),
             "cos_sim",
         )
+    )
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix: sign p,d is drawn
+    from the parity of ``md5(f"{p}_{d}")``. Driver-side constants —
+    the same matrix is embedded as literals in the SQL oracle, so both
+    engines share the planes bit-exactly, and at any corpus size the
+    plane table stays a few KB broadcast inside the plan."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec_col: Column, signs) -> Column:
+    """Random-hyperplane LSH bucket (SimHash for embeddings): bit p =
+    [⟨v, s_p⟩ ≥ 0], composed into one integer. Cosine-similar vectors
+    collide with probability (1 - θ/π)^P — the textbook complement to
+    IVF bucketing. Pure JVM higher-order expressions; the +1e-9 nudge
+    keeps the sign decision identical cross-engine when a dot product
+    lands within float noise of zero (numeric policy #3)."""
+    bucket = F.lit(0).cast("bigint")
+    for p, s in enumerate(signs):
+        sv = F.array(*[F.lit(float(x)) for x in s])
+        dot = F.aggregate(
+            F.zip_with(vec_col, sv, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(
+            dot + F.lit(1e-9) >= 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def near_dup_pairs_hyperplane(
+    df: DataFrame,
+    signs,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs with random-hyperplane LSH candidate
+    generation: bucket on the P-bit hyperplane signature, then verify
+    cosine within buckets. No precomputed label or trained centroids
+    needed — the data-independent LSH variant of
+    :func:`near_dup_pairs`; recall is tuned by P (fewer planes = more
+    candidates) or by multi-probe/banding at very high P."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), signs).alias("hp_bucket"),
+    )
+    return near_dup_pairs(
+        bucketed, "hp_bucket", id_col=id_col, vec_col=vec_col, threshold=threshold
     )
 
 

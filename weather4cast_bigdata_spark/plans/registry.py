@@ -1580,6 +1580,58 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @qdef(
+    "dedup_connected_components",
+    oracle=f"""
+    {_SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)},
+    hashed AS (
+        SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz x ON x.doc_id = id_a
+        JOIN sz y ON y.doc_id = id_b
+        WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, min(b) AS component_id, a = min(b) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def q_dedup_connected_components(spark, sf_dir):
+    """End of the dedup pipeline: near-dup pairs (Jaccard ≥ 0.5) →
+    duplicate CLUSTERS via iterative min-label propagation → canonical
+    doc per cluster (keep `is_canonical`, drop the rest). The
+    iterative Spark loop is oracle-checked against a recursive-CTE
+    transitive closure — an exactness guarantee most CC
+    implementations never get. Rounds = cluster hop-diameter (2-3 for
+    near-dup graphs); each round is one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+@qdef(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (
@@ -1769,6 +1821,64 @@ def q_sim_cosine_bucketed(spark, sf_dir):
     return similarity.cosine_topk_bucketed(
         emb.where(F.col("vec_id") < 40), emb, bucket_col="label", k=5
     )
+
+
+# Deterministic ±1 hyperplane matrix shared bit-exactly between the
+# Spark plan and the SQL oracle (md5-parity draws, 8 planes × 64 dims).
+_HP_SIGNS = similarity.hyperplane_signs(8, 64)
+_HP_PLANES_SQL = "\n        UNION ALL ".join(
+    f"SELECT {p} AS p, {list(s)} AS s" for p, s in enumerate(_HP_SIGNS)
+)
+
+
+@qdef(
+    "sim_hyperplane_lsh",
+    oracle=f"""
+    WITH planes AS (
+        {_HP_PLANES_SQL}
+    ),
+    dots1 AS (
+        SELECT e.vec_id, pl.p,
+               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
+        FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(e.embedding)
+        GROUP BY 1, 2
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1 << p ELSE 0 END) AS hp_bucket
+        FROM dots1 GROUP BY 1
+    ),
+    q AS (SELECT e.vec_id AS query_id, b.hp_bucket, e.embedding AS qv
+          FROM embeddings e JOIN bucketed b ON b.vec_id = e.vec_id),
+    c AS (SELECT e.vec_id AS item_id, b.hp_bucket, e.embedding AS cv
+          FROM embeddings e JOIN bucketed b ON b.vec_id = e.vec_id),
+    dots2 AS (
+        SELECT query_id, item_id,
+               sum(q.qv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE) AS dot,
+               sqrt(sum(q.qv[r.i]::DOUBLE * q.qv[r.i]::DOUBLE)) AS nq,
+               sqrt(sum(c.cv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE)) AS nc
+        FROM q, c, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(q.qv) AND q.hp_bucket = c.hp_bucket
+          AND query_id < item_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id AS a_id, item_id AS b_id, cos_sim FROM (
+        SELECT query_id, item_id,
+               round(dot / (nq * nc) + 1e-9, 6) AS cos_sim
+        FROM dots2
+    ) WHERE cos_sim >= 0.2
+    """,
+)
+def q_sim_hyperplane_lsh(spark, sf_dir):
+    """Random-hyperplane LSH near-dup search: 8-bit SimHash signature
+    over the embedding column buckets the candidate space
+    (data-independent — no labels, no trained centroids), cosine
+    verified within buckets. The LSH counterpart to the IVF path; the
+    oracle recomputes the identical plane matrix from embedded
+    constants."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_hyperplane(emb, _HP_SIGNS, threshold=0.2)
 
 
 # ---------------------------------------------------------------------
