@@ -563,7 +563,13 @@ def _run_to_table(win, name: str, mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # processAllAvailable + stop instead of awaitTermination: a
+    # stateful query with ProcessingTimeTimeout pending never
+    # self-terminates under availableNow, so a plain awaitTermination
+    # would burn its whole timeout budget every run.
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
 
 
 @qdef("streaming_sliding_windows")

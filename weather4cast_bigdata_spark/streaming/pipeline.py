@@ -87,17 +87,28 @@ def stateful_sequence_assembly(
     n_past: int = 4,
     ts_col: str = "ts",
     value_col: str = "mean_value",
-    timeout_ms: int = 24 * 3600 * 1000,
+    state_ttl: str = "24 hours",
+    watermark: str = "24 hours",
 ) -> DataFrame:
     """Custom stateful operator: per-region rolling buffer of the last
     ``n_past`` frame aggregates, emitting a completed predictor window
     per arriving frame (``applyInPandasWithState``). State is bounded
-    (n_past rows per key) and expired on processing-time timeout ≈ the
-    fallback tolerance — the streaming twin of ``window_past_sequence``.
+    (n_past rows per key) and expired on EVENT-time timeout: a key's
+    state dies when the watermark passes ``state_ttl`` beyond its last
+    frame ≈ the previous-day fallback tolerance (datasets.py:430-435)
+    — the streaming twin of ``window_past_sequence``.
+
+    Event-time (not processing-time) timeout is deliberate: with
+    processing-time timeouts the engine must keep scheduling
+    timeout-check batches on the wall clock, so an availableNow /
+    processAllAvailable run over a finite lake never terminates; with
+    event-time timeouts expiry is driven by the watermark and the
+    query drains and stops.
 
     Expects a pre-aggregated per-(region, ts) frame stream (one row
     per frame), e.g. ``groupBy(region, ts).agg(avg(value))``.
     """
+    ttl_ms = _duration_ms(state_ttl)
     out_schema = StructType.fromJson(
         {
             "type": "struct",
@@ -143,16 +154,20 @@ def stateful_sequence_assembly(
                         }
                     )
         state.update((ts_list, val_list))
-        state.setTimeoutDuration(timeout_ms)
+        if ts_list:
+            # expire when the watermark passes last_frame + TTL
+            state.setTimeoutTimestamp(ts_list[-1] // 1000 + ttl_ms)
         if rows:
             yield pd.DataFrame(rows)
 
-    return stream.groupBy("region").applyInPandasWithState(
+    return stream.withWatermark(ts_col, watermark).groupBy(
+        "region"
+    ).applyInPandasWithState(
         assemble,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
