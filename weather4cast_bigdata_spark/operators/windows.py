@@ -140,10 +140,12 @@ def sessionize(
     """
     order = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
     w = Window.partitionBy(*keys).orderBy(*order)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # cast covers TIMESTAMP_NTZ inputs (unix_micros only takes TIMESTAMP);
+    # gap deltas are invariant under the session-timezone reinterpretation
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
     new_session = F.when(
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_minutes * 60_000_000),
+        prev_us.isNull() | ((ts_us - prev_us) > gap_minutes * 60_000_000),
         1,
     ).otherwise(0)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -28,6 +28,26 @@ from pyspark.sql.types import StructType
 
 from weather4cast_bigdata_spark.operators.aggregates import gram_matrix_exprs
 
+_DURATION_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse a CalendarInterval-style duration ("24 hours", "15 minutes")
+    into milliseconds — the unit ``GroupState.setTimeoutTimestamp``
+    expects."""
+    amount_str, unit = spec.strip().split()
+    unit = unit.rstrip("s").lower()
+    if unit not in _DURATION_UNIT_MS:
+        raise ValueError(f"unsupported duration unit in {spec!r}")
+    return int(float(amount_str) * _DURATION_UNIT_MS[unit])
+
 
 def frame_stream(
     spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
