@@ -105,3 +105,18 @@ def weighted_multiloss(
     return joined.groupBy().agg(
         (F.sum(F.col(loss_col) * F.col(weight_col)) / n).alias("total_loss")
     )
+
+
+def top_frequent(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Heavy hitters: the k most frequent values of ``col`` with
+    deterministic (freq desc, value asc) tie-breaking.
+
+    groupBy partial-aggregates map-side, then ``orderBy + limit``
+    plans as TakeOrderedAndProject — each partition keeps only its
+    local top-k before the single-reducer merge, so driver/exchange
+    volume is O(k · partitions), never the full distinct-value count.
+    The building block for vocabulary construction and frequency
+    stop-lists over a 100 TB corpus.
+    """
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.col("freq").desc(), F.col(col)).limit(k)

@@ -36,3 +36,39 @@ def seeded_shuffle(df: DataFrame, seed: int) -> DataFrame:
     that need cross-run stability should repartition first.
     """
     return df.orderBy(F.rand(seed))
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "validation", "test"),
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by hashed id —
+    the split every training-data pipeline needs ahead of export.
+
+    The reference hard-codes its subsets as directory partitions
+    (``datasets.py:233,263-265``); here the assignment itself is an
+    engine op: bucket = md5-derived 60-bit hash of ``(seed, id)`` mod
+    100, cut at the cumulative fraction boundaries. Pure narrow
+    projection — no shuffle, no RNG state, identical on any cluster
+    size or partitioning, and stable under corpus growth (a document's
+    split never changes when other documents arrive — the property
+    fraction-based ``randomSplit`` cannot give).
+    """
+    from weather4cast_bigdata_spark.functions.text import md5_hash64
+
+    bucket = md5_hash64(
+        F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string"))
+    ) % 100
+    expr = F.lit(labels[-1])
+    cum = 0.0
+    cuts = []
+    for frac, label in zip(fractions[:-1], labels[:-1]):
+        cum += frac * 100
+        cuts.append((cum, label))
+    for cut, label in reversed(cuts):
+        expr = F.when(bucket < F.lit(int(round(cut))), F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)

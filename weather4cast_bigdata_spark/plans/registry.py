@@ -1881,6 +1881,54 @@ def q_sim_hyperplane_lsh(spark, sf_dir):
     return similarity.near_dup_pairs_hyperplane(emb, _HP_SIGNS, threshold=0.2)
 
 
+_H64_SQL = "CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@qdef(
+    "sample_stratified_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_H64_SQL.format(expr="'42_' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {_H64_SQL.format(expr="'42_' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_sample_stratified_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/validation/test assignment by
+    md5-hashed doc id — narrow projection, no RNG state, a document's
+    split never changes as the corpus grows (unlike fraction-based
+    randomSplit). The engine form of the reference's hard-coded subset
+    partitions (datasets.py:233,263-265)."""
+    docs = _t(spark, sf_dir, "documents")
+    return setops.stratified_split(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+@qdef(
+    "text_vocab_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+    ),
+    t AS (SELECT unnest(w) AS token FROM toks)
+    SELECT token, count(*) AS freq
+    FROM t GROUP BY 1
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+)
+def q_text_vocab_topk(spark, sf_dir):
+    """Vocabulary construction: top-100 most frequent lowercase tokens
+    with deterministic (freq desc, token) tie-breaks. Plans as
+    TakeOrderedAndProject after a map-side-combined count — exchange
+    volume is O(k · partitions), not the distinct-token count."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("token"))
+    return aggregates.top_frequent(toks, "token", k=100)
+
+
 # ---------------------------------------------------------------------
 # Weather-lake ETL / inference / solver entries + fixture-backed
 # extensions live in a sibling module (imported for its @qdef side
