@@ -98,3 +98,29 @@ def test_salted_agg_rejects_nondecomposable(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="non-decomposable"):
         skew.salted_agg(ev, ["event_type"], {"m": ("median", "value")})
+
+
+def test_connected_components_chain_converges(spark):
+    """Pointer jumping makes a path graph (diameter ≫ dense-cluster
+    norm) converge in O(log diameter) rounds: a 100-node chain must
+    fully label as component 0 well inside max_iter=10."""
+    from weather4cast_bigdata_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], ["id_a", "id_b"]
+    )
+    labels = connected_components(edges, max_iter=10).collect()
+    assert len(labels) == 100
+    assert all(r.comp == 0 for r in labels)
+
+
+def test_connected_components_multi(spark):
+    """Disjoint clusters keep distinct canonical (minimum) labels."""
+    from weather4cast_bigdata_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -290,14 +290,15 @@ def connected_components(
     ``(id, comp)`` where ``comp`` is the minimum id reachable in the
     node's component — the canonical document of that cluster.
 
-    Each round is one shuffle (neighbor-label groupBy-min over the
-    symmetrized edge list) plus a cheap convergence probe; rounds
-    needed = the longest hop distance to a component's minimum node,
-    which for near-dup clusters (dense, tiny diameter) is 2-3. Labels
-    are ``localCheckpoint``-ed per round so lineage stays O(1) instead
-    of doubling per iteration. For adversarial diameters (long chains)
-    swap the loop body for large-star/small-star contraction — same
-    join shape, O(log² n) rounds — without changing the interface.
+    Each round is a neighbor-label groupBy-min over the symmetrized
+    edge list followed by one pointer-jumping step (``comp ←
+    min(comp, comp[comp])``, a self-join on the label table), so the
+    distance to the component minimum roughly halves per round:
+    convergence is O(log diameter), not O(diameter) — a 1000-node
+    chain needs ~10 rounds, and the dense tiny-diameter clusters
+    near-dup graphs actually produce finish in 2-3. Labels are
+    ``localCheckpoint``-ed per round so lineage stays O(1) instead of
+    doubling per iteration.
     """
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
@@ -309,12 +310,24 @@ def connected_components(
         sym.select("id").distinct().select("id", F.col("id").alias("comp"))
     ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        nxt = (
+        nbr_min = (
             sym.join(labels.withColumnRenamed("id", "nbr"), on="nbr")
             .select("id", "comp")
             .union(labels)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
+        )
+        # Pointer jump: follow the label one hop (comp's own label is
+        # always ≤ comp, since every label table satisfies comp ≤ id).
+        nxt = (
+            nbr_min.join(
+                nbr_min.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("_jump")
+                ),
+                on="comp",
+                how="left",
+            )
+            .select("id", F.coalesce("_jump", "comp").alias("comp"))
         ).localCheckpoint(eager=True)
         improved = (
             nxt.join(labels.withColumnRenamed("comp", "prev"), on="id")
