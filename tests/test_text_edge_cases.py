@@ -1,0 +1,83 @@
+"""Edge-case coverage for the text/dedup layer: inputs the synthetic
+star schema never produces (empty / whitespace-only / sub-shingle /
+unicode documents) must flow through every operator without crashing
+and with defensible semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions import text
+from weather4cast_bigdata_spark.operators import dedup, setops
+
+EDGE_DOCS = [
+    (1, ""),                       # empty
+    (2, "   "),                    # whitespace only
+    (3, "one"),                    # below shingle width
+    (4, "two tokens"),             # still below 3-gram width
+    (5, "exactly three tokens"),   # single shingle
+    (6, "naïve café über ñandú"),  # non-ASCII
+    (7, "a a a a a"),              # degenerate repetition
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(EDGE_DOCS, ["doc_id", "text"])
+
+
+def test_minhash_excludes_subshingle_docs(docs):
+    """Docs with fewer than n tokens have no shingles and must be
+    excluded (the grouped form's semantics), not emit null minima."""
+    out = dedup.minhash_signatures_docs(docs, n=3).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {5, 6, 7}
+    assert all(r[f"mh_{i}"] is not None for r in out for i in range(4))
+
+
+def test_jaccard_no_self_or_crash(docs):
+    out = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.0).collect()
+    assert all(r.id_a < r.id_b for r in out)
+
+
+def test_simhash_runs_on_all_nonempty(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    # every doc tokenizes to ≥1 token (split of "" yields [""]), so
+    # each gets a deterministic fingerprint
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_lang_id_und_on_empty(docs):
+    out = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "und" and out[2] == "und"
+    assert out[7] == "en"  # 'a' is an English marker
+
+
+def test_quality_score_no_crash_empty_scores_low(docs):
+    """ANSI division-by-zero must not kill the job on an empty doc
+    (try_divide); the empty doc lands at the bottom of the quality
+    range — filterable without special null handling."""
+    out = {r.doc_id: r.q for r in docs.select(
+        "doc_id", text.quality_score(F.col("text")).alias("q")).collect()}
+    assert out[1] is not None and out[1] < 0.05
+    for i in (3, 4, 5, 6, 7):
+        assert out[i] is not None and 0.0 <= out[i] <= 1.0
+
+
+def test_fingerprint_deterministic_unicode(docs):
+    a = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert a == b
+    assert a[6] is not None
+
+
+def test_stratified_split_covers_all_rows_deterministically(docs):
+    out1 = {r.doc_id: r.split for r in setops.stratified_split(docs, "doc_id").collect()}
+    out2 = {r.doc_id: r.split for r in setops.stratified_split(docs, "doc_id").collect()}
+    assert out1 == out2
+    assert set(out1) == {1, 2, 3, 4, 5, 6, 7}
+    assert set(out1.values()) <= {"train", "validation", "test"}

@@ -27,7 +27,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI divide-by-zero failure)
+    when either vector has zero norm — one all-zero embedding in a
+    100 TB corpus must not kill the scoring stage."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def to_double_array(a: Column) -> Column:

@@ -115,12 +115,15 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    # try_divide: a zero-length document must yield NULL ratios, not
+    # kill the job under ANSI mode (one empty doc in a 100 TB corpus
+    # would otherwise fail the whole stage).
     return {
         "n_tokens": n_tok,
         "n_chars": n_chars,
-        "punct_ratio": n_punct.cast("double") / n_chars,
-        "stopword_ratio": n_stop.cast("double") / n_tok,
-        "mean_token_len": (n_chars - n_tok + 1).cast("double") / n_tok,
+        "punct_ratio": F.try_divide(n_punct.cast("double"), n_chars),
+        "stopword_ratio": F.try_divide(n_stop.cast("double"), n_tok),
+        "mean_token_len": F.try_divide((n_chars - n_tok + 1).cast("double"), n_tok),
     }
 
 

@@ -256,7 +256,10 @@ def q_solve_ridge(spark, sf_dir):
     (ensemble.py:18-46): k×k normal equations from one groupBy().agg
     pass, numpy solve on the collected p×p matrix."""
     fx = weather_fixtures.load_fixtures(spark)
-    w = weather.fit_ensemble_weights_plan(fx["predictions"], sum1=False)
+    w = weather.fit_ensemble_weights_plan(
+        fx["predictions"], sum1=False,
+        model_ids=range(weather_fixtures.ENSEMBLE_K),
+    )
     return spark.createDataFrame(
         [(int(i), round(float(x), 4)) for i, x in enumerate(w)],
         ["model_id", "weight"],
@@ -268,7 +271,10 @@ def q_solve_ridge_sum1(spark, sf_dir):
     """Ridge with the Σw=1 Lagrange constraint (bordered system,
     ensemble.py:49-57)."""
     fx = weather_fixtures.load_fixtures(spark)
-    w = weather.fit_ensemble_weights_plan(fx["predictions"], sum1=True)
+    w = weather.fit_ensemble_weights_plan(
+        fx["predictions"], sum1=True,
+        model_ids=range(weather_fixtures.ENSEMBLE_K),
+    )
     return spark.createDataFrame(
         [(int(i), round(float(x), 4)) for i, x in enumerate(w)],
         ["model_id", "weight"],

@@ -67,11 +67,16 @@ def valid_start_times(frames: DataFrame, n_slots: int = 36) -> DataFrame:
     valid = windows.filter_valid_sequence(
         per_product, keys=["region", "product"], slot_col="ts", n_slots=n_slots
     )
-    n_products = frames.select("product").distinct().count()
+    # Product count stays inside the plan as a broadcast scalar — no
+    # eager driver-side pass over the lake just to learn |products|.
+    totals = frames.select("product").distinct().agg(
+        F.count(F.lit(1)).alias("_n_products_total")
+    )
     return (
         valid.groupBy("region", "ts")
         .agg(F.count(F.lit(1)).alias("n_products"))
-        .where(F.col("n_products") == n_products)
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("n_products") == F.col("_n_products_total"))
         .select("region", "ts")
     )
 
@@ -96,20 +101,22 @@ def attach_static(frames: DataFrame, static_grid: DataFrame) -> DataFrame:
 
 
 def fit_ensemble_weights_plan(
-    predictions: DataFrame, sum1: bool = False
+    predictions: DataFrame, sum1: bool = False, model_ids=None
 ) -> np.ndarray:
     """Distributed Gram aggregation over the (model-pivoted)
     prediction stream → driver-side ridge solve.
 
     Reference: ensemble.py:18-57. The pivot aligns k model streams on
-    (region, ts, variable, y, x) — key-based, not positional.
+    (region, ts, variable, y, x) — key-based, not positional. Pass
+    ``model_ids`` (the ensemble roster is always known to the caller,
+    main.py:10-33) so the pivot skips its value-discovery pass — an
+    eager extra scan of the full prediction stream at 100 TB.
     """
     keys = ["region", "ts", "variable", "y", "x"]
-    wide = (
-        predictions.groupBy(*keys, "truth")
-        .pivot("model_id")
-        .agg(F.first("pred"))
+    pivot = predictions.groupBy(*keys, "truth").pivot(
+        "model_id", *([list(model_ids)] if model_ids is not None else [])
     )
+    wide = pivot.agg(F.first("pred"))
     pred_cols = [c for c in wide.columns if c not in keys + ["truth"]]
     pred_cols = sorted(pred_cols, key=int)
     row = aggregates.gram_matrix(wide, pred_cols, "truth").collect()[0]
