@@ -208,3 +208,20 @@ def test_stateful_sequence_assembly(spark, frame_stream_dir):
     assert len(by_region["R1"]) == 9
     assert len(by_region["R2"]) == 3
     assert all(len(r["seq_values"]) == 4 for r in out)
+
+
+def test_dedup_within_watermark_drops_replay(spark, tmp_path):
+    """A re-delivered (region, ts) frame — the at-least-once file
+    source replaying — must reach downstream exactly once."""
+    t0 = dt.datetime(2019, 7, 23, 21, 0, 0)
+    rows = [("R1", t0 + i * dt.timedelta(minutes=15), float(i)) for i in range(4)]
+    dup = [rows[1], rows[2]]  # replayed frames
+    df = spark.createDataFrame(rows + dup, ["region", "ts", "value"])
+    path = str(tmp_path / "replay_in")
+    df.coalesce(1).write.parquet(path)
+    stream = streaming.frame_stream(spark, path, df.schema)
+    out = streaming.dedup_within_watermark(stream, keys=["region", "ts"])
+    _run_stream(out, "append_dedup")
+    got = spark.sql("SELECT region, ts, value FROM append_dedup").collect()
+    assert len(got) == 4
+    assert len({(r.region, r.ts) for r in got}) == 4

@@ -81,3 +81,36 @@ def test_stratified_split_covers_all_rows_deterministically(docs):
     assert out1 == out2
     assert set(out1) == {1, 2, 3, 4, 5, 6, 7}
     assert set(out1.values()) <= {"train", "validation", "test"}
+
+
+def test_minhash_grouped_and_narrow_forms_agree(spark, sf_dir):
+    """The shuffle-free per-row form and the explode+groupBy form are
+    interchangeable implementations of the same signature (duplicate
+    shingle hashes cannot change a min)."""
+    from weather4cast_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    narrow = {r.doc_id: (r.mh_0, r.mh_1, r.mh_2, r.mh_3)
+              for r in dedup.minhash_signatures_docs(docs).collect()}
+    grouped = {r.doc_id: (r.mh_0, r.mh_1, r.mh_2, r.mh_3)
+               for r in dedup.minhash_signatures(dedup.doc_shingle_hashes(docs)).collect()}
+    assert narrow == grouped
+
+
+def test_jaccard_candidate_restriction(spark):
+    """ngram_jaccard_pairs with an LSH candidate set returns exactly
+    the candidate-filtered subset of the unrestricted pairs."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    shingled = dedup.doc_shingle_hashes(docs)
+    full = {(r.id_a, r.id_b) for r in
+            dedup.ngram_jaccard_pairs(shingled, threshold=0.5).collect()}
+    cands = spark.createDataFrame([(1, 4)], ["id_a", "id_b"])
+    restricted = {(r.id_a, r.id_b) for r in
+                  dedup.ngram_jaccard_pairs(shingled, threshold=0.5, candidates=cands).collect()}
+    assert (1, 4) in full and restricted == {(1, 4)}

@@ -1453,7 +1453,9 @@ def q_json_get(spark, sf_dir):
     """JSON property extraction over events.props (standard-library
     extension, SURVEY.md §2.7 note)."""
     events = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: a malformed props row yields NULL, not an ANSI cast
+    # failure that kills the scan (same result on well-formed data)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return events.groupBy((k % 10).alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n"), r6(F.avg("value")).alias("mean_value")
     )
