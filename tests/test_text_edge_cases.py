@@ -114,3 +114,31 @@ def test_jaccard_candidate_restriction(spark):
     restricted = {(r.id_a, r.id_b) for r in
                   dedup.ngram_jaccard_pairs(shingled, threshold=0.5, candidates=cands).collect()}
     assert (1, 4) in full and restricted == {(1, 4)}
+
+
+def test_lsh_max_bucket_caps_boilerplate(spark):
+    """An over-populated LSH bucket (template docs sharing a band) is
+    dropped under max_bucket; distinct docs still pair elsewhere."""
+    boiler = [(i, "identical boilerplate text repeated verbatim here") for i in range(5)]
+    pair = [(10, "a genuinely unique document about satellites and rain"),
+            (11, "a genuinely unique document about satellites and rain")]
+    docs = spark.createDataFrame(boiler + pair, ["doc_id", "text"])
+    sig = dedup.minhash_signatures_docs(docs)
+    uncapped = dedup.lsh_candidate_pairs(sig)
+    capped = dedup.lsh_candidate_pairs(sig, max_bucket=3)
+    assert uncapped.count() == 11  # C(5,2) boilerplate + (10,11)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
+
+
+def test_jaccard_max_df_stoplist(spark):
+    """max_df drops ubiquitous shingles; pair scores only fall (never
+    rise), so thresholds stay conservative."""
+    rows = [(i, f"shared common prefix text here plus unique tail {i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.0)
+    stop = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.0, max_df=5)
+    f = {(r.id_a, r.id_b): r.jaccard for r in full.collect()}
+    s = {(r.id_a, r.id_b): r.jaccard for r in stop.collect()}
+    assert set(s) <= set(f)
+    assert all(s[k] <= f[k] + 1e-12 for k in s)

@@ -107,6 +107,7 @@ def ngram_jaccard_pairs_docs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Single-pass hashed-shingle Jaccard from the doc table: the
     per-doc set size rides the explode, so there is no separate size
@@ -117,8 +118,13 @@ def ngram_jaccard_pairs_docs(
     functions — ~1.5× faster than the equivalent self-join, which
     shuffles both sides and recomputes the shingle map twice. Same
     skew profile as the join form (all pairs of one shingle land in
-    one task either way); at web scale, stop-list high-DF shingles
-    before this operator (SCALING.md §3).
+    one task either way); at web scale, pass ``max_df`` to stop-list
+    high-document-frequency shingles (boilerplate n-grams shared by
+    thousands of docs, SCALING.md §3): a shingle in d docs yields
+    d(d−1)/2 pair rows, so the cap bounds the worst bucket's blowup
+    quadratically. The denominator keeps the full per-doc set size,
+    so stop-listing can only lower a pair's Jaccard — a recall knob,
+    never a false-positive source.
     """
     sh = word_shingles(tokens(F.col(text_col)), n)
     base = ensure_min_parallelism(docs).select(
@@ -130,6 +136,8 @@ def ngram_jaccard_pairs_docs(
     grouped = sing.groupBy("h32").agg(
         F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("sz")))).alias("ms")
     )
+    if max_df is not None:
+        grouped = grouped.where(F.size("ms") <= max_df)
     pairs = grouped.select(
         F.explode(
             F.flatten(
@@ -185,13 +193,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", n_hashes: int = 4, band_size: int = 2
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any full band of the signature become
     a candidate pair (id_a < id_b, deduplicated).
 
     Band self-join is bucket-local: shuffle on (band_idx, band_hash)
     then pairs form only inside buckets — linear in bucket sizes.
+    ``max_bucket`` drops over-populated buckets (boilerplate/template
+    documents all sharing one band): a b-doc bucket emits b(b−1)/2
+    pairs, so one pathological bucket otherwise dominates the stage —
+    the standard recall-for-boundedness trade at web scale
+    (SCALING.md §3); capped-out docs still pair through their other
+    bands.
     """
     n_bands = n_hashes // band_size
     band_structs = F.array(
@@ -219,6 +237,8 @@ def lsh_candidate_pairs(
     grouped = banded.groupBy("band_idx", "band_key").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
+    if max_bucket is not None:
+        grouped = grouped.where(F.size("ids") <= max_bucket)
     return (
         grouped.where(F.size("ids") > 1)
         .select(

@@ -181,12 +181,22 @@ def ensemble_weights_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+_FIXTURE_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
 def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
-    return {
-        "frames": spark.createDataFrame(frames_pdf()),
-        "variable_meta": spark.createDataFrame(variable_meta_pdf()),
-        "static_grid": spark.createDataFrame(static_grid_pdf()),
-        "region_dim": spark.createDataFrame(region_dim_pdf()),
-        "predictions": spark.createDataFrame(predictions_pdf()),
-        "ensemble_weights": spark.createDataFrame(ensemble_weights_pdf()),
-    }
+    """Deterministic fixture tables, memoized per session — ~20
+    registry queries consume them, and the pandas→Arrow conversion
+    need only happen once per driver run."""
+    key = id(spark)
+    if key not in _FIXTURE_CACHE:
+        _FIXTURE_CACHE.clear()  # one live session at a time
+        _FIXTURE_CACHE[key] = {
+            "frames": spark.createDataFrame(frames_pdf()),
+            "variable_meta": spark.createDataFrame(variable_meta_pdf()),
+            "static_grid": spark.createDataFrame(static_grid_pdf()),
+            "region_dim": spark.createDataFrame(region_dim_pdf()),
+            "predictions": spark.createDataFrame(predictions_pdf()),
+            "ensemble_weights": spark.createDataFrame(ensemble_weights_pdf()),
+        }
+    return _FIXTURE_CACHE[key]
