@@ -1,0 +1,34 @@
+"""CLI parity with the reference's main.py modes (main.py:226-285)."""
+
+from __future__ import annotations
+
+from weather4cast_bigdata_spark.__main__ import main
+
+
+def test_cli_evaluate(spark, capsys):
+    assert main(["evaluate"]) == 0
+    out = capsys.readouterr().out
+    assert "valid start times:" in out
+    assert "temperature:" in out
+
+
+def test_cli_submit_roundtrip(spark, tmp_path, capsys):
+    sub = str(tmp_path / "sub")
+    assert main(["submit", "--submission-dir", sub]) == 0
+    assert "quantized cells" in capsys.readouterr().out
+    back = spark.read.parquet(sub)
+    assert back.count() > 0
+    assert {"region", "day"} <= set(back.columns)
+
+
+def test_cli_ensemble_ridge_beats_equal(spark, capsys):
+    assert main(["evaluate_ensemble", "--ensemble-weights", "ridge"]) == 0
+    ridge = float(capsys.readouterr().out.rsplit("blend mse:", 1)[1])
+    assert main(["evaluate_ensemble", "--ensemble-weights", "equal"]) == 0
+    equal = float(capsys.readouterr().out.rsplit("blend mse:", 1)[1])
+    assert ridge < equal
+
+
+def test_cli_region_filter(spark, capsys):
+    assert main(["evaluate", "--regions", "R1"]) == 0
+    assert "valid start times:" in capsys.readouterr().out

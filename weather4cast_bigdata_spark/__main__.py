@@ -1,0 +1,120 @@
+"""CLI mirroring the reference's entry points (``main.py:226-285``):
+
+    python -m weather4cast_bigdata_spark submit --submission-dir /tmp/out
+    python -m weather4cast_bigdata_spark evaluate [--regions R1,R2]
+    python -m weather4cast_bigdata_spark evaluate_ensemble \
+        --ensemble-weights ridge|equal|ridge_lagrange
+
+The reference dispatches train/evaluate/submit over its NetCDF lake;
+here the same modes run the Spark plans over a frame lake — by
+default the bundled deterministic weather fixtures, or any Parquet
+lake in the long layout via ``--frames-dir`` (produced by
+``sources.netcdf.etl_to_parquet``). ``train``'s gradient loop is
+model-internal (out of engine scope, SURVEY.md §2.8); its *data*
+semantics (shuffle/crop/augment) are library operators, so the mode
+prints a pointer instead of pretending.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.plans import weather
+from weather4cast_bigdata_spark.session import get_spark
+from weather4cast_bigdata_spark.sources import weather_fixtures
+
+
+def _frames(spark, args):
+    if args.frames_dir:
+        fx = dict(weather_fixtures.load_fixtures(spark))
+        fx["frames"] = spark.read.parquet(args.frames_dir)
+        return fx
+    return weather_fixtures.load_fixtures(spark)
+
+
+def _region_filter(df, regions):
+    return df.where(F.col("region").isin(regions)) if regions else df
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="weather4cast_bigdata_spark")
+    p.add_argument("mode", choices=["submit", "evaluate", "evaluate_ensemble", "train"])
+    p.add_argument("--frames-dir", default="", help="Parquet frame lake (long layout); default: bundled fixtures")
+    p.add_argument("--regions", default="", help="Comma-separated region whitelist")
+    p.add_argument("--submission-dir", default="", help="submit: output path for the quantized partitioned sink")
+    p.add_argument("--ensemble-weights", default="ridge", choices=["ridge", "equal", "ridge_lagrange"])
+    args = p.parse_args(argv)
+    regions = args.regions.split(",") if args.regions else None
+
+    spark = get_spark("w4c-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    fx = _frames(spark, args)
+    frames = _region_filter(fx["frames"], regions)
+    decoded = weather.impute(weather.decode_normalize(frames, fx["variable_meta"]))
+
+    if args.mode == "submit":
+        if not args.submission_dir:
+            p.error("submit requires --submission-dir")
+        q = weather.quantize_for_submission(decoded, fx["variable_meta"])
+        weather.write_submission(
+            q.select("region", "day", "variable", "ts", "y", "x", "qv"),
+            args.submission_dir,
+        )
+        n = spark.read.parquet(args.submission_dir).count()
+        print(f"wrote {n} quantized cells to {args.submission_dir}")
+        return 0
+
+    if args.mode == "evaluate":
+        starts = weather.valid_start_times(frames, n_slots=4)
+        n_starts = starts.count()
+        losses = (
+            decoded.groupBy("variable")
+            .agg(F.avg(F.pow(F.col("norm") - F.lit(0.5), 2)).alias("mse_vs_const"))
+            .orderBy("variable")
+        )
+        print(f"valid start times: {n_starts}")
+        for r in losses.collect():
+            print(f"{r['variable']}: mse_vs_const={r['mse_vs_const']:.6f}")
+        return 0
+
+    if args.mode == "evaluate_ensemble":
+        preds = _region_filter(fx["predictions"], regions)
+        k = weather_fixtures.ENSEMBLE_K
+        variables = [r[0] for r in preds.select("variable").distinct().collect()]
+        if args.ensemble_weights == "equal":
+            w = [1.0 / k] * k
+        else:
+            w = list(
+                weather.fit_ensemble_weights_plan(
+                    preds,
+                    sum1=(args.ensemble_weights == "ridge_lagrange"),
+                    model_ids=range(k),
+                )
+            )
+        weights_dim = spark.createDataFrame(
+            [
+                (v, m, float(w[m]), args.ensemble_weights)
+                for v in variables
+                for m in range(k)
+            ],
+            ["variable", "model_id", "weight", "scheme"],
+        )
+        blended = weather.blend_predictions(preds, weights_dim, scheme=args.ensemble_weights)
+        score = weather.evaluate_blend(blended).collect()[0]
+        print(f"weights ({args.ensemble_weights}): {[round(float(x), 4) for x in w]}")
+        print(f"blend mse: {score['mse']:.6f}")
+        return 0
+
+    print(
+        "train: the gradient loop lives inside the inference UDF boundary "
+        "(SURVEY.md §2.8); data semantics are operators.setops.seeded_shuffle, "
+        "the sample_* registry queries, and windows.past_sequence."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
