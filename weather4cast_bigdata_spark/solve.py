@@ -37,7 +37,14 @@ def solve_ridge(ata: np.ndarray, aty: np.ndarray, reg_scale: float = 1e-4) -> np
 def solve_ridge_sum1(ata: np.ndarray, aty: np.ndarray, reg_scale: float = 1e-4) -> np.ndarray:
     """Ridge with Σw = 1 constraint via a bordered (Lagrange) system.
 
-    Reference: ensemble.py:49-57.
+    Reference: ensemble.py:49-57. Two reference quirks, both resolved
+    to intended semantics (SURVEY.md §2.8 policy): (a) the reference's
+    ``-0.5*q`` upper-right block only rescales the Lagrange
+    multiplier — the weight solution is identical to this symmetric
+    bordered form; (b) the reference *accepts* a ``regularization``
+    argument but never applies it in the sum1 body (unlike the
+    unconstrained solver at ensemble.py:44-46) — we regularize
+    consistently in both.
     """
     k = len(aty)
     lam = reg_scale * float(np.mean(np.diag(ata)))
