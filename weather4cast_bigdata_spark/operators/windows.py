@@ -103,7 +103,9 @@ def day_boundary_correct(df: DataFrame, ts_col: str, out_col: str = "day_dir") -
     directory. Reference: datasets.py:450-454.
     """
     ts = F.col(ts_col)
-    is_midnight = (F.hour(ts) == 0) & (F.minute(ts) == 0) & (F.second(ts) == 0)
+    # hour+minute only, exactly as the reference tests it — a
+    # 00:00:30 stamp still counts as midnight (datasets.py:451)
+    is_midnight = (F.hour(ts) == 0) & (F.minute(ts) == 0)
     eff = F.when(is_midnight, ts - F.expr("INTERVAL 1 DAY")).otherwise(ts)
     return df.withColumn(out_col, F.date_format(eff, "yyyyDDD"))
 

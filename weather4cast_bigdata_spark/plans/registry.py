@@ -1167,7 +1167,6 @@ def q_window_prev_day_fallback(spark, sf_dir):
     SELECT slot,
            strftime(CASE WHEN extract(hour FROM slot) = 0
                           AND extract(minute FROM slot) = 0
-                          AND extract(second FROM slot) = 0
                     THEN slot - INTERVAL 1 DAY ELSE slot END, '%Y%j') AS day_dir
     FROM slots
     """,
