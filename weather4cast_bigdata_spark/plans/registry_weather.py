@@ -706,6 +706,23 @@ def q_join_bucketed_colocated(spark, sf_dir):
     )
 
 
+@qdef("streaming_session_windows")
+def q_streaming_session_windows(spark, sf_dir):
+    """Event-time session windows over the frame stream (native
+    session_window; the streaming twin of window_sessionize). The
+    gapless fixture cadence yields one session per region — a gap
+    would split it, making session count an outage monitor."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_frames_dir(spark)
+    _STREAM_COUNTER[0] += 1
+    name = f"w4c_stream_sessions_{_STREAM_COUNTER[0]}"
+    st = streaming.frame_stream(spark, path, schema)
+    sessions = streaming.session_windows(st, gap="30 minutes")
+    _run_to_table(sessions, name, "complete")
+    return spark.table(name)
+
+
 @qdef("streaming_dedup")
 def q_streaming_dedup(spark, sf_dir):
     """Streaming idempotent ingest: the frame stream unioned with a

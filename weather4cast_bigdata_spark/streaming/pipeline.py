@@ -191,6 +191,31 @@ def stateful_sequence_assembly(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    keys: Sequence[str] = ("region",),
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Event-time session windows: frames closer than ``gap`` merge
+    into one session per key (``F.session_window`` — state merges
+    adjacent sessions as late frames arrive, bounded by the
+    watermark). The native streaming twin of the batch
+    ``operators.windows.sessionize`` lag+cumsum form: a cadence gap >
+    ``gap`` (a dropped satellite feed) closes the session, so session
+    count per key is an outage monitor for the 15-min stream
+    (datasets.py:175)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.avg("value").alias("mean_value"),
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: Sequence[str] = ("region", "ts"),
