@@ -86,3 +86,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         for r in similarity.ivf_cosine_topk(queries, emb, cents, k=5, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_rot90_remap_matches_numpy(spark):
+    """The rot90 coordinate remap must agree with np.rot90 k=1 on
+    axes (y, x) — the exact call the reference makes
+    (datasets.py:291-292). Both-sides-consistent oracle checks cannot
+    catch a flipped rotation direction; numpy is the ground truth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = 4
+    grid = np.arange(n * n).reshape(n, n)
+    rot = np.rot90(grid, k=1)
+    rows = [(int(y), int(x), int(grid[y, x])) for y in range(n) for x in range(n)]
+    df = spark.createDataFrame(rows, ["y", "x", "v"])
+    remapped = df.select(
+        (F.lit(n - 1) - F.col("x")).alias("ry"),
+        F.col("y").alias("rx"),
+        "v",
+    ).collect()
+    for r in remapped:
+        assert rot[r.ry, r.rx] == r.v

@@ -1284,15 +1284,17 @@ def q_sample_random_crop(spark, sf_dir):
            event_id % 16 AS y, (event_id // 16) % 16 AS x,
            15 - (event_id % 16) AS y_flipud,
            15 - ((event_id // 16) % 16) AS x_fliplr,
-           (event_id // 16) % 16 AS rot90_y,
-           15 - (event_id % 16) AS rot90_x
+           15 - ((event_id // 16) % 16) AS rot90_y,
+           event_id % 16 AS rot90_x
     FROM events
     """,
 )
 def q_sample_augment(spark, sf_dir):
     """Rot90/flip augmentation (datasets.py:278-297) as pure
     coordinate-remap projections on the long layout — no data
-    movement, just key arithmetic."""
+    movement, just key arithmetic. rot90 is np.rot90 k=1
+    (counterclockwise): (y, x) → (N−1−x, y); k=2,3 are
+    compositions."""
     events = _t(spark, sf_dir, "events")
     y = F.col("event_id") % 16
     x = (F.col("event_id") / 16).cast("bigint") % 16
@@ -1301,8 +1303,8 @@ def q_sample_augment(spark, sf_dir):
         y.alias("y"), x.alias("x"),
         (F.lit(15) - y).alias("y_flipud"),
         (F.lit(15) - x).alias("x_fliplr"),
-        x.alias("rot90_y"),
-        (F.lit(15) - y).alias("rot90_x"),
+        (F.lit(15) - x).alias("rot90_y"),
+        y.alias("rot90_x"),
     )
 
 
