@@ -142,3 +142,22 @@ def test_jaccard_max_df_stoplist(spark):
     s = {(r.id_a, r.id_b): r.jaccard for r in stop.collect()}
     assert set(s) <= set(f)
     assert all(s[k] <= f[k] + 1e-12 for k in s)
+
+
+def test_quantize_half_even_matches_numpy(spark):
+    """half_even=True reproduces the reference's ndarray.round()
+    (banker's rounding) bit-exactly at .5 ties, where the default
+    oracle-aligned half-up mode deviates by one code unit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.functions import scalar
+
+    vals = [0.5, 1.5, 2.5, 3.5, 0.25, 2.75]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = [
+        r.q for r in df.select(
+            scalar.quantize(F.col("x"), 0.0, 1.0, half_even=True).alias("q")
+        ).collect()
+    ]
+    assert got == [int(np.round(v)) for v in vals]

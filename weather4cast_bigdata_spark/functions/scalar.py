@@ -99,13 +99,20 @@ def null_if_fill(col: Column, is_fill: Column) -> Column:
 # --- quantization -----------------------------------------------------------
 
 
-def quantize(col: Column, lo: float, hi: float) -> Column:
+def quantize(col: Column, lo: float, hi: float, half_even: bool = False) -> Column:
     """[0,1] → integer code: ``round(x*(hi-lo)+lo)`` cast to int.
 
     Reference: datasets.py:379-394 (postproc_scaling + uint16 cast;
     Parquet has no u16 so we store int32 — SURVEY.md §4 item 4).
+    The reference's ``ndarray.round()`` is round-half-to-EVEN; the
+    default here is half-up because the DuckDB oracle shares that
+    mode, so cross-engine checks are exact. The two differ only at
+    exact .5 ties (≤1 code unit); pass ``half_even=True`` (Spark
+    ``bround``) for bit-exact numpy parity.
     """
-    return F.round(minmax_denormalize(col, lo, hi)).cast("int")
+    denorm = minmax_denormalize(col, lo, hi)
+    rounded = F.bround(denorm) if half_even else F.round(denorm)
+    return rounded.cast("int")
 
 
 # --- conditionals -----------------------------------------------------------
