@@ -151,3 +151,32 @@ def fingerprint(text: Column) -> Column:
         lambda x, i: md5_hash32(x) * (i + F.lit(1)).cast("bigint"),
     )
     return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean unigram log-probability against the corpus's
+    own unigram distribution — the frequency-based fluency proxy
+    (KenLM-style perplexity stand-in) corpus filters rank documents
+    by: boilerplate of common words scores high, gibberish of rare
+    tokens scores low.
+
+    Two aggregations over one token explode: the unigram-frequency
+    table (map-side combined; vocabulary-sized, broadcast back) and
+    the per-doc mean of ``ln(count(tok)/total)``. Every token is in
+    its own corpus by construction, so the log never sees zero. At
+    100 TB the frequency dim is the only reused state — persist it
+    and score incrementally arriving documents against it.
+    """
+    from pyspark.sql import DataFrame, functions as F  # noqa: F401
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = freq.agg(F.sum("tok_n").alias("tok_total"))
+    scored = (
+        toks.join(F.broadcast(freq), on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), F.log(F.col("tok_n") / F.col("tok_total")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("lp").alias("mean_logprob"), F.count(F.lit(1)).alias("n_tokens")
+    )

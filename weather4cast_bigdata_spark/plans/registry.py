@@ -1910,6 +1910,34 @@ def q_sample_stratified_split(spark, sf_dir):
 
 
 @qdef(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tok_n FROM toks GROUP BY 1),
+    total AS (SELECT sum(tok_n) AS tok_total FROM freq)
+    SELECT t.doc_id,
+           round(avg(ln(f.tok_n * 1.0 / total.tok_total)) + 1e-9, 6)
+               AS mean_logprob,
+           count(*) AS n_tokens
+    FROM toks t JOIN freq f ON f.tok = t.tok, total
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-frequency fluency proxy (KenLM-style): per-doc mean
+    ln p(token) under the corpus's own unigram distribution. The
+    vocabulary-sized frequency dim broadcasts back onto the token
+    stream — the only reused state when scoring 100 TB
+    incrementally."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.unigram_logprob(docs)
+    return out.select("doc_id", r6(F.col("mean_logprob")).alias("mean_logprob"), "n_tokens")
+
+
+@qdef(
     "text_vocab_topk",
     oracle=r"""
     WITH toks AS (
