@@ -124,3 +124,33 @@ def test_connected_components_multi(spark):
     )
     got = {r.id: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """With a selective dim-side filter, AQE injects a runtime bloom
+    filter on the fact side of a shuffle join (the 100 TB path when
+    the dim outgrows broadcast; SCALING.md §3). Size thresholds are
+    lowered to fire at test scale — the injected plan shape is what
+    matters."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        assert "bloom_filter" in _plan(j).lower()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
