@@ -51,6 +51,11 @@ HEADLINE = [
     "sim_ivf_topk",
     "agg_salted",
     "text_fingerprint",
+    # Python-boundary path: Arrow-batched binary decode + model
+    # inference (mapInPandas) — the stages that replace the
+    # reference's per-file eager decode and model.predict loop.
+    "scan_netcdf_decode",
+    "udf_batch_inference",
 ]
 
 
