@@ -161,3 +161,17 @@ def test_quantize_half_even_matches_numpy(spark):
         ).collect()
     ]
     assert got == [int(np.round(v)) for v in vals]
+
+
+def test_null_text_flows_through(spark):
+    """NULL text (a corrupt row in a 100 TB corpus) must not crash
+    any text operator: md5(NULL)=NULL groups exact-dedup NULLs
+    together; tokenize/shingle yield empty/NULL and the doc drops out
+    of signatures rather than erroring."""
+    rows = [(1, "real content here today"), (2, None), (3, None)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {r.text_hash: r.n_copies for r in dedup.exact_duplicates(docs).collect()}
+    assert exact.get(None) == 2  # both NULLs in the NULL-hash group
+    assert dedup.minhash_signatures_docs(docs).count() == 1  # only doc 1
+    q = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    assert len(q) == 3  # no crash; NULL rows yield NULL scores
