@@ -56,6 +56,9 @@ HEADLINE = [
     # reference's per-file eager decode and model.predict loop.
     "scan_netcdf_decode",
     "udf_batch_inference",
+    # Training-data flagship: quality → exact dedup → near-dup CC →
+    # canonical keep → stratified split, one composed plan.
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,75 @@
+"""End-to-end corpus-curation flagship: the composed training-data
+pipeline every LLM-scale dataset build runs, expressed as one lazy
+DataFrame plan (plus the bounded iterative connected-components
+step).
+
+quality filter → exact dedup → near-dup clustering → canonical keep
+→ deterministic stratified split, with per-doc token accounting.
+
+Stage disposition at 100 TB (SCALING.md):
+- scoring/filtering: narrow whole-stage-codegen projections;
+- exact dedup: one shuffle on the 128-bit text hash (uniform keys);
+- near-dup: shingle-hash bucket pairs (one shuffle, `max_df`
+  stop-list for boilerplate) → Jaccard cut → pointer-jumping
+  connected components (O(log diameter) rounds);
+- canonical keep: broadcast-size label table joined back (near-dup
+  clusters are a small fraction of the corpus);
+- split: narrow md5-bucket projection, stable under corpus growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions.text import quality_score, token_count
+from weather4cast_bigdata_spark.operators import dedup, setops
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Returns the curated corpus: one row per surviving canonical
+    document with ``(doc_id, lang, split, n_tokens, quality)``.
+
+    Threshold cuts follow the engine numeric policy: quality is
+    rounded (+1e-9, 6 decimals) before the cut so the kept-set is
+    bit-identical cross-engine.
+    """
+    scored = docs.withColumn(
+        "quality", F.round(quality_score(F.col(text_col)) + F.lit(1e-9), 6)
+    ).where(F.col("quality") >= F.lit(quality_min))
+
+    # Exact dedup: canonical = minimum id per exact text hash.
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # Near-dup clusters among exact survivors; docs in no pair are
+    # their own canonical (left join + coalesce).
+    pairs = dedup.ngram_jaccard_pairs_docs(
+        exact, id_col=id_col, text_col=text_col,
+        threshold=jaccard_threshold, max_df=max_df,
+    )
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", id_col)
+    canonical = (
+        exact.join(F.broadcast(comp), on=id_col, how="left")
+        .where(F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col))
+        .drop("comp")
+    )
+
+    return setops.stratified_split(canonical, id_col).select(
+        id_col,
+        "lang",
+        "split",
+        token_count(F.col(text_col)).alias("n_tokens"),
+        "quality",
+    )

@@ -1886,6 +1886,87 @@ def q_sim_hyperplane_lsh(spark, sf_dir):
 
 _H64_SQL = "CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
+_QUALITY_SQL = r"""
+        (least(len(string_split_regex(trim(lower(text)), '\s+')) / 50.0, 1.0)
+         + least((len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t IN ('the','a','and','of','to','in','is','it','for','on')))
+                  * 1.0 / len(string_split_regex(trim(lower(text)), '\s+'))) * 5.0, 1.0)
+         + greatest(1.0 - (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                  * 1.0 / length(text)) * 10.0, 0.0)) / 3.0
+"""
+
+
+@qdef(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, lang, text,
+               round({_QUALITY_SQL} + 1e-9, 6) AS quality
+        FROM documents
+    ),
+    q AS (SELECT * FROM scored WHERE quality >= 0.5),
+    ex AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM q
+        ) WHERE rn = 1
+    ),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ex),
+    shingled AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
+        WHERE i + 2 <= len(w)
+    ),
+    hashed AS (
+        SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz x ON x.doc_id = id_a
+        JOIN sz y ON y.doc_id = id_b
+        WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a)
+    SELECT e.doc_id, e.lang,
+           CASE WHEN {_H64_SQL.format(expr="'42_' || CAST(e.doc_id AS VARCHAR)")} % 100 < 80
+                THEN 'train'
+                WHEN {_H64_SQL.format(expr="'42_' || CAST(e.doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'validation'
+                ELSE 'test' END AS split,
+           len(string_split_regex(trim(e.text), '\\s+')) AS n_tokens,
+           e.quality
+    FROM ex e LEFT JOIN comp c ON c.doc_id = e.doc_id
+    WHERE coalesce(c.comp, e.doc_id) = e.doc_id
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The composed training-data flagship: quality cut → exact dedup
+    → near-dup clustering (Jaccard ≥ 0.5 → connected components) →
+    canonical keep → deterministic stratified split with token
+    accounting — one plan end-to-end, oracle-checked against the full
+    recursive-SQL rendition."""
+    from weather4cast_bigdata_spark.plans.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate(docs)
+
 
 @qdef(
     "sample_stratified_split",
