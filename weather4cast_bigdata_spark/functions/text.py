@@ -167,8 +167,6 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     100 TB the frequency dim is the only reused state — persist it
     and score incrementally arriving documents against it.
     """
-    from pyspark.sql import DataFrame, functions as F  # noqa: F401
-
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
     total = freq.agg(F.sum("tok_n").alias("tok_total"))
