@@ -154,3 +154,19 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_static_dim_join_is_broadcast_no_exchange(spark, sf_dir):
+    """The dim-attach path must plan as BroadcastHashJoin with zero
+    shuffle Exchanges — a regression here would shuffle the fact
+    table for a kB dim at 100 TB."""
+    from weather4cast_bigdata_spark.operators.joins import join_static_broadcast
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plan = _plan(join_static_broadcast(li, sup, on=["l_suppkey"]))
+    assert "BroadcastHashJoin" in plan
+    import re
+    assert not re.search(r"^\s*\(\d+\) Exchange", plan, re.M)
