@@ -225,3 +225,19 @@ def test_dedup_within_watermark_drops_replay(spark, tmp_path):
     got = spark.sql("SELECT region, ts, value FROM append_dedup").collect()
     assert len(got) == 4
     assert len({(r.region, r.ts) for r in got}) == 4
+
+
+def test_session_windows_split_on_gap(spark, tmp_path):
+    """A cadence gap larger than the session gap closes the session:
+    8 frames with one 45-min hole yield exactly two sessions."""
+    t0 = dt.datetime(2019, 7, 23, 21, 0, 0)
+    times = [0, 15, 30, 45, 105, 120, 135, 150]  # minutes; 45→105 gap
+    rows = [("R1", t0 + dt.timedelta(minutes=m), 1.0) for m in times]
+    df = spark.createDataFrame(rows, ["region", "ts", "value"])
+    path = str(tmp_path / "gap_in")
+    df.coalesce(1).write.parquet(path)
+    st = streaming.frame_stream(spark, path, df.schema)
+    out = streaming.session_windows(st, gap="30 minutes")
+    _run_stream(out, "agg_sessions")
+    got = spark.sql("SELECT n_frames FROM agg_sessions ORDER BY n_frames").collect()
+    assert [r.n_frames for r in got] == [4, 4]
