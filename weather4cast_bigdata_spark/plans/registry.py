@@ -1969,6 +1969,43 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 @qdef(
+    "plot_frame_grid",
+    oracle="""
+    WITH slots AS (
+        SELECT DISTINCT user_id,
+               make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS slot
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, slot,
+               row_number() OVER (PARTITION BY user_id ORDER BY slot) - 1 AS pos
+        FROM slots
+    )
+    SELECT user_id, slot,
+           CASE pos WHEN 1 THEN 0 WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 3
+                    WHEN 11 THEN 4 WHEN 19 THEN 5 WHEN 35 THEN 6 END AS panel_idx,
+           CASE pos WHEN 1 THEN -2 WHEN 3 THEN 0 WHEN 4 THEN 1 WHEN 6 THEN 3
+                    WHEN 11 THEN 8 WHEN 19 THEN 16 WHEN 35 THEN 32 END AS t_offset
+    FROM numbered
+    WHERE pos IN (1, 3, 4, 6, 11, 19, 35)
+    """,
+)
+def q_plot_frame_grid(spark, sf_dir):
+    """Positional frame selection for the prediction-vs-truth plot
+    grid (plots.py:12-51): past panels (1,3), future panels
+    (0,2,7,15,31) of the 4+32 sequence, with the reference's T-offset
+    titles. The visualization's data op — rendering is an import-gated
+    driver-side step over this already-pruned set."""
+    from weather4cast_bigdata_spark.plans.plots import frame_grid_data
+
+    events = _t(spark, sf_dir, "events")
+    slots = windows.with_time_slot(events, "ts", 15).select("user_id", "slot").distinct()
+    return frame_grid_data(slots, keys=["user_id"], ts_col="slot").select(
+        "user_id", "slot", "panel_idx", "t_offset"
+    )
+
+
+@qdef(
     "sample_stratified_split",
     oracle=f"""
     SELECT doc_id, lang,
