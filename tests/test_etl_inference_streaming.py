@@ -241,3 +241,24 @@ def test_session_windows_split_on_gap(spark, tmp_path):
     _run_stream(out, "agg_sessions")
     got = spark.sql("SELECT n_frames FROM agg_sessions ORDER BY n_frames").collect()
     assert [r.n_frames for r in got] == [4, 4]
+
+
+def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
+    """One malformed JSONL line must neither kill the scan nor vanish:
+    PERMISSIVE mode lands it in _corrupt_record; clean reads drop it."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from weather4cast_bigdata_spark.sources import jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+    )
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    clean = jsonl.read_jsonl(spark, str(p), schema)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    kept = jsonl.read_jsonl(spark, str(p), schema, keep_corrupt=True)
+    corrupt = [r for r in kept.collect() if r[jsonl.CORRUPT_COL] is not None]
+    assert len(corrupt) == 1 and "NOT JSON" in corrupt[0][jsonl.CORRUPT_COL]

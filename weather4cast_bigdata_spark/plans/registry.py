@@ -1969,6 +1969,31 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 @qdef(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_scan_jsonl_roundtrip(spark, sf_dir):
+    """JSONL interchange round-trip: documents → JSON-lines sink →
+    schema-explicit PERMISSIVE read must reproduce the table
+    bit-exactly (hash-matched against the original). Proves the
+    training-data ingest path (explicit schema — no inferSchema extra
+    pass; corrupt lines quarantined, not fatal)."""
+    import tempfile
+
+    from weather4cast_bigdata_spark.sources import jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="w4c_jsonl_")
+    jsonl.write_jsonl(docs, out)
+    schema = docs.schema
+    return jsonl.read_jsonl(spark, out, schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@qdef(
     "plot_frame_grid",
     oracle="""
     WITH slots AS (
