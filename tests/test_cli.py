@@ -32,3 +32,10 @@ def test_cli_ensemble_ridge_beats_equal(spark, capsys):
 def test_cli_region_filter(spark, capsys):
     assert main(["evaluate", "--regions", "R1"]) == 0
     assert "valid start times:" in capsys.readouterr().out
+
+
+def test_cli_ensemble_lagrange_weights_sum_to_one(spark, capsys):
+    assert main(["evaluate_ensemble", "--ensemble-weights", "ridge_lagrange"]) == 0
+    out = capsys.readouterr().out
+    weights = eval(out.split("weights (ridge_lagrange):", 1)[1].splitlines()[0].strip())
+    assert abs(sum(weights) - 1.0) < 1e-3
