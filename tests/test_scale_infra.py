@@ -170,3 +170,15 @@ def test_static_dim_join_is_broadcast_no_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     import re
     assert not re.search(r"^\s*\(\d+\) Exchange", plan, re.M)
+
+
+def test_lake_schema_evolution_merge(spark, tmp_path):
+    """A growing lake gains columns over time: mergeSchema reads old
+    and new files together, old rows NULL-filled for new columns —
+    no rewrite of petabytes of history."""
+    base = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(base + "/p=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]).write.parquet(base + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
