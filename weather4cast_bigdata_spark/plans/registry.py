@@ -1994,6 +1994,28 @@ def q_scan_jsonl_roundtrip(spark, sf_dir):
 
 
 @qdef(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_scan_csv_roundtrip(spark, sf_dir):
+    """CSV interchange round-trip with the same discipline as JSONL
+    (explicit schema, header, PERMISSIVE quarantine): write → read
+    must reproduce the documents table bit-exactly."""
+    import tempfile
+
+    from weather4cast_bigdata_spark.sources import jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="w4c_csv_")
+    jsonl.write_csv(docs, out)
+    return jsonl.read_csv(spark, out, docs.schema).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@qdef(
     "plot_frame_grid",
     oracle="""
     WITH slots AS (

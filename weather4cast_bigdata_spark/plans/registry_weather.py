@@ -401,6 +401,33 @@ def q_agg_cube(spark, sf_dir):
     )
 
 
+@qdef(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice) + 1e-9, 6) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form of rollup/cube
+    (zero-cost Spark extension, SURVEY.md §2.4 note): per-status,
+    per-priority, and grand-total subtotals in ONE shuffle via
+    Expand + partial aggregation, instead of three separate
+    groupBys + union."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("w4c_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice) + 1e-9, 6) AS total
+        FROM w4c_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 @qdef("agg_approx_distinct")
 def q_agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimate per event type — the

@@ -44,3 +44,30 @@ def read_jsonl(
     if keep_corrupt:
         return df
     return df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+
+
+def write_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """CSV sink with header; quotes/escapes applied by Spark so text
+    round-trips (the other common interchange format)."""
+    w = df.write.mode("overwrite").option("header", "true")
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, keep_corrupt: bool = False
+) -> DataFrame:
+    """Schema-explicit CSV read, PERMISSIVE corrupt-line quarantine —
+    same discipline as :func:`read_jsonl` (no inferSchema pass)."""
+    full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
