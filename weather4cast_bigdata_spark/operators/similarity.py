@@ -313,3 +313,56 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "item_id", "cos_sim")
     )
+
+
+def cosine_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Broadcast-corpus brute-force top-k: the physical shape
+    exhaustive scoring should take when the corpus index fits in
+    executor memory — replicate the (ids, matrix, norms) triple once
+    per worker via a broadcast variable, then stream query batches
+    through ONE BLAS matmul each. No crossJoin row explosion, no
+    shuffle, no per-pair interpreted lambdas; wall-clock scales as
+    queries × corpus FLOPs at memory bandwidth. Value-identical to
+    :func:`cosine_topk` (same +1e-9/round-6 policy applied BEFORE
+    ranking, same (cos desc, item_id) tie-break) — the registry
+    checks both against one oracle. Corpus larger than worker memory
+    → shard the corpus and merge per-shard top-k, or switch to
+    :func:`ivf_cosine_topk`.
+    """
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack(
+        [np.asarray(rows[int(i)][1], dtype=np.float64) for i in order]
+    )
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+    bc = queries.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            qn = np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+            sims = np.round((q @ b_mat.T) / (qn * b_norms) + 1e-9, 6)
+            out = []
+            for qi, qid in enumerate(pdf[id_col].to_numpy()):
+                s = sims[qi]
+                keep = b_ids != qid  # exclude self
+                cand_ids, cand_s = b_ids[keep], s[keep]
+                top = np.lexsort((cand_ids, -cand_s))[:k]
+                for rank, j in enumerate(top, start=1):
+                    out.append((int(qid), rank, int(cand_ids[j]), float(cand_s[j])))
+            yield pd.DataFrame(out, columns=["query_id", "rank", "item_id", "cos_sim"])
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, rank int, item_id long, cos_sim double"
+    )

@@ -1801,6 +1801,20 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 @qdef(
+    "sim_cosine_topk_blas",
+    oracle="WITH " + _COSINE_SQL.format(qfilter="WHERE vec_id < 8", pair_cond=""),
+)
+def q_sim_cosine_topk_blas(spark, sf_dir):
+    """Broadcast-corpus BLAS form of the brute-force baseline: corpus
+    matrix replicated once per worker, one matmul per Arrow query
+    batch — no crossJoin, no shuffle. Checked against the SAME oracle
+    as sim_cosine_topk, proving the vectorized path is value-identical
+    to the HOF form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_blas(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
+@qdef(
     "sim_cosine_bucketed",
     oracle="WITH "
     + _COSINE_SQL.format(
