@@ -178,3 +178,13 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     return scored.groupBy(id_col).agg(
         F.avg("lp").alias("mean_logprob"), F.count(F.lit(1)).alias("n_tokens")
     )
+
+
+def strip_markup(text: Column) -> Column:
+    """Drop HTML/XML tags and collapse whitespace — the boilerplate
+    scrub ahead of tokenization in web-corpus pipelines. Pure regexp
+    projection (codegen'd, no Python); entity decoding and boilerplate
+    extraction (readability-style) belong in a Pandas-UDF stage when a
+    real HTML parser is available."""
+    no_tags = F.regexp_replace(text, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))

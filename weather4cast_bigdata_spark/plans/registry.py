@@ -2117,6 +2117,25 @@ def q_text_unigram_logprob(spark, sf_dir):
 
 
 @qdef(
+    "text_strip_markup",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace('<p>' || text || '</p><br/>', '<[^>]*>', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def q_text_strip_markup(spark, sf_dir):
+    """HTML/markup scrub ahead of tokenization (synthetic tags wrapped
+    around each doc, then stripped): pure regexp projection, the
+    web-corpus boilerplate-removal step."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><br/>"))
+    return docs.select("doc_id", text.strip_markup(tagged).alias("clean"))
+
+
+@qdef(
     "text_vocab_topk",
     oracle=r"""
     WITH toks AS (
