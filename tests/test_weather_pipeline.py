@@ -167,3 +167,20 @@ def test_solve_ridge_sum1_numpy():
     aty = rng.uniform(size=5)
     w = solve_ridge_sum1(ata, aty)
     assert abs(w.sum() - 1.0) < 1e-10
+
+
+def test_region_constants_match_reference(spark):
+    """The region catalog carries the reference's exact constants
+    (datasets.py:113-127) and the intended roster semantics of the
+    missing-return quirk (main.py:48-52)."""
+    from weather4cast_bigdata_spark.sources import regions
+
+    assert len(regions.REGION_COORDINATES) == 11
+    assert regions.REGION_COORDINATES["R1"] == (1850, 760)
+    assert regions.REGION_COORDINATES["R11"] == (1000, 130)
+    assert regions.REGION_SIZE == (256, 256)
+    assert regions.regions_for_dir("w4c-core-stage-1") == regions.CORE_REGIONS
+    assert regions.regions_for_dir("w4c-transfer-learning-stage-1") == regions.TRANSFER_REGIONS
+    dim = regions.region_dim(spark)
+    assert dim.count() == 11
+    assert {r.region for r in dim.collect()} == set(regions.REGION_COORDINATES)
