@@ -34,7 +34,14 @@ ROWS_ONLY = sorted(name for name, qd in REGISTRY.items() if not qd.oracle)
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     qd = REGISTRY[name]
-    df = qd.fn(spark, sf_dir)
-    assert df.count() >= 0
-    # determinism: same plan twice → same row count
-    assert qd.fn(spark, sf_dir).count() == df.count()
+
+    def snapshot():
+        rows = qd.fn(spark, sf_dir).collect()
+        return sorted(tuple(str(v) for v in r) for r in rows)
+
+    first = snapshot()
+    assert len(first) >= 0
+    # determinism: every rows-only query (seeded sampling, streaming
+    # replays, binary decode, driver solves) must reproduce its FULL
+    # content run-to-run, not just its row count
+    assert snapshot() == first
