@@ -2067,6 +2067,47 @@ def q_plot_frame_grid(spark, sf_dir):
 
 
 @qdef(
+    "curation_source_stats",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, doc_id, text,
+               round({_QUALITY_SQL} + 1e-9, 6) AS quality,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(quality) + 1e-9, 6) AS mean_quality,
+           sum(n_tokens) AS total_tokens,
+           count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_exact_dups
+    FROM scored GROUP BY source
+    """,
+)
+def q_curation_source_stats(spark, sf_dir):
+    """Per-source corpus health report: doc count, mean quality,
+    token budget, and exact-duplicate count — the aggregation that
+    drives source-level keep/drop decisions ahead of per-doc
+    curation. One window (text-hash dedup mark) + one groupBy."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    scored = docs.select(
+        "source",
+        F.round(text.quality_score(F.col("text")) + F.lit(1e-9), 6).alias("quality"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r6(F.avg("quality")).alias("mean_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))).alias("n_exact_dups"),
+    )
+
+
+@qdef(
     "sample_stratified_split",
     oracle=f"""
     SELECT doc_id, lang,
