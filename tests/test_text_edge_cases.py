@@ -175,3 +175,18 @@ def test_null_text_flows_through(spark):
     assert dedup.minhash_signatures_docs(docs).count() == 1  # only doc 1
     q = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
     assert len(q) == 3  # no crash; NULL rows yield NULL scores
+
+
+def test_curate_survives_full_filtering(spark):
+    """A corpus where every doc fails the quality cut (or that is
+    empty) must curate to an empty result, not crash in the CC loop
+    or the canonical join."""
+    from weather4cast_bigdata_spark.plans.curation import curate
+
+    junk = spark.createDataFrame(
+        [(1, "!!!???...,,,;;;", "en", "s1", 15)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    assert curate(junk).count() == 0
+    empty = junk.where(F.lit(False))
+    assert curate(empty).count() == 0
