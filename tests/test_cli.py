@@ -39,3 +39,14 @@ def test_cli_ensemble_lagrange_weights_sum_to_one(spark, capsys):
     out = capsys.readouterr().out
     weights = eval(out.split("weights (ridge_lagrange):", 1)[1].splitlines()[0].strip())
     assert abs(sum(weights) - 1.0) < 1e-3
+
+
+def test_cli_external_frames_dir(spark, tmp_path, capsys):
+    """--frames-dir points the same modes at any Parquet frame lake
+    (the etl_to_parquet output) instead of the bundled fixtures."""
+    from weather4cast_bigdata_spark.sources import weather_fixtures
+
+    lake = str(tmp_path / "frames")
+    weather_fixtures.load_fixtures(spark)["frames"].write.parquet(lake)
+    assert main(["evaluate", "--frames-dir", lake]) == 0
+    assert "valid start times:" in capsys.readouterr().out
