@@ -108,3 +108,20 @@ def test_rot90_remap_matches_numpy(spark):
     ).collect()
     for r in remapped:
         assert rot[r.ry, r.rx] == r.v
+
+
+def test_flip_remaps_match_numpy(spark):
+    """flipud/fliplr coordinate remaps pinned against the numpy calls
+    the reference makes (datasets.py:293-297)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = 4
+    grid = np.arange(n * n).reshape(n, n)
+    rows = [(int(y), int(x), int(grid[y, x])) for y in range(n) for x in range(n)]
+    df = spark.createDataFrame(rows, ["y", "x", "v"])
+    ud = df.select((F.lit(n - 1) - F.col("y")).alias("ry"), F.col("x").alias("rx"), "v").collect()
+    lr = df.select(F.col("y").alias("ry"), (F.lit(n - 1) - F.col("x")).alias("rx"), "v").collect()
+    fud, flr = np.flipud(grid), np.fliplr(grid)
+    assert all(fud[r.ry, r.rx] == r.v for r in ud)
+    assert all(flr[r.ry, r.rx] == r.v for r in lr)
