@@ -733,6 +733,30 @@ def q_join_bucketed_colocated(spark, sf_dir):
     )
 
 
+@qdef("streaming_running_gram")
+def q_streaming_running_gram(spark, sf_dir):
+    """Update-mode running Gram statistics over the frame stream —
+    the streaming form of the ensemble's incremental ATA/ATy mean
+    (ensemble.py:26-41): Spark's partial+final streaming aggregation
+    IS the (k·A + A_batch)/(k+1) recurrence."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_frames_dir(spark)
+    _STREAM_COUNTER[0] += 1
+    name = f"w4c_stream_gram_{_STREAM_COUNTER[0]}"
+    st = spark.readStream.format("parquet").schema(schema).load(path).select(
+        "ts",
+        (F.col("value") / 100.0).alias("p1"),
+        (F.col("value") / 200.0).alias("p2"),
+        (F.col("value") / 50.0).alias("y"),
+    )
+    g = streaming.running_gram_stats(st, ["p1", "p2"], "y")
+    _run_to_table(g, name, "complete")
+    out = spark.table(name)
+    rounded = [F.round(F.col(c) + F.lit(1e-9), 6).alias(c) for c in out.columns if c != "n_rows"]
+    return out.select(*rounded, "n_rows")
+
+
 @qdef("streaming_session_windows")
 def q_streaming_session_windows(spark, sf_dir):
     """Event-time session windows over the frame stream (native
