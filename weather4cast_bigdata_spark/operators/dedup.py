@@ -329,7 +329,7 @@ def connected_components(
     labels = (
         sym.select("id").distinct().select("id", F.col("id").alias("comp"))
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "nbr"), on="nbr")
             .select("id", "comp")
@@ -349,6 +349,12 @@ def connected_components(
             )
             .select("id", F.coalesce("_jump", "comp").alias("comp"))
         ).localCheckpoint(eager=True)
+        if _round == 0:
+            # identity labels always improve when any edge exists;
+            # probing here would burn a job to learn nothing — the
+            # empty-edge case just runs one extra (empty) round
+            labels = nxt
+            continue
         improved = (
             nxt.join(labels.withColumnRenamed("comp", "prev"), on="id")
             .where(F.col("comp") < F.col("prev"))
