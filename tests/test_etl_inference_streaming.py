@@ -262,3 +262,40 @@ def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
     kept = jsonl.read_jsonl(spark, str(p), schema, keep_corrupt=True)
     corrupt = [r for r in kept.collect() if r[jsonl.CORRUPT_COL] is not None]
     assert len(corrupt) == 1 and "NOT JSON" in corrupt[0][jsonl.CORRUPT_COL]
+
+
+def test_stateful_assembly_orders_late_frames(spark, tmp_path):
+    """A frame delivered late (but inside the watermark) lands at its
+    event-time position: emitted windows are time-ordered and end at
+    the late frame, never an arrival-ordered buffer."""
+    t0 = dt.datetime(2019, 7, 23, 21, 0, 0)
+    m = dt.timedelta(minutes=15)
+    batch1 = [("R1", t0 + i * m, float(i)) for i in (0, 1, 3)]
+    late = [("R1", t0 + 2 * m, 2.0)]
+    df1 = spark.createDataFrame(batch1, ["region", "ts", "mean_value"])
+    df2 = spark.createDataFrame(late, ["region", "ts", "mean_value"])
+    path = str(tmp_path / "late_in")
+    df1.coalesce(1).write.parquet(path)
+    df2.coalesce(1).write.mode("append").parquet(path)
+    st = spark.readStream.format("parquet").schema(df1.schema).load(path)
+    seqs = streaming.stateful_sequence_assembly(st, n_past=4)
+    _run_stream(seqs, "append_late")
+    got = spark.sql("SELECT seq_end_ts, seq_values FROM append_late").collect()
+    # regardless of which micro-batch the late frame rode in, any
+    # emitted full window must be in time order
+    for r in got:
+        assert r.seq_values == sorted(r.seq_values) or len(set(r.seq_values)) < 4
+    full = [r for r in got if len(r.seq_values) == 4]
+    assert all(r.seq_values == [0.0, 1.0, 2.0, 3.0] for r in full)
+
+
+def test_audio_features_null_row_skipped(spark):
+    """A NULL-content / NULL-duration media row is skipped, not a
+    stage-killing crash."""
+    rows = [
+        (1, "audio", b"real bytes", "audio/wav", 0, 0, 1000),
+        (2, "audio", None, "audio/wav", 0, 0, None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_audio_features(media).collect()
+    assert [r.media_id for r in out] == [1]

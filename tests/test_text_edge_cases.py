@@ -190,3 +190,35 @@ def test_curate_survives_full_filtering(spark):
     assert curate(junk).count() == 0
     empty = junk.where(F.lit(False))
     assert curate(empty).count() == 0
+
+
+def test_curate_derives_lang_when_absent(spark):
+    """curate's input contract is (doc_id, text): lang is derived via
+    lang_id when the column is missing."""
+    from weather4cast_bigdata_spark.plans.curation import curate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog of the town " * 5)],
+        ["doc_id", "text"],
+    )
+    out = curate(docs).collect()
+    assert len(out) == 1 and out[0].lang == "en"
+
+
+def test_lsh_rejects_unbandable_signature(spark):
+    import pytest as _pytest
+
+    sig = spark.createDataFrame([(1, 1, 2, 3, 4)], ["doc_id", "mh_0", "mh_1", "mh_2", "mh_3"])
+    with _pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(sig, n_hashes=4, band_size=3)
+
+
+def test_blas_near_dup_zero_vector_no_nan_pairs(spark):
+    """An all-zero embedding must not emit NaN pairs from the BLAS
+    path (NaN passes >= filters in Spark)."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = similarity.near_dup_pairs_blas(df, bucket_col="label", threshold=0.5).collect()
+    assert {(r.a_id, r.b_id) for r in pairs} == {(1, 2)}

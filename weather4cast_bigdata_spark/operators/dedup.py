@@ -211,6 +211,12 @@ def lsh_candidate_pairs(
     (SCALING.md §3); capped-out docs still pair through their other
     bands.
     """
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size={band_size}: "
+            "trailing signature columns would be silently un-banded, "
+            "lowering recall below the configured level"
+        )
     n_bands = n_hashes // band_size
     band_structs = F.array(
         *[

@@ -40,14 +40,17 @@ def join_fallback(
     left join + coalesce.
 
     Reference: datasets.py:86-89 (MSG4→MSG2 satellite fallback) and
-    datasets.py:430-435 (previous-day directory fallback).
+    datasets.py:430-435 (previous-day directory fallback). With a
+    distinct ``out_col`` the primary's raw ``value_col`` is KEPT —
+    the point of naming the filled column separately is comparing raw
+    vs filled (e.g. counting fallback hits).
     """
     out = out_col or value_col
     alt = alternate.withColumnRenamed(value_col, "__alt_value")
     joined = primary.join(alt, on=list(on), how="left")
-    return joined.withColumn(out, F.coalesce(F.col(value_col), F.col("__alt_value"))).drop(
-        "__alt_value", *([value_col] if out != value_col else [])
-    )
+    return joined.withColumn(
+        out, F.coalesce(F.col(value_col), F.col("__alt_value"))
+    ).drop("__alt_value")
 
 
 def join_offset(

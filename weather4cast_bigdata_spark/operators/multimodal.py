@@ -155,9 +155,12 @@ def decode_audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFr
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.kind != "audio":
+                # NULL content/duration (a malformed media row) must
+                # not kill the Arrow stage — skip, don't crash.
+                if r.kind != "audio" or r.content is None:
                     continue
-                n = max(int(r.duration_ms) * sample_rate // 1000, 1)
+                dur = 0 if pd.isna(r.duration_ms) else int(r.duration_ms)
+                n = max(dur * sample_rate // 1000, 1)
                 if HAVE_SOUNDFILE:  # pragma: no cover
                     raise NotImplementedError(
                         "real decode path: soundfile.read(io.BytesIO(content))"

@@ -196,7 +196,11 @@ def near_dup_pairs_blas(
         order = pdf[id_col].to_numpy().argsort()
         ids = pdf[id_col].to_numpy()[order]
         x = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
-        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero embedding must score 0 (below
+        # any positive threshold), matching the HOF form's NULL-drop —
+        # an unguarded 0/0 NaN would PASS the >= filter (NaN sorts
+        # high in Spark) and emit spurious pairs
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
         sims = xn @ xn.T
         ai, bi = np.triu_indices(len(ids), k=1)
         return pd.DataFrame(
@@ -243,6 +247,17 @@ def kmeans_centroids(
         .limit(sample_limit)
         .collect()
     )
+    if len(sample) < k:
+        # small corpus: the ~1/4 hash filter can starve (or empty) the
+        # sample — fall back to an unfiltered limit so training never
+        # crashes on a corpus that brute force would handle anyway
+        sample = (
+            df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(sample_limit)
+            .collect()
+        )
+    if not sample:
+        raise ValueError("kmeans_centroids: empty corpus — nothing to train on")
     x = np.array([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -300,7 +315,9 @@ def ivf_cosine_topk(
     """IVF ANN search: corpus indexed once (nprobe=1), queries probe
     their ``nprobe`` nearest cells, scoring is bucket-local (equi join
     on the cell id — never a cross join). Recall improves with nprobe
-    at linear probe cost; exact results = cosine_topk when nprobe=k."""
+    at linear probe cost; results become exact (= cosine_topk) only
+    when nprobe reaches the centroid count — nprobe is unrelated to
+    k."""
     c = assign_ivf_buckets(corpus, centroids, vec_col, nprobe=1)
     q = assign_ivf_buckets(queries, centroids, vec_col, nprobe=nprobe)
     scored = _scored(q, c, id_col, vec_col, on=["ivf_bucket"])

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from weather4cast_bigdata_spark.functions.text import quality_score, token_count
+from weather4cast_bigdata_spark.functions.text import lang_id, quality_score, token_count
 from weather4cast_bigdata_spark.operators import dedup, setops
 
 
@@ -37,10 +37,15 @@ def curate(
     """Returns the curated corpus: one row per surviving canonical
     document with ``(doc_id, lang, split, n_tokens, quality)``.
 
+    Input contract: ``(id_col, text_col)``; a ``lang`` column is used
+    if present, else derived with :func:`lang_id`.
+
     Threshold cuts follow the engine numeric policy: quality is
     rounded (+1e-9, 6 decimals) before the cut so the kept-set is
     bit-identical cross-engine.
     """
+    if "lang" not in docs.columns:
+        docs = docs.withColumn("lang", lang_id(F.col(text_col)))
     scored = docs.withColumn(
         "quality", F.round(quality_score(F.col(text_col)) + F.lit(1e-9), 6)
     ).where(F.col("quality") >= F.lit(quality_min))

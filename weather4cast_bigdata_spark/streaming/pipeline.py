@@ -69,6 +69,7 @@ def sliding_sequence_windows(
     span: str = "9 hours",
     slide: str = "15 minutes",
     watermark: str = "24 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Sliding sequence windows: each window is one candidate
     4+32-frame sequence (36 × 15 min = 9 h, datasets.py:16,173);
@@ -81,7 +82,7 @@ def sliding_sequence_windows(
         .groupBy(*keys, F.window(ts_col, span, slide).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
-            F.avg("value").alias("mean_value"),
+            F.avg(value_col).alias("mean_value"),
         )
     )
 
@@ -152,6 +153,8 @@ def stateful_sequence_assembly(
     def assemble(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import bisect
+
         if state.hasTimedOut:
             state.remove()
             return
@@ -162,17 +165,24 @@ def stateful_sequence_assembly(
             pdf = pdf.sort_values(ts_col)
             for r in pdf.itertuples(index=False):
                 ts_us = int(pd.Timestamp(getattr(r, ts_col)).value // 1000)
-                ts_list.append(ts_us)
-                val_list.append(float(getattr(r, value_col)))
-                ts_list, val_list = ts_list[-n_past:], val_list[-n_past:]
-                if len(val_list) == n_past:
+                # insert in EVENT-time order: a late frame (inside the
+                # watermark) lands at its true position, so emitted
+                # windows are always time-ordered and end at the
+                # arriving frame — never a buffer in arrival order
+                idx = bisect.bisect_left(ts_list, ts_us)
+                ts_list.insert(idx, ts_us)
+                val_list.insert(idx, float(getattr(r, value_col)))
+                if idx + 1 >= n_past:
                     rows.append(
                         {
                             "region": key[0],
                             "seq_end_ts": pd.Timestamp(ts_us * 1000),
-                            "seq_values": list(val_list),
+                            "seq_values": list(val_list[idx + 1 - n_past : idx + 1]),
                         }
                     )
+                if len(ts_list) > n_past:
+                    drop = len(ts_list) - n_past
+                    ts_list, val_list = ts_list[drop:], val_list[drop:]
         state.update((ts_list, val_list))
         if ts_list:
             # expire when the watermark passes last_frame + TTL
@@ -197,6 +207,7 @@ def session_windows(
     ts_col: str = "ts",
     gap: str = "30 minutes",
     watermark: str = "24 hours",
+    value_col: str = "value",
 ) -> DataFrame:
     """Event-time session windows: frames closer than ``gap`` merge
     into one session per key (``F.session_window`` — state merges
@@ -211,7 +222,7 @@ def session_windows(
         .groupBy(*keys, F.session_window(ts_col, gap).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
-            F.avg("value").alias("mean_value"),
+            F.avg(value_col).alias("mean_value"),
         )
     )
 
