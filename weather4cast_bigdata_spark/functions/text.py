@@ -21,7 +21,14 @@ BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization → array<string>."""
+    """Whitespace tokenization → array<string>.
+
+    Convention: an empty/whitespace-only document tokenizes to
+    ``[""]`` (size 1), matching the SQL oracle's
+    ``string_split_regex`` exactly — every token-count/shingle/hash
+    expression relies on the two engines agreeing on this edge, so do
+    NOT filter the empty string here without changing every oracle.
+    """
     return F.split(F.trim(text), TOKEN_SPLIT_RE)
 
 
@@ -115,9 +122,11 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    # try_divide: a zero-length document must yield NULL ratios, not
-    # kill the job under ANSI mode (one empty doc in a 100 TB corpus
-    # would otherwise fail the whole stage).
+    # try_divide: a zero-length document must yield a NULL punct
+    # ratio, not kill the job under ANSI mode (one empty doc in a
+    # 100 TB corpus would otherwise fail the whole stage). n_tok is
+    # never 0 (tokens("") == [""]), so the token-ratio guards are
+    # belt-and-suspenders only.
     return {
         "n_tokens": n_tok,
         "n_chars": n_chars,
@@ -140,17 +149,30 @@ def quality_score(text: Column) -> Column:
 # --- fingerprinting ---------------------------------------------------------
 
 
+FINGERPRINT_MOD = 2_305_843_009_213_693_951  # 2^61 - 1 (Mersenne)
+
+
 def fingerprint(text: Column) -> Column:
     """Order-sensitive document fingerprint: Σ h32(token_i)·i over
-    1-based positions. Overflow-safe (32-bit hash × ≤2^20 positions
-    fits in int64) and exactly reproducible in the SQL oracle —
-    the deterministic stand-in for a rolling Rabin hash.
+    1-based positions, reduced mod 2^61−1 — the deterministic
+    stand-in for a rolling Rabin hash.
+
+    The per-step mod keeps the accumulator overflow-safe at any
+    document length (term ≤ 2^52, acc < 2^61, sum < 2^63; an
+    unreduced Σ overflows int64 around 100k tokens and ANSI mode
+    kills the stage). Mod distributes over addition, so the oracle's
+    ``sum(term) % M`` (DuckDB sums BIGINT into HUGEINT — no overflow
+    there) matches bit-exactly.
     """
     terms = F.transform(
         tokens(text),
         lambda x, i: md5_hash32(x) * (i + F.lit(1)).cast("bigint"),
     )
-    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: F.pmod(acc + v, F.lit(FINGERPRINT_MOD)),
+    )
 
 
 def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):

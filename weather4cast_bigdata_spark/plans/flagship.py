@@ -62,9 +62,11 @@ def flagship_evaluate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Inverse-variance weights (models.py:304-318 analog) — a tiny
     # dim, broadcast-joined.
+    # try_divide: a constant-valued variable (variance 0) must yield a
+    # NULL weight, not an ANSI DIVIDE_BY_ZERO that kills the query.
     weights = (
         frames.groupBy("event_type")
-        .agg((F.lit(1.0) / F.var_samp("value")).alias("inv_var"))
+        .agg(F.try_divide(F.lit(1.0), F.var_samp("value")).alias("inv_var"))
     )
     total_w = weights.agg(F.sum("inv_var").alias("w_sum"))
     weights = weights.crossJoin(F.broadcast(total_w)).select(

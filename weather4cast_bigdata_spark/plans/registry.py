@@ -1752,13 +1752,16 @@ def q_text_quality_score(spark, sf_dir):
         FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
         WHERE i <= len(w)
     )
-    SELECT doc_id, sum(term) AS fingerprint FROM positioned GROUP BY doc_id
+    SELECT doc_id,
+           CAST(sum(term) % 2305843009213693951 AS BIGINT) AS fingerprint
+    FROM positioned GROUP BY doc_id
     """,
 )
 def q_text_fingerprint(spark, sf_dir):
-    """Order-sensitive document fingerprint: Σ h32(token_i)·i —
-    integer arithmetic, exactly reproducible cross-engine (the
-    deterministic stand-in for a rolling Rabin hash)."""
+    """Order-sensitive document fingerprint: Σ h32(token_i)·i mod
+    2^61−1 — integer arithmetic, exactly reproducible cross-engine
+    (Spark reduces stepwise to stay overflow-safe; DuckDB sums into
+    HUGEINT then reduces — mod distributes over addition)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions import scalar
 from weather4cast_bigdata_spark.operators import aggregates, joins, windows
-from weather4cast_bigdata_spark.solve import gram_row_to_matrices, solve_ridge, solve_ridge_sum1
+from weather4cast_bigdata_spark.solve import fit_ensemble_weights
 
 
 def decode_normalize(frames: DataFrame, variable_meta: DataFrame) -> DataFrame:
@@ -42,7 +42,15 @@ def impute(decoded: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    frame_w = Window.partitionBy("region", "product", "variable", "ts")
+    # include subset when present: training/validation frames can
+    # coexist at the same (region, product, variable, ts) in the
+    # partitioned lake, and a frame's mean must never blend pixels
+    # across subsets
+    frame_keys = [
+        c for c in ("region", "subset", "product", "variable", "ts")
+        if c in decoded.columns
+    ]
+    frame_w = Window.partitionBy(*frame_keys)
     frame_mean = F.avg("norm").over(frame_w)  # avg skips NULLs
     imputed = F.when(
         F.col("norm").isNotNull(), F.col("norm")
@@ -63,9 +71,12 @@ def valid_start_times(frames: DataFrame, n_slots: int = 36) -> DataFrame:
     across products by a group-count equality (single shuffle, no
     k-way join chain).
     """
-    per_product = frames.select("region", "product", "ts").distinct()
+    # subset-aware when present: a slot existing only in the other
+    # subset must not validate a sequence that is gapped within one
+    stream_keys = [c for c in ("region", "subset") if c in frames.columns]
+    per_product = frames.select(*stream_keys, "product", "ts").distinct()
     valid = windows.filter_valid_sequence(
-        per_product, keys=["region", "product"], slot_col="ts", n_slots=n_slots
+        per_product, keys=[*stream_keys, "product"], slot_col="ts", n_slots=n_slots
     )
     # Product count stays inside the plan as a broadcast scalar — no
     # eager driver-side pass over the lake just to learn |products|.
@@ -73,11 +84,11 @@ def valid_start_times(frames: DataFrame, n_slots: int = 36) -> DataFrame:
         F.count(F.lit(1)).alias("_n_products_total")
     )
     return (
-        valid.groupBy("region", "ts")
+        valid.groupBy(*stream_keys, "ts")
         .agg(F.count(F.lit(1)).alias("n_products"))
         .crossJoin(F.broadcast(totals))
         .where(F.col("n_products") == F.col("_n_products_total"))
-        .select("region", "ts")
+        .select(*stream_keys, "ts")
     )
 
 
@@ -117,11 +128,15 @@ def fit_ensemble_weights_plan(
         "model_id", *([list(model_ids)] if model_ids is not None else [])
     )
     wide = pivot.agg(F.first("pred"))
-    pred_cols = [c for c in wide.columns if c not in keys + ["truth"]]
-    pred_cols = sorted(pred_cols, key=int)
-    row = aggregates.gram_matrix(wide, pred_cols, "truth").collect()[0]
-    ata, aty = gram_row_to_matrices(row, len(pred_cols))
-    return solve_ridge_sum1(ata, aty) if sum1 else solve_ridge(ata, aty)
+    # weight order = caller's roster order when given (model ids can
+    # be any type — never parse them as ints); else Spark's sorted
+    # discovery order, taken straight from the pivot columns
+    pred_cols = (
+        [str(m) for m in model_ids]
+        if model_ids is not None
+        else [c for c in wide.columns if c not in keys + ["truth"]]
+    )
+    return fit_ensemble_weights(wide, pred_cols, "truth", sum1=sum1)
 
 
 def blend_predictions(

@@ -32,18 +32,28 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> Non
 def read_jsonl(
     spark: SparkSession, path: str, schema: StructType, keep_corrupt: bool = False
 ) -> DataFrame:
-    """Schema-explicit JSONL read; malformed lines are quarantined to
-    ``_corrupt_record`` (PERMISSIVE) instead of failing the scan."""
+    """Schema-explicit JSONL read; malformed lines never fail the scan.
+
+    ``keep_corrupt=False`` drops them in the scan itself
+    (DROPMALFORMED) — a post-hoc ``_corrupt_record`` filter would
+    break column-pruned queries (Spark forbids a raw JSON/CSV query
+    whose only referenced column is the corrupt column, so even
+    ``.count()`` on the filtered frame throws). ``keep_corrupt=True``
+    returns the PERMISSIVE frame with ``_corrupt_record`` for
+    quarantine inspection; select at least one data column alongside
+    it (or cache first) when aggregating, for the same pruning rule.
+    """
+    if not keep_corrupt:
+        return (
+            spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+        )
     full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
-    df = (
+    return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    if keep_corrupt:
-        return df
-    return df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
 
 
 def write_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
@@ -58,16 +68,22 @@ def write_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
 def read_csv(
     spark: SparkSession, path: str, schema: StructType, keep_corrupt: bool = False
 ) -> DataFrame:
-    """Schema-explicit CSV read, PERMISSIVE corrupt-line quarantine —
-    same discipline as :func:`read_jsonl` (no inferSchema pass)."""
+    """Schema-explicit CSV read — same discipline and corrupt-line
+    handling as :func:`read_jsonl` (no inferSchema pass; DROPMALFORMED
+    clean path so column-pruned queries never trip the
+    corrupt-column-only restriction)."""
+    if not keep_corrupt:
+        return (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+        )
     full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
-    df = (
+    return (
         spark.read.schema(full)
         .option("header", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
     )
-    if keep_corrupt:
-        return df
-    return df.where(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)

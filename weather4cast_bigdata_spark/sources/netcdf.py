@@ -134,6 +134,14 @@ def decode_frames(
                         data = _real_decode(bytes(row.content), variable)
                     else:
                         data = _fake_decode(row.path, variable, h, w)
+                    if data.shape != (h, w):
+                        # fail fast with coordinates intact — a
+                        # mismatched decode must never silently
+                        # scatter values to wrong (y, x) labels
+                        raise ValueError(
+                            f"decoded {row.path}:{variable} has shape "
+                            f"{data.shape}, expected grid {(h, w)}"
+                        )
                     out.append(
                         pd.DataFrame(
                             {

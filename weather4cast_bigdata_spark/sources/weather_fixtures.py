@@ -181,14 +181,17 @@ def ensemble_weights_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-_FIXTURE_CACHE: dict[int, dict[str, DataFrame]] = {}
+_FIXTURE_CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
 def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
     """Deterministic fixture tables, memoized per session — ~20
     registry queries consume them, and the pandas→Arrow conversion
-    need only happen once per driver run."""
-    key = id(spark)
+    need only happen once per driver run. Keyed by applicationId
+    (unique per SparkContext): an ``id(spark)`` key could alias a new
+    session allocated at a dead session's recycled address and hand
+    out DataFrames bound to a stopped context."""
+    key = spark.sparkContext.applicationId
     if key not in _FIXTURE_CACHE:
         _FIXTURE_CACHE.clear()  # one live session at a time
         _FIXTURE_CACHE[key] = {
