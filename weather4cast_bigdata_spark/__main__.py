@@ -47,7 +47,11 @@ def main(argv=None) -> int:
     p.add_argument("--submission-dir", default="", help="submit: output path for the quantized partitioned sink")
     p.add_argument("--ensemble-weights", default="ridge", choices=["ridge", "equal", "ridge_lagrange"])
     args = p.parse_args(argv)
-    regions = args.regions.split(",") if args.regions else None
+    regions = (
+        [r.strip() for r in args.regions.split(",") if r.strip()]
+        if args.regions
+        else None
+    )
 
     spark = get_spark("w4c-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,6 +88,11 @@ def main(argv=None) -> int:
         preds = _region_filter(fx["predictions"], regions)
         k = weather_fixtures.ENSEMBLE_K
         variables = [r[0] for r in preds.select("variable").distinct().collect()]
+        if not variables:
+            p.error(
+                f"no predictions after region filter {regions} — "
+                "check the region names against the frame lake"
+            )
         if args.ensemble_weights == "equal":
             w = [1.0 / k] * k
         else:

@@ -62,6 +62,9 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def qdef(name: str, oracle: str | None = None):
     def deco(fn):
+        # a silent overwrite would drop a query (and its oracle
+        # coverage) from the driver gate with every test still green
+        assert name not in REGISTRY, f"duplicate registry query name: {name}"
         REGISTRY[name] = QueryDef(name, fn, oracle, (fn.__doc__ or "").strip())
         return fn
 
@@ -1470,12 +1473,17 @@ def q_json_get(spark, sf_dir):
 _TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
 _H32_SQL = "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
 
+# Per-row range — no fixed position cap, so the oracle never silently
+# truncates a long document the Spark side processes in full.
 _SHINGLES_SQL = f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 3
+    ),
     shingled AS (
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
-        WHERE i + 2 <= len(w)
+        FROM pos
     )
 """
 
@@ -1747,10 +1755,11 @@ def q_text_quality_score(spark, sf_dir):
     "text_fingerprint",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks
+    ),
     positioned AS (
-        SELECT doc_id, {_H32_SQL.format(expr='w[i]')} * i AS term
-        FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
-        WHERE i <= len(w)
+        SELECT doc_id, {_H32_SQL.format(expr='w[i]')} * i AS term FROM pos
     )
     SELECT doc_id,
            CAST(sum(term) % 2305843009213693951 AS BIGINT) AS fingerprint
@@ -1779,7 +1788,7 @@ _COSINE_SQL = """
         GROUP BY query_id, item_id
     ),
     scored AS (
-        SELECT query_id, item_id, round(dot / (nq * nc) + 1e-9, 6) AS cos_sim
+        SELECT query_id, item_id, round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
         FROM dots
     )
     SELECT query_id, rank, item_id, cos_sim FROM (
@@ -1885,7 +1894,7 @@ _HP_PLANES_SQL = "\n        UNION ALL ".join(
     )
     SELECT query_id AS a_id, item_id AS b_id, cos_sim FROM (
         SELECT query_id, item_id,
-               round(dot / (nq * nc) + 1e-9, 6) AS cos_sim
+               round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
         FROM dots2
     ) WHERE cos_sim >= 0.2
     """,
@@ -1929,10 +1938,13 @@ _QUALITY_SQL = r"""
         ) WHERE rn = 1
     ),
     toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM ex),
+    tpos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 3
+    ),
     shingled AS (
         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        FROM toks, (SELECT unnest(range(1, 4001)) AS i) r
-        WHERE i + 2 <= len(w)
+        FROM tpos
     ),
     hashed AS (
         SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled

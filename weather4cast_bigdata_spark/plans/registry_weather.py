@@ -117,12 +117,21 @@ def q_sink_quantized_partitioned(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+_CACHE_DECODED_PREV: list = []
+
+
 @qdef("cache_decoded")
 def q_cache_decoded(spark, sf_dir):
     """Decode-once memoization (datasets.py:51-53,83-100) as
     persist(): the second traversal hits the InMemoryRelation, not the
     Python decoder."""
+    if _CACHE_DECODED_PREV:
+        try:
+            _CACHE_DECODED_PREV.pop().unpersist()
+        except Exception:
+            pass
     dec = _decoded_fixture_frames(spark).persist()
+    _CACHE_DECODED_PREV.append(dec)
     dec.count()  # warm the cache; plan below reads the materialized form
     return dec
 
@@ -301,7 +310,7 @@ def q_solve_ridge_sum1(spark, sf_dir):
         GROUP BY a.vec_id, b.vec_id
     )
     SELECT a_id, b_id, cos_sim FROM (
-        SELECT a_id, b_id, round(dot / (na * nb) + 1e-9, 6) AS cos_sim FROM dots
+        SELECT a_id, b_id, round(dot / (greatest(na, 1e-300) * greatest(nb, 1e-300)) + 1e-9, 6) AS cos_sim FROM dots
     ) WHERE cos_sim >= 0.2
     """,
 )
@@ -571,12 +580,42 @@ def q_multimodal_audio_features(spark, sf_dir):
 # =====================================================================
 
 _STREAM_COUNTER = [0]
+_STREAM_TABLES: dict[str, str] = {}
+
+
+def _fresh_stream_table(spark, prefix: str) -> str:
+    """New memory-sink table name; drops the previous table of the
+    same prefix so repeated invocations don't accumulate materialized
+    tables in driver memory over a long session."""
+    prev = _STREAM_TABLES.get(prefix)
+    if prev:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
+    _STREAM_COUNTER[0] += 1
+    name = f"{prefix}_{_STREAM_COUNTER[0]}"
+    _STREAM_TABLES[prefix] = name
+    return name
 
 
 def _stream_frames_dir(spark) -> tuple[str, object]:
     """Per-(region, ts) frame aggregates written once as the streaming
-    input lake (the decoded-frame cadence stream, datasets.py:175)."""
-    root = os.path.join(tempfile.gettempdir(), "w4c_stream_frames_v1")
+    input lake (the decoded-frame cadence stream, datasets.py:175).
+    The cache dir is keyed by a digest of the fixture parameters, so
+    editing weather_fixtures invalidates the on-disk lake instead of
+    silently serving stale frames to every streaming query."""
+    fp = hashlib.md5(
+        repr(
+            (
+                weather_fixtures.SEED,
+                weather_fixtures.N_SLOTS,
+                weather_fixtures.T0,
+                sorted(weather_fixtures.VARIABLE_META.items()),
+            )
+        ).encode()
+    ).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"w4c_stream_frames_{fp}")
     fx = weather_fixtures.load_fixtures(spark)
     per_frame = (
         fx["frames"]
@@ -615,8 +654,7 @@ def q_streaming_sliding_windows(spark, sf_dir):
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
     path, schema = _stream_frames_dir(spark)
-    _STREAM_COUNTER[0] += 1
-    name = f"w4c_stream_windows_{_STREAM_COUNTER[0]}"
+    name = _fresh_stream_table(spark, "w4c_stream_windows")
     st = streaming.frame_stream(spark, path, schema)
     win = streaming.sliding_sequence_windows(st, span="1 hour", slide="15 minutes")
     _run_to_table(win, name, "complete")
@@ -632,8 +670,7 @@ def q_streaming_stateful_assembly(spark, sf_dir):
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
     path, schema = _stream_frames_dir(spark)
-    _STREAM_COUNTER[0] += 1
-    name = f"w4c_stream_state_{_STREAM_COUNTER[0]}"
+    name = _fresh_stream_table(spark, "w4c_stream_state")
     st = spark.readStream.format("parquet").schema(schema).load(path).select(
         "region", "ts", F.col("value").alias("mean_value")
     )
@@ -742,8 +779,7 @@ def q_streaming_running_gram(spark, sf_dir):
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
     path, schema = _stream_frames_dir(spark)
-    _STREAM_COUNTER[0] += 1
-    name = f"w4c_stream_gram_{_STREAM_COUNTER[0]}"
+    name = _fresh_stream_table(spark, "w4c_stream_gram")
     st = spark.readStream.format("parquet").schema(schema).load(path).select(
         "ts",
         (F.col("value") / 100.0).alias("p1"),
@@ -766,8 +802,7 @@ def q_streaming_session_windows(spark, sf_dir):
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
     path, schema = _stream_frames_dir(spark)
-    _STREAM_COUNTER[0] += 1
-    name = f"w4c_stream_sessions_{_STREAM_COUNTER[0]}"
+    name = _fresh_stream_table(spark, "w4c_stream_sessions")
     st = streaming.frame_stream(spark, path, schema)
     sessions = streaming.session_windows(st, gap="30 minutes")
     _run_to_table(sessions, name, "complete")
@@ -783,8 +818,7 @@ def q_streaming_dedup(spark, sf_dir):
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
     path, schema = _stream_frames_dir(spark)
-    _STREAM_COUNTER[0] += 1
-    name = f"w4c_stream_dedup_{_STREAM_COUNTER[0]}"
+    name = _fresh_stream_table(spark, "w4c_stream_dedup")
     st = streaming.frame_stream(spark, path, schema)
     replayed = st.union(streaming.frame_stream(spark, path, schema))
     deduped = streaming.dedup_within_watermark(replayed, keys=("region", "ts"))

@@ -71,18 +71,24 @@ def read_csv(
     """Schema-explicit CSV read — same discipline and corrupt-line
     handling as :func:`read_jsonl` (no inferSchema pass; DROPMALFORMED
     clean path so column-pruned queries never trip the
-    corrupt-column-only restriction)."""
+    corrupt-column-only restriction).
+
+    ``multiLine`` + quote-escape are on so text containing embedded
+    newlines round-trips the writer's quoting; the cost is that
+    multiLine CSV files are not line-splittable (one task per file) —
+    size interchange files accordingly, or prefer JSONL, whose
+    one-record-per-line framing keeps splittability.
+    """
+    common = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+    )
     if not keep_corrupt:
-        return (
-            spark.read.schema(schema)
-            .option("header", "true")
-            .option("mode", "DROPMALFORMED")
-            .csv(path)
-        )
+        return common.schema(schema).option("mode", "DROPMALFORMED").csv(path)
     full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     return (
-        spark.read.schema(full)
-        .option("header", "true")
+        common.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .csv(path)
