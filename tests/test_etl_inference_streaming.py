@@ -264,6 +264,31 @@ def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
     assert len(corrupt) == 1 and "NOT JSON" in corrupt[0][jsonl.CORRUPT_COL]
 
 
+def test_csv_roundtrip_quotes_newlines_nulls(spark, tmp_path):
+    """write_csv/read_csv must share ONE quoting convention: text with
+    embedded double quotes, commas, newlines, an empty string, and a
+    true NULL all survive the round-trip bit-exact (no silent
+    DROPMALFORMED row loss from a writer/reader escape mismatch)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from weather4cast_bigdata_spark.sources import jsonl
+
+    rows = [
+        (1, 'she said "hi, there"'),
+        (2, "line one\nline two"),
+        (3, ""),
+        (4, None),
+        (5, 'trailing quote"'),
+    ]
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "docs_csv")
+    jsonl.write_csv(df, out)
+    back = jsonl.read_csv(spark, out, schema)
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == {r[0]: r[1] for r in rows}
+
+
 def test_stateful_assembly_orders_late_frames(spark, tmp_path):
     """A frame delivered late (but inside the watermark) lands at its
     event-time position: emitted windows are time-ordered and end at
@@ -277,7 +302,14 @@ def test_stateful_assembly_orders_late_frames(spark, tmp_path):
     path = str(tmp_path / "late_in")
     df1.coalesce(1).write.parquet(path)
     df2.coalesce(1).write.mode("append").parquet(path)
-    st = spark.readStream.format("parquet").schema(df1.schema).load(path)
+    st = (
+        spark.readStream.format("parquet")
+        .schema(df1.schema)
+        # one file per micro-batch: the late frame MUST ride a later
+        # batch than t0/t1/t3, exercising the interior-gap-fill path
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
     seqs = streaming.stateful_sequence_assembly(st, n_past=4)
     _run_stream(seqs, "append_late")
     got = spark.sql("SELECT seq_end_ts, seq_values FROM append_late").collect()
@@ -286,7 +318,11 @@ def test_stateful_assembly_orders_late_frames(spark, tmp_path):
     for r in got:
         assert r.seq_values == sorted(r.seq_values) or len(set(r.seq_values)) < 4
     full = [r for r in got if len(r.seq_values) == 4]
-    assert all(r.seq_values == [0.0, 1.0, 2.0, 3.0] for r in full)
+    # the interior t2 fill completes the window ending at the
+    # ALREADY-buffered t3 — it must be emitted, not dropped
+    assert len(full) == 1
+    assert full[0].seq_values == [0.0, 1.0, 2.0, 3.0]
+    assert full[0].seq_end_ts == t0 + 3 * m
 
 
 def test_audio_features_null_row_skipped(spark):
@@ -299,3 +335,76 @@ def test_audio_features_null_row_skipped(spark):
     media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     out = multimodal.decode_audio_features(media).collect()
     assert [r.media_id for r in out] == [1]
+
+
+class _FakePILImage:
+    """Minimal PIL.Image stand-in proving the REAL decode branch:
+    open() parses a tiny 'P2h,w:' header + raw bytes; convert/resize
+    behave like PIL's API surface used by _image_pixels."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    @staticmethod
+    def open(buf):
+        raw = buf.read()
+        if not raw.startswith(b"P2"):
+            raise OSError("cannot identify image file")
+        header, payload = raw.split(b":", 1)
+        h, w = (int(x) for x in header[2:].split(b","))
+        a = np.frombuffer(payload[: h * w], dtype=np.uint8).reshape(h, w)
+        return _FakePILImage(a)
+
+    def convert(self, mode):
+        assert mode == "L"
+        return self
+
+    def resize(self, size):
+        w, h = size
+        # nearest-neighbor resize, enough to prove the plumbing
+        ys = (np.arange(h) * self.arr.shape[0] // h).clip(0, self.arr.shape[0] - 1)
+        xs = (np.arange(w) * self.arr.shape[1] // w).clip(0, self.arr.shape[1] - 1)
+        return _FakePILImage(self.arr[np.ix_(ys, xs)])
+
+    def __array__(self, dtype=None, copy=None):
+        return self.arr.astype(dtype or np.uint8)
+
+
+def test_image_pixels_real_pil_branch(monkeypatch):
+    """With a codec library present the REAL branch runs: bytes are
+    decoded (not hash-faked), grayscale-resized to (h, w); corrupt
+    bytes skip (None), never raise."""
+    monkeypatch.setattr(multimodal, "Image", _FakePILImage)
+    monkeypatch.setattr(multimodal, "HAVE_PIL", True)
+    src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    content = b"P28,8:" + src.tobytes()
+    px = multimodal._image_pixels(content, 4, 4)
+    assert px is not None and px.shape == (4, 4) and px.dtype == np.uint8
+    # real decode: pixels come from the payload, not the md5 fake
+    assert px[0, 0] == src[0, 0]
+    assert not np.array_equal(px, multimodal._fake_pixels(content, 4, 4))
+    assert multimodal._image_pixels(b"not an image", 4, 4) is None
+
+
+class _FakeSoundfile:
+    @staticmethod
+    def read(buf, dtype="float32"):
+        raw = buf.read()
+        if not raw.startswith(b"RIFF"):
+            raise RuntimeError("File contains data in an unknown format")
+        data = np.frombuffer(raw[4:], dtype=np.float32)
+        return data.reshape(-1, 2), 16_000  # stereo, to prove downmix
+
+
+def test_audio_waveform_real_soundfile_branch(monkeypatch):
+    monkeypatch.setattr(multimodal, "soundfile", _FakeSoundfile)
+    monkeypatch.setattr(multimodal, "HAVE_SOUNDFILE", True)
+    stereo = np.array([[1.0, 0.0], [0.5, 0.5], [-1.0, 0.0]], dtype=np.float32)
+    content = b"RIFF" + stereo.tobytes()
+    wav = multimodal._audio_waveform(content, n_fallback=999)
+    assert wav is not None and wav.dtype == np.float32
+    # stereo downmixed to mono, length from the DECODED data (not the
+    # duration-derived fallback)
+    assert wav.shape == (3,)
+    np.testing.assert_allclose(wav, [0.5, 0.5, -0.5])
+    assert multimodal._audio_waveform(b"garbage", n_fallback=4) is None

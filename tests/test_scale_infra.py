@@ -182,3 +182,82 @@ def test_lake_schema_evolution_merge(spark, tmp_path):
     merged = spark.read.option("mergeSchema", "true").parquet(base)
     rows = {r.id: (r.v, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_ngram_jaccard_max_df_bounds_pathological_bucket(spark):
+    """One boilerplate shingle shared by ALL docs would emit
+    d(d-1)/2 candidate pairs from a single bucket; max_df stop-lists
+    it, bounding the blowup, while shingles under the cap still pair —
+    a recall knob, never a correctness one (threshold=0 exposes the
+    raw candidate set)."""
+    from weather4cast_bigdata_spark.operators.dedup import ngram_jaccard_pairs_docs
+
+    n_docs = 40
+    boiler = "all rights reserved by publisher"  # shared by every doc
+    rows = [
+        (i, f"{boiler} unique {i} filler words {i * 7} here {i * 13}")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs_docs(docs, threshold=0.0).count()
+    capped = ngram_jaccard_pairs_docs(docs, threshold=0.0, max_df=10).count()
+    # every doc pairs with every other through the boilerplate shingles
+    assert uncapped == n_docs * (n_docs - 1) // 2
+    # the 40-doc buckets are dropped; only sub-cap shingles may pair
+    assert capped < uncapped
+    # and the cap bounds any surviving bucket's contribution
+    assert capped <= n_docs * 9 // 2 * 10
+
+
+def test_lsh_max_bucket_bounds_pathological_band(spark):
+    """A template cluster landing in ONE band bucket emits b(b-1)/2
+    pairs; max_bucket drops the over-populated bucket entirely."""
+    from weather4cast_bigdata_spark.operators.dedup import lsh_candidate_pairs
+
+    n_docs = 50
+    # identical signatures: every doc shares every band bucket
+    sigs = spark.createDataFrame(
+        [(i, 11, 22, 33, 44) for i in range(n_docs)],
+        ["doc_id", "mh_0", "mh_1", "mh_2", "mh_3"],
+    )
+    uncapped = lsh_candidate_pairs(sigs, n_hashes=4, band_size=2).count()
+    capped = lsh_candidate_pairs(sigs, n_hashes=4, band_size=2, max_bucket=10).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2
+    assert capped == 0
+
+
+def test_cosine_topk_blas_over_budget_fails_fast(spark):
+    """A corpus over the broadcast-index budget must fail with an
+    actionable error BEFORE the driver-side collect, not OOM into it."""
+    from weather4cast_bigdata_spark.operators.similarity import cosine_topk_blas
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="ivf_cosine_topk"):
+        cosine_topk_blas(vecs, vecs, max_index_rows=10)
+    # under budget the same call plans fine
+    assert cosine_topk_blas(vecs.limit(4), vecs.limit(4), k=2).count() == 8
+
+
+def test_predict_batch_udf_path(spark):
+    """pyspark.ml predict_batch_udf wrapper: same linear-stub contract
+    as predict_frames — standard serving path for tensor-in/out
+    models."""
+    import numpy as np
+
+    from weather4cast_bigdata_spark.operators import inference
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 0.01).alias("f1"),
+        (F.col("id") * 0.02).alias("f2"),
+    )
+    w = np.array([2.0, -1.0])
+    out = inference.predict_frames_batch_udf(
+        df, ["f1", "f2"], lambda: inference.linear_stub_model(w)
+    )
+    bad = out.where(
+        F.abs(F.col("pred") - (F.col("f1") * 2.0 - F.col("f2"))) > 1e-12
+    ).count()
+    assert bad == 0

@@ -316,13 +316,16 @@ def connected_components(
     ``(id, comp)`` where ``comp`` is the minimum id reachable in the
     node's component — the canonical document of that cluster.
 
-    Each round is a neighbor-label groupBy-min over the symmetrized
-    edge list followed by one pointer-jumping step (``comp ←
-    min(comp, comp[comp])``, a self-join on the label table), so the
-    distance to the component minimum roughly halves per round:
-    convergence is O(log diameter), not O(diameter) — a 1000-node
-    chain needs ~10 rounds, and the dense tiny-diameter clusters
-    near-dup graphs actually produce finish in 2-3. Labels are
+    Labels seed at the closed-neighborhood minimum ``min(id,
+    min(neighbor))`` — one groupBy that absorbs the first propagation
+    round. Each subsequent round is a neighbor-label groupBy-min over
+    the symmetrized edge list followed by one pointer-jumping step
+    (``comp ← min(comp, comp[comp])``, a self-join on the label
+    table), so the distance to the component minimum roughly halves
+    per round: convergence is O(log diameter), not O(diameter) — a
+    1000-node chain needs ~10 rounds, and the dense tiny-diameter
+    clusters near-dup graphs actually produce converge at the seed and
+    exit on the first no-improvement probe. Labels are
     ``localCheckpoint``-ed per round so lineage stays O(1) instead of
     doubling per iteration.
     """
@@ -332,8 +335,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Seed with the closed-neighborhood minimum, min(id, min(nbr)) —
+    # one groupBy that replaces both the distinct-ids seed AND the
+    # first neighbor-min round of the loop: the dense small-diameter
+    # clusters near-dup graphs actually produce (where some node's id
+    # is every node's neighbor minimum) converge at the seed and exit
+    # on the first probe.
     labels = (
-        sym.select("id").distinct().select("id", F.col("id").alias("comp"))
+        sym.groupBy("id")
+        .agg(F.min("nbr").alias("_m"))
+        .select("id", F.least(F.col("id"), F.col("_m")).alias("comp"))
     ).localCheckpoint(eager=True)
     for _round in range(max_iter):
         nbr_min = (
@@ -344,7 +355,8 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         )
         # Pointer jump: follow the label one hop (comp's own label is
-        # always ≤ comp, since every label table satisfies comp ≤ id).
+        # always ≤ comp, since every label table satisfies comp ≤ id —
+        # the seed is least(id, ·) and rounds only decrease labels).
         nxt = (
             nbr_min.join(
                 nbr_min.select(
@@ -355,12 +367,6 @@ def connected_components(
             )
             .select("id", F.coalesce("_jump", "comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        if _round == 0:
-            # identity labels always improve when any edge exists;
-            # probing here would burn a job to learn nothing — the
-            # empty-edge case just runs one extra (empty) round
-            labels = nxt
-            continue
         improved = (
             nxt.join(labels.withColumnRenamed("comp", "prev"), on="id")
             .where(F.col("comp") < F.col("prev"))

@@ -3,10 +3,13 @@
 Extension layer for training-data pipelines: media ride as opaque
 ``binary`` columns with typed metadata, and decode / feature-extract
 / resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
-The media libraries (PIL/librosa/cv2) are NOT in this container, so
-the codec step is import-gated with a deterministic fake; the
-Spark-side contract — schemas, batch shapes, partitioning, UDF
-signatures — is real and tested.
+The codec step is import-gated: when PIL / soundfile is importable
+the REAL decode runs (``Image.open``+convert+resize;
+``soundfile.read``+mono downmix, corrupt bytes skipped row-wise);
+otherwise a deterministic content-hash fake stands in so the build
+container (which has neither library) still executes the full plan.
+The Spark-side contract — schemas, batch shapes, partitioning, UDF
+signatures — is identical on both branches and tested.
 """
 
 from __future__ import annotations
@@ -62,10 +65,29 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 def _fake_pixels(content: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in decode: uint8 HxW luma seeded by content
-    hash. Replace with ``PIL.Image.open(io.BytesIO(content))`` when
-    the codec library is present."""
+    hash — the no-codec fallback for :func:`_image_pixels`."""
     seed = int.from_bytes(hashlib.md5(content).digest()[:8], "little")
     return np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def _image_pixels(content: bytes, h: int, w: int) -> np.ndarray | None:
+    """Decode + grayscale + resize one image to a uint8 HxW array.
+
+    Real branch when PIL is importable (``Image.open`` on the raw
+    bytes, luma convert, resize); deterministic fake otherwise, so the
+    container without codec libraries still runs the full plan.
+    Corrupt bytes return None — one bad image in a billion must skip,
+    never kill the Arrow stage.
+    """
+    if HAVE_PIL:
+        import io
+
+        try:
+            img = Image.open(io.BytesIO(content)).convert("L").resize((w, h))
+            return np.asarray(img, dtype=np.uint8)
+        except Exception:
+            return None
+    return _fake_pixels(content, h, w)
 
 
 def decode_image_features(
@@ -80,13 +102,12 @@ def decode_image_features(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.kind != "image":
+                if r.kind != "image" or r.content is None:
                     continue
-                if HAVE_PIL:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real PIL decode path: Image.open + convert('L') + resize"
-                    )
-                px = _fake_pixels(bytes(r.content), h, w).astype(np.float32)
+                px = _image_pixels(bytes(r.content), h, w)
+                if px is None:  # corrupt image bytes: skip, don't crash
+                    continue
+                px = px.astype(np.float32)
                 # Row-mean pooling as the feature stub — the contract
                 # (fixed-length float vector per media row) is what
                 # downstream similarity search consumes.
@@ -140,10 +161,32 @@ except ImportError:
 
 def _fake_waveform(content: bytes, n_samples: int) -> np.ndarray:
     """Deterministic stand-in decode: float32 waveform in [-1, 1]
-    seeded by content hash. Replace with ``soundfile.read`` when the
-    codec library is present."""
+    seeded by content hash — the no-codec fallback for
+    :func:`_audio_waveform`."""
     seed = int.from_bytes(hashlib.md5(content).digest()[:8], "little")
     return np.random.default_rng(seed).uniform(-1, 1, size=n_samples).astype(np.float32)
+
+
+def _audio_waveform(content: bytes, n_fallback: int) -> np.ndarray | None:
+    """Decode one audio blob to a mono float32 waveform.
+
+    Real branch when soundfile is importable (``soundfile.read`` on
+    the raw bytes, multi-channel downmixed to mono); deterministic
+    fake of ``n_fallback`` samples otherwise. Corrupt bytes return
+    None — skip, never a stage kill.
+    """
+    if HAVE_SOUNDFILE:
+        import io
+
+        try:
+            data, _sr = soundfile.read(io.BytesIO(content), dtype="float32")
+        except Exception:
+            return None
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return data
+    return _fake_waveform(content, n_fallback)
 
 
 def decode_audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
@@ -161,11 +204,10 @@ def decode_audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFr
                     continue
                 dur = 0 if pd.isna(r.duration_ms) else int(r.duration_ms)
                 n = max(dur * sample_rate // 1000, 1)
-                if HAVE_SOUNDFILE:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode path: soundfile.read(io.BytesIO(content))"
-                    )
-                wav = _fake_waveform(bytes(r.content), n)
+                wav = _audio_waveform(bytes(r.content), n)
+                if wav is None or not len(wav):  # corrupt audio: skip
+                    continue
+                n = int(wav.shape[0])
                 rows.append(
                     {
                         "media_id": r.media_id,

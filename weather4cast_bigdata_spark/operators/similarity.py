@@ -338,6 +338,7 @@ def cosine_topk_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_index_rows: int = 2_000_000,
 ) -> DataFrame:
     """Broadcast-corpus brute-force top-k: the physical shape
     exhaustive scoring should take when the corpus index fits in
@@ -351,7 +352,22 @@ def cosine_topk_blas(
     checks both against one oracle. Corpus larger than worker memory
     → shard the corpus and merge per-shard top-k, or switch to
     :func:`ivf_cosine_topk`.
+
+    The corpus materializes at the DRIVER before broadcast, so the
+    index size is a hard contract, not a hope: a cheap count() guard
+    (``max_index_rows``, default 2M ≈ a few GB at typical embedding
+    widths) turns an oversized corpus into an immediate, actionable
+    error instead of a driver OOM minutes into the collect.
     """
+    n_index = corpus.count()
+    if n_index > max_index_rows:
+        raise ValueError(
+            f"cosine_topk_blas: corpus has {n_index} rows, over the "
+            f"broadcast-index budget of {max_index_rows}. This operator "
+            "replicates the whole index to every worker — shard the "
+            "corpus and merge per-shard top-k, or use ivf_cosine_topk "
+            "(bucketed ANN), which scales past worker memory."
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
@@ -369,17 +385,25 @@ def cosine_topk_blas(
                 continue
             q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
             qn = np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
-            sims = np.round((q @ b_mat.T) / (qn * b_norms) + 1e-9, 6)
+            raw = (q @ b_mat.T) / (qn * b_norms)
+            # rank on a HALF-AWAY-FROM-ZERO 6-decimal round (np.round
+            # is half-to-even — it can diverge from Spark/DuckDB round
+            # on exact .5 ties); the emitted value stays raw and is
+            # rounded JVM-side below, exactly as near_dup_pairs_blas
+            # does, so both engines share one rounding implementation
+            shifted = raw + 1e-9
+            rank_key = np.copysign(np.floor(np.abs(shifted) * 1e6 + 0.5) / 1e6, shifted)
             out = []
             for qi, qid in enumerate(pdf[id_col].to_numpy()):
-                s = sims[qi]
                 keep = b_ids != qid  # exclude self
-                cand_ids, cand_s = b_ids[keep], s[keep]
-                top = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids = b_ids[keep]
+                cand_key, cand_raw = rank_key[qi][keep], raw[qi][keep]
+                top = np.lexsort((cand_ids, -cand_key))[:k]
                 for rank, j in enumerate(top, start=1):
-                    out.append((int(qid), rank, int(cand_ids[j]), float(cand_s[j])))
+                    out.append((int(qid), rank, int(cand_ids[j]), float(cand_raw[j])))
             yield pd.DataFrame(out, columns=["query_id", "rank", "item_id", "cos_sim"])
 
-    return queries.select(id_col, vec_col).mapInPandas(
+    scored = queries.select(id_col, vec_col).mapInPandas(
         score, "query_id long, rank int, item_id long, cos_sim double"
     )
+    return scored.withColumn("cos_sim", F.round(F.col("cos_sim") + F.lit(1e-9), 6))

@@ -12,8 +12,9 @@ Stage disposition at 100 TB (SCALING.md):
 - near-dup: shingle-hash bucket pairs (one shuffle, `max_df`
   stop-list for boilerplate) → Jaccard cut → pointer-jumping
   connected components (O(log diameter) rounds);
-- canonical keep: broadcast-size label table joined back (near-dup
-  clusters are a small fraction of the corpus);
+- canonical keep: label table joined back on the same doc_id key —
+  unhinted, since near-dup rates of 30-50% make the label table a
+  corpus-sized side at web scale (AQE broadcasts when it is small);
 - split: narrow md5-bucket projection, stable under corpus growth.
 """
 
@@ -64,9 +65,13 @@ def curate(
         exact, id_col=id_col, text_col=text_col,
         threshold=jaccard_threshold, max_df=max_df,
     )
+    # No broadcast hint: comp is keyed by doc_id (same key as exact)
+    # and its size is the near-dup rate × corpus — at web scale 30-50%
+    # dup rates are normal, so a forced broadcast would OOM. AQE picks
+    # broadcast at runtime when comp really is small.
     comp = dedup.connected_components(pairs).withColumnRenamed("id", id_col)
     canonical = (
-        exact.join(F.broadcast(comp), on=id_col, how="left")
+        exact.join(comp, on=id_col, how="left")
         .where(F.coalesce(F.col("comp"), F.col(id_col)) == F.col(id_col))
         .drop("comp")
     )

@@ -76,8 +76,10 @@ def render_frame_grid(grid_pdf, out_path: str, value_col: str = "value"):  # pra
             "render-ready — plug any imaging backend here"
         ) from e
     panels = sorted(grid_pdf["panel_idx"].unique())
-    fig, axes = plt.subplots(1, len(panels), figsize=(17, 5))
-    for ax, p in zip(axes, panels):
+    # squeeze=False: a single surviving panel must still yield an
+    # iterable axes row (bare Axes is not iterable)
+    fig, axes = plt.subplots(1, len(panels), figsize=(17, 5), squeeze=False)
+    for ax, p in zip(axes[0], panels):
         sub = grid_pdf[grid_pdf["panel_idx"] == p].pivot(
             index="y", columns="x", values=value_col
         )

@@ -58,8 +58,22 @@ def read_jsonl(
 
 def write_csv(df: DataFrame, path: str, compression: str | None = None) -> None:
     """CSV sink with header; quotes/escapes applied by Spark so text
-    round-trips (the other common interchange format)."""
-    w = df.write.mode("overwrite").option("header", "true")
+    round-trips (the other common interchange format).
+
+    The writer MUST share the reader's quoting convention: read_csv
+    sets escape='"' (RFC-4180 doubled quotes), while Spark's write
+    default escapes embedded quotes as \\" — a mismatch that makes the
+    reader's DROPMALFORMED silently drop any row whose text contains a
+    double quote. Explicit nullValue/emptyValue keep NULL and ""
+    distinct through the round-trip (default reads "" back as NULL).
+    """
+    w = (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+    )
     if compression:
         w = w.option("compression", compression)
     w.csv(path)
@@ -83,6 +97,9 @@ def read_csv(
         spark.read.option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
+        # mirror write_csv: \N marks NULL; the writer's quoted ""
+        # reads back as empty string under the default emptyValue
+        .option("nullValue", "\\N")
     )
     if not keep_corrupt:
         return common.schema(schema).option("mode", "DROPMALFORMED").csv(path)

@@ -146,6 +146,7 @@ def stateful_sequence_assembly(
             "fields": [
                 {"name": "ts_list", "type": {"type": "array", "elementType": "long", "containsNull": True}, "nullable": True, "metadata": {}},
                 {"name": "val_list", "type": {"type": "array", "elementType": "double", "containsNull": True}, "nullable": True, "metadata": {}},
+                {"name": "em_list", "type": {"type": "array", "elementType": "boolean", "containsNull": True}, "nullable": True, "metadata": {}},
             ],
         }
     )
@@ -158,8 +159,8 @@ def stateful_sequence_assembly(
         if state.hasTimedOut:
             state.remove()
             return
-        ts_list, val_list = state.get if state.exists else ([], [])
-        ts_list, val_list = list(ts_list), list(val_list)
+        ts_list, val_list, em_list = state.get if state.exists else ([], [], [])
+        ts_list, val_list, em_list = list(ts_list), list(val_list), list(em_list)
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
@@ -172,18 +173,29 @@ def stateful_sequence_assembly(
                 idx = bisect.bisect_left(ts_list, ts_us)
                 ts_list.insert(idx, ts_us)
                 val_list.insert(idx, float(getattr(r, value_col)))
-                if idx + 1 >= n_past:
-                    rows.append(
-                        {
-                            "region": key[0],
-                            "seq_end_ts": pd.Timestamp(ts_us * 1000),
-                            "seq_values": list(val_list[idx + 1 - n_past : idx + 1]),
-                        }
-                    )
+                em_list.insert(idx, False)
+                # an interior insert (gap fill) can complete windows
+                # ending at ALREADY-buffered later frames, not just the
+                # window ending at the arriving frame — scan forward
+                # and emit every complete, not-yet-emitted window
+                # (append mode: first complete emission wins, no
+                # retraction of earlier windows over the same tail)
+                for j in range(max(idx, n_past - 1), len(ts_list)):
+                    if not em_list[j]:
+                        rows.append(
+                            {
+                                "region": key[0],
+                                "seq_end_ts": pd.Timestamp(ts_list[j] * 1000),
+                                "seq_values": list(val_list[j + 1 - n_past : j + 1]),
+                            }
+                        )
+                        em_list[j] = True
                 if len(ts_list) > n_past:
                     drop = len(ts_list) - n_past
-                    ts_list, val_list = ts_list[drop:], val_list[drop:]
-        state.update((ts_list, val_list))
+                    ts_list = ts_list[drop:]
+                    val_list = val_list[drop:]
+                    em_list = em_list[drop:]
+        state.update((ts_list, val_list, em_list))
         if ts_list:
             # expire when the watermark passes last_frame + TTL
             state.setTimeoutTimestamp(ts_list[-1] // 1000 + ttl_ms)
