@@ -90,11 +90,19 @@ _ROUND2_PRIORITY = [
     "window_sessionize",
     "join_asof_nearest",
     "join_bucketed_colocated",
-    # -- rows-only high-value picks (fill the 50-entry window) ----------
-    "sim_ivf_topk",
+    # -- streaming (oracle-bearing since round 2: the availableNow
+    #    drain over the events-derived slot lake hash-matches batch
+    #    SQL) — fills the 50-entry window with hash-verified rows ------
     "streaming_stateful_assembly",
     "streaming_sliding_windows",
     "streaming_dedup",
+    "streaming_running_gram",
+    "streaming_session_windows",
+    # -- round-3 rotation continues: sample_random_crop (oracle since
+    #    round 2), sim_ivf_topk, agg_approx_distinct, codec/solver
+    #    rows-only entries, then the round-1-verified set ---------------
+    "sample_random_crop",
+    "sim_ivf_topk",
     "agg_approx_distinct",
 ]
 

@@ -1259,10 +1259,34 @@ def q_shuffle_seeded(spark, sf_dir):
     return setops.seeded_shuffle(events.select("event_id", "user_id"), seed=42)
 
 
-@qdef("sample_random_crop")  # rows-only: seeded RNG is engine-specific
+@qdef(
+    "sample_random_crop",
+    oracle="""
+    WITH origin AS (
+        SELECT CAST(('0x' || substring(md5('crop_y_42'), 1, 8)) AS BIGINT) % 8 AS y0,
+               CAST(('0x' || substring(md5('crop_x_42'), 1, 8)) AS BIGINT) % 8 AS x0
+    )
+    SELECT event_id, y, x, value FROM (
+        SELECT event_id,
+               event_id % 16 AS y,
+               (event_id // 16) % 16 AS x,
+               value
+        FROM events
+    ) g, origin o
+    WHERE g.y >= o.y0 AND g.y < o.y0 + 8
+      AND g.x >= o.x0 AND g.x < o.x0 + 8
+    """,
+)
 def q_sample_random_crop(spark, sf_dir):
     """Random 2-D crop box per batch (datasets.py:271-276): a seeded
-    box filter on grid coordinates."""
+    box filter on grid coordinates. The crop origin derives from an
+    md5 counter-based draw instead of engine RNG — same
+    deterministic-per-seed semantics as the reference's seeded
+    np.random crop, but reproducible across engines, so the query is
+    hash-verifiable (and, at scale, every worker agrees on the box
+    without a broadcast RNG state)."""
+    from weather4cast_bigdata_spark.functions.text import md5_hash32
+
     events = _t(spark, sf_dir, "events")
     grid = events.select(
         "event_id",
@@ -1270,13 +1294,11 @@ def q_sample_random_crop(spark, sf_dir):
         ((F.col("event_id") / 16).cast("bigint") % 16).alias("x"),
         "value",
     )
-    # Seeded crop origin: derived from rand(seed) of a 1-row frame key.
-    crop = grid.sparkSession.range(1).select(
-        (F.floor(F.rand(42) * 8)).alias("y0"), (F.floor(F.rand(43) * 8)).alias("x0")
-    )
-    return grid.crossJoin(F.broadcast(crop)).where(
-        (F.col("y") >= F.col("y0")) & (F.col("y") < F.col("y0") + 8)
-        & (F.col("x") >= F.col("x0")) & (F.col("x") < F.col("x0") + 8)
+    y0 = md5_hash32(F.lit("crop_y_42")) % 8
+    x0 = md5_hash32(F.lit("crop_x_42")) % 8
+    return grid.where(
+        (F.col("y") >= y0) & (F.col("y") < y0 + 8)
+        & (F.col("x") >= x0) & (F.col("x") < x0 + 8)
     ).select("event_id", "y", "x", "value")
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from weather4cast_bigdata_spark.functions import strings
 from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
 from weather4cast_bigdata_spark.plans import weather
-from weather4cast_bigdata_spark.plans.registry import _t, qdef, r6
+from weather4cast_bigdata_spark.plans.registry import SLOT_SQL, _t, qdef, r6
 from weather4cast_bigdata_spark.sources import netcdf, weather_fixtures
 
 # =====================================================================
@@ -576,7 +576,9 @@ def q_multimodal_audio_features(spark, sf_dir):
 
 
 # =====================================================================
-# Streaming forms (rows-only: executed with availableNow + memory sink)
+# Streaming forms: executed with availableNow + memory sink over an
+# events-derived slot lake, so each drained result hash-matches an
+# equivalent batch SQL oracle (deterministic finite-lake execution)
 # =====================================================================
 
 _STREAM_COUNTER = [0]
@@ -599,32 +601,40 @@ def _fresh_stream_table(spark, prefix: str) -> str:
     return name
 
 
-def _stream_frames_dir(spark) -> tuple[str, object]:
-    """Per-(region, ts) frame aggregates written once as the streaming
-    input lake (the decoded-frame cadence stream, datasets.py:175).
-    The cache dir is keyed by a digest of the fixture parameters, so
-    editing weather_fixtures invalidates the on-disk lake instead of
-    silently serving stale frames to every streaming query."""
-    fp = hashlib.md5(
-        repr(
-            (
-                weather_fixtures.SEED,
-                weather_fixtures.N_SLOTS,
-                weather_fixtures.T0,
-                sorted(weather_fixtures.VARIABLE_META.items()),
-            )
-        ).encode()
-    ).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"w4c_stream_frames_{fp}")
-    fx = weather_fixtures.load_fixtures(spark)
-    per_frame = (
-        fx["frames"]
-        .groupBy("region", "ts")
-        .agg(F.avg("value").alias("value"))
+def _stream_events_dir(spark, sf_dir: str) -> tuple[str, object]:
+    """Per-(event_type→region, 15-min slot) aggregates of the driver's
+    ``events`` table, written once per sf_dir as the streaming input
+    lake (the decoded-frame cadence stream shape, datasets.py:175).
+
+    Deriving the stream from the SAME table the DuckDB oracle reads is
+    what makes the streaming queries hash-verifiable: an availableNow
+    run over a finite lake is deterministic, so each streaming query's
+    materialized output can be compared to the equivalent batch SQL
+    over ``events`` — rows, schema, AND values. Slot values are
+    rounded (engine numeric policy) BEFORE the write so both engines
+    window over identical doubles.
+    """
+    fp = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"w4c_stream_events_{fp}")
+    per_slot = (
+        windows.with_time_slot(_t(spark, sf_dir, "events"), "ts", out_col="slot")
+        .groupBy(F.col("event_type").alias("region"), F.col("slot").alias("ts"))
+        .agg(r6(F.avg("value")).alias("value"))
     )
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        per_frame.coalesce(4).write.mode("overwrite").parquet(root)
-    return root, per_frame.schema
+        per_slot.coalesce(4).write.mode("overwrite").parquet(root)
+    return root, per_slot.schema
+
+
+# Shared oracle CTE: the stream input, as DuckDB sees it.
+_SLOTS_CTE = f"""
+    WITH slots AS (
+        SELECT event_type AS region,
+               {SLOT_SQL} AS ts,
+               round(avg(value) + 1e-9, 6) AS value
+        FROM events GROUP BY 1, 2
+    )
+"""
 
 
 def _run_to_table(win, name: str, mode: str):
@@ -644,39 +654,87 @@ def _run_to_table(win, name: str, mode: str):
     q.awaitTermination(60)
 
 
-@qdef("streaming_sliding_windows")
+@qdef(
+    "streaming_sliding_windows",
+    oracle=f"""
+    {_SLOTS_CTE}
+    SELECT region,
+           win_start,
+           win_start + INTERVAL 1 HOUR AS win_end,
+           count(*) AS n_frames,
+           round(avg(value) + 1e-9, 6) AS mean_value
+    FROM (
+        SELECT s.region, s.value,
+               s.ts - o.o * INTERVAL 15 MINUTES AS win_start
+        FROM slots s CROSS JOIN (VALUES (0), (1), (2), (3)) o(o)
+    )
+    GROUP BY region, win_start
+    """,
+)
 def q_streaming_sliding_windows(spark, sf_dir):
     """Structured Streaming sequence assembly: file-arrival source →
     watermarked sliding windows (the live form of
     filter_valid_sequence + window_past_sequence; SURVEY.md §2.5
-    streaming note). Runs availableNow to completion; returns the
-    materialized window table."""
+    streaming note). Runs availableNow to completion over the
+    events-derived slot lake; the materialized windows hash-match the
+    batch SQL (each slot lands in the 4 sliding 1h/15m windows that
+    contain it)."""
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
-    path, schema = _stream_frames_dir(spark)
+    path, schema = _stream_events_dir(spark, sf_dir)
     name = _fresh_stream_table(spark, "w4c_stream_windows")
     st = streaming.frame_stream(spark, path, schema)
     win = streaming.sliding_sequence_windows(st, span="1 hour", slide="15 minutes")
     _run_to_table(win, name, "complete")
-    return spark.table(name)
+    return spark.table(name).select(
+        "region",
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_frames",
+        r6(F.col("mean_value")).alias("mean_value"),
+    )
 
 
-@qdef("streaming_stateful_assembly")
+@qdef(
+    "streaming_stateful_assembly",
+    oracle=f"""
+    {_SLOTS_CTE},
+    ordered AS (
+        SELECT region, ts, value,
+               lag(value, 3) OVER (PARTITION BY region ORDER BY ts) AS v0,
+               lag(value, 2) OVER (PARTITION BY region ORDER BY ts) AS v1,
+               lag(value, 1) OVER (PARTITION BY region ORDER BY ts) AS v2,
+               row_number() OVER (PARTITION BY region ORDER BY ts) AS rn
+        FROM slots
+    )
+    SELECT region, ts AS seq_end_ts, p.pos,
+           CASE p.pos WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                ELSE value END AS value
+    FROM ordered CROSS JOIN (VALUES (0), (1), (2), (3)) p(pos)
+    WHERE rn >= 4
+    """,
+)
 def q_streaming_stateful_assembly(spark, sf_dir):
     """Custom stateful streaming operator: per-region rolling buffer
     of the last 4 frames via applyInPandasWithState — bounded state,
-    processing-time TTL ≈ the previous-day fallback tolerance
-    (datasets.py:430-435)."""
+    event-time TTL ≈ the previous-day fallback tolerance
+    (datasets.py:430-435). Over a finite availableNow lake the emitted
+    window set is exactly every 4-frame event-time window per key —
+    the batch SQL the oracle states."""
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
-    path, schema = _stream_frames_dir(spark)
+    path, schema = _stream_events_dir(spark, sf_dir)
     name = _fresh_stream_table(spark, "w4c_stream_state")
     st = spark.readStream.format("parquet").schema(schema).load(path).select(
         "region", "ts", F.col("value").alias("mean_value")
     )
     seqs = streaming.stateful_sequence_assembly(st, n_past=4)
     _run_to_table(seqs, name, "append")
-    return spark.table(name)
+    # arrays explode to scalar (pos, value) rows for cross-engine
+    # hashing — the registry's array-column convention
+    return spark.table(name).select(
+        "region", "seq_end_ts", F.posexplode("seq_values").alias("pos", "value")
+    )
 
 
 @qdef("sim_ivf_topk")
@@ -770,15 +828,28 @@ def q_join_bucketed_colocated(spark, sf_dir):
     )
 
 
-@qdef("streaming_running_gram")
+@qdef(
+    "streaming_running_gram",
+    oracle=f"""
+    {_SLOTS_CTE}
+    SELECT round(sum((value/100.0) * (value/100.0)) / count(*) + 1e-9, 6) AS ata_0_0,
+           round(sum((value/100.0) * (value/200.0)) / count(*) + 1e-9, 6) AS ata_0_1,
+           round(sum((value/200.0) * (value/200.0)) / count(*) + 1e-9, 6) AS ata_1_1,
+           round(sum((value/100.0) * (value/50.0)) / count(*) + 1e-9, 6) AS aty_0,
+           round(sum((value/200.0) * (value/50.0)) / count(*) + 1e-9, 6) AS aty_1,
+           count(*) AS n_rows
+    FROM slots
+    """,
+)
 def q_streaming_running_gram(spark, sf_dir):
     """Update-mode running Gram statistics over the frame stream —
     the streaming form of the ensemble's incremental ATA/ATy mean
     (ensemble.py:26-41): Spark's partial+final streaming aggregation
-    IS the (k·A + A_batch)/(k+1) recurrence."""
+    IS the (k·A + A_batch)/(k+1) recurrence. The drained availableNow
+    total equals the batch Gram over the same slots (oracle)."""
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
-    path, schema = _stream_frames_dir(spark)
+    path, schema = _stream_events_dir(spark, sf_dir)
     name = _fresh_stream_table(spark, "w4c_stream_gram")
     st = spark.readStream.format("parquet").schema(schema).load(path).select(
         "ts",
@@ -793,31 +864,72 @@ def q_streaming_running_gram(spark, sf_dir):
     return out.select(*rounded, "n_rows")
 
 
-@qdef("streaming_session_windows")
+@qdef(
+    "streaming_session_windows",
+    oracle=f"""
+    {_SLOTS_CTE},
+    marked AS (
+        SELECT region, ts, value,
+               -- Spark merges an event landing EXACTLY at session end
+               -- (diff == gap): break only on diff > gap
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY region ORDER BY ts)
+                         > INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS brk
+        FROM slots
+    ),
+    sess AS (
+        SELECT region, ts, value,
+               sum(brk) OVER (PARTITION BY region ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT region,
+           min(ts) AS win_start,
+           max(ts) + INTERVAL 30 MINUTES AS win_end,
+           count(*) AS n_frames,
+           round(avg(value) + 1e-9, 6) AS mean_value
+    FROM sess GROUP BY region, sid
+    """,
+)
 def q_streaming_session_windows(spark, sf_dir):
     """Event-time session windows over the frame stream (native
-    session_window; the streaming twin of window_sessionize). The
-    gapless fixture cadence yields one session per region — a gap
-    would split it, making session count an outage monitor."""
+    session_window; the streaming twin of window_sessionize): a
+    cadence gap ≥ the 30-min session gap closes the session, so the
+    session count per region is an outage monitor. Oracle is the
+    batch lag+cumsum sessionize over the same slots (Spark session
+    end = last frame + gap)."""
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
-    path, schema = _stream_frames_dir(spark)
+    path, schema = _stream_events_dir(spark, sf_dir)
     name = _fresh_stream_table(spark, "w4c_stream_sessions")
     st = streaming.frame_stream(spark, path, schema)
     sessions = streaming.session_windows(st, gap="30 minutes")
     _run_to_table(sessions, name, "complete")
-    return spark.table(name)
+    return spark.table(name).select(
+        "region",
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "n_frames",
+        r6(F.col("mean_value")).alias("mean_value"),
+    )
 
 
-@qdef("streaming_dedup")
+@qdef(
+    "streaming_dedup",
+    oracle=f"""
+    {_SLOTS_CTE}
+    SELECT region, ts, value FROM slots
+    """,
+)
 def q_streaming_dedup(spark, sf_dir):
     """Streaming idempotent ingest: the frame stream unioned with a
     full replay of itself (every frame delivered twice), deduped by
     (region, ts) within the watermark — output equals the distinct
-    frame set, state stays bounded. Rows-only (streaming execution)."""
+    frame set (the oracle: the slot lake itself), state stays
+    bounded by watermark × key cardinality."""
     from weather4cast_bigdata_spark.streaming import pipeline as streaming
 
-    path, schema = _stream_frames_dir(spark)
+    path, schema = _stream_events_dir(spark, sf_dir)
     name = _fresh_stream_table(spark, "w4c_stream_dedup")
     st = streaming.frame_stream(spark, path, schema)
     replayed = st.union(streaming.frame_stream(spark, path, schema))
