@@ -329,9 +329,19 @@ def connected_components(
     ``localCheckpoint``-ed per round so lineage stays O(1) instead of
     doubling per iteration.
     """
+    # Symmetrize with one explode instead of a self-union: the union
+    # form evaluates the (often expensive) edge subplan twice before
+    # the persist can help.
     sym = (
-        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("id"), F.col(dst).alias("nbr")),
+                    F.struct(F.col(dst).alias("id"), F.col(src).alias("nbr")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.id", "_e.nbr")
         .distinct()
         .persist()
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from weather4cast_bigdata_spark.functions.text import lang_id, quality_score, token_count
 from weather4cast_bigdata_spark.operators import dedup, setops
@@ -58,6 +59,13 @@ def curate(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    # `exact` feeds BOTH the near-dup pair generation (materialized
+    # eagerly inside connected_components) and the canonical-keep join
+    # — persist so the scored+window subplan (a full-text shuffle)
+    # runs once, not twice. MEMORY_AND_DISK: at 100 TB the exact
+    # survivors are corpus-sized, so spill, don't recompute — the
+    # upstream is a corpus-wide shuffle either way.
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Near-dup clusters among exact survivors; docs in no pair are
     # their own canonical (left join + coalesce).
