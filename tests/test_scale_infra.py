@@ -261,3 +261,70 @@ def test_predict_batch_udf_path(spark):
         F.abs(F.col("pred") - (F.col("f1") * 2.0 - F.col("f2"))) > 1e-12
     ).count()
     assert bad == 0
+
+
+def test_range_join_binned_matches_nested_loop(spark):
+    """The binned equi-join rewrite must be result-identical to the
+    naive inequality join, including the start-inclusive /
+    end-exclusive boundary and intervals spanning multiple bins."""
+    import datetime as dt
+
+    from weather4cast_bigdata_spark.operators import joins
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    facts = spark.createDataFrame(
+        [(i, t0 + i * 37 * s) for i in range(400)], ["fact_id", "ts"]
+    )
+    # Intervals deliberately misaligned with the 120 s bin: one spans
+    # 4 bins, some end exactly on a bin boundary.
+    intervals = spark.createDataFrame(
+        [
+            (0, t0, t0 + 120 * s),                 # == one bin exactly
+            (1, t0 + 60 * s, t0 + 480 * s),        # spans 4+ bins
+            (2, t0 + 113 * s, t0 + 114 * s),       # sub-bin sliver
+            (3, t0 + 7000 * s, t0 + 7300 * s),     # tail, partial overlap
+            (4, t0 + 100000 * s, t0 + 100120 * s), # fully out of range
+        ],
+        ["interval_id", "s", "e"],
+    )
+    binned = joins.range_join_binned(
+        facts, intervals, ts_col="ts", start_col="s", end_col="e", bin_seconds=120
+    ).select("fact_id", "interval_id")
+    naive = (
+        facts.crossJoin(intervals)
+        .where((F.col("s") <= F.col("ts")) & (F.col("ts") < F.col("e")))
+        .select("fact_id", "interval_id")
+    )
+    got = sorted(map(tuple, binned.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(want) > 0
+    # boundary: a fact exactly at an interval's exclusive end is out
+    end_hits = [r for r in got if r[1] == 0]
+    assert all(
+        f * 37 < 120 for f, _ in end_hits
+    ), "end-exclusive boundary leaked into interval 0"
+
+
+def test_write_compacted_layout(spark, tmp_path):
+    """Compaction contract: file count == range partitions when under
+    the record cap; content round-trips exactly; rotation kicks in
+    when a range partition exceeds the cap."""
+    from weather4cast_bigdata_spark.sources import compact
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    p1 = str(tmp_path / "c1")
+    compact.write_compacted(df, p1, cluster_by=["k"], n_files=4)
+    assert compact.parquet_file_count(p1) == 4
+    back = compact.read_compacted(spark, p1)
+    assert sorted(r.k for r in back.collect()) == list(range(1000))
+
+    p2 = str(tmp_path / "c2")
+    compact.write_compacted(
+        df, p2, cluster_by=["k"], n_files=2, max_records_per_file=100
+    )
+    # 2 range partitions x ~500 rows -> ceil(500/100)=5 files each
+    assert compact.parquet_file_count(p2) >= 10
+    assert compact.read_compacted(spark, p2).count() == 1000

@@ -202,6 +202,52 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Per-document top-k TF-IDF terms — the keyword-extraction /
+    relevance-weighting primitive corpus search and topic filters are
+    built on. ``tfidf = (tf/|doc|) · ln(N/df)``; ranking uses the
+    cross-engine-stable rounded score (9 decimals, +1e-12 tie nudge —
+    ln differs by ulps between JVM and libm) with a term-ascending
+    tie-break, so the kept set is bit-identical in any engine.
+
+    Shuffle profile — ONE corpus scan, three tf-table-sized shuffles,
+    no join: the document length RIDES the explode (computed once per
+    row, pre-shuffle — same trick as ``ngram_jaccard_pairs_docs``);
+    document frequency is a count-window over the term key of the
+    already-aggregated (doc, term) table rather than a second
+    tokenize-and-aggregate pass (tokenization is the CPU-heavy stage
+    at 100 TB — it must run once); the per-doc rank re-shuffles only
+    the tf table. N rides a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ts = tokens(F.lower(F.col(text_col)))
+    toks = docs.select(
+        F.col(id_col), F.size(ts).alias("n_tok"), F.explode(ts).alias("term")
+    )
+    tf = toks.groupBy(id_col, "n_tok", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("n_tok")) * F.log(F.col("n_docs") / F.col("df"))
+                + F.lit(1e-12),
+                9,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def strip_markup(text: Column) -> Column:
     """Drop HTML/XML tags and collapse whitespace — the boilerplate
     scrub ahead of tokenization in web-corpus pipelines. Pure regexp

@@ -74,6 +74,52 @@ def join_offset(
     return df.join(shifted, on=[*keys, ts_col], how="inner")
 
 
+def range_join_binned(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval (range) join — ``start <= ts < end`` — as an equi join.
+
+    Spark has no native range-join strategy: a raw inequality join
+    plans as BroadcastNestedLoopJoin, O(|facts|·|intervals|) work that
+    is the canonical scale-killer. Binning recovers an equi join: each
+    fact maps to exactly ONE bin of width ``bin_seconds``; each
+    interval explodes to every bin it overlaps; the equi join on
+    (keys…, bin) is then refined with the exact predicate. Every
+    surviving (fact, interval) match appears exactly once — the fact's
+    bin is unique, so no dedup pass is needed.
+
+    Pick ``bin_seconds`` near the typical interval length: the
+    interval explode factor is ``len/bin + 1``, while a too-large bin
+    widens each equi bucket. Sub-second timestamps ride the binning
+    via the fractional epoch cast; an interval whose exclusive end
+    sits exactly on a bin boundary contributes one (empty) extra bin —
+    harmless, the exact predicate refines.
+    """
+    # Integer microsecond arithmetic (no double rounding at epoch
+    # scale); the cast("timestamp") makes TIMESTAMP_NTZ inputs
+    # binnable too — a no-op for TimestampType, and the session tz is
+    # pinned UTC so NTZ semantics are preserved.
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+
+    def _bin(col: str) -> Column:
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / bin_us).cast("bigint")
+
+    f = facts.withColumn("__bin", _bin(ts_col))
+    iv = intervals.withColumn(
+        "__bin", F.explode(F.sequence(_bin(start_col), _bin(end_col)))
+    )
+    joined = f.join(iv, on=[*keys, "__bin"], how="inner")
+    return joined.where(
+        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("__bin")
+
+
 def join_multichannel(
     df: DataFrame,
     keys: Sequence[str],

@@ -2236,6 +2236,124 @@ def q_text_vocab_topk(spark, sf_dir):
     return aggregates.top_frequent(toks, "token", k=100)
 
 
+@qdef(
+    "join_range_binned",
+    oracle="""
+    WITH d0 AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+    iv AS (
+        SELECT k AS interval_id,
+               d0 + (k*12000) * INTERVAL 1 SECOND AS s,
+               d0 + (k*12000 + 9000) * INTERVAL 1 SECOND AS e
+        FROM d0, range(200) t(k)
+    )
+    SELECT interval_id,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 6) AS sum_value
+    FROM iv JOIN events ON ts >= s AND ts < e
+    GROUP BY 1
+    """,
+)
+def q_join_range_binned(spark, sf_dir):
+    """Interval (range) join Spark lacks natively: events against a
+    spine of 200 overlapping 150-min maintenance windows. A raw
+    ``start <= ts < end`` join plans as BroadcastNestedLoopJoin
+    (O(n·m) — the canonical scale-killer); ``range_join_binned`` bins
+    both sides to 2-h buckets and recovers a shuffled EQUI join whose
+    cost tracks matches, then refines with the exact predicate. The
+    oracle runs the raw inequality join — proving the binned rewrite
+    is result-identical."""
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    iv = (
+        d0.select(F.explode(F.sequence(F.lit(0), F.lit(199))).alias("interval_id"), "d0")
+        .select(
+            F.col("interval_id").cast("bigint").alias("interval_id"),
+            F.timestamp_seconds(
+                F.unix_timestamp("d0") + F.col("interval_id") * 12000
+            ).alias("s"),
+            F.timestamp_seconds(
+                F.unix_timestamp("d0") + F.col("interval_id") * 12000 + 9000
+            ).alias("e"),
+        )
+    )
+    matched = joins.range_join_binned(
+        ev, iv, ts_col="ts", start_col="s", end_col="e", bin_seconds=7200
+    )
+    return matched.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+@qdef(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    t AS (SELECT doc_id, unnest(w) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    tfn AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tfn.term,
+               round((tf * 1.0 / n_tok) * ln(n_docs * 1.0 / df) + 1e-12, 9) AS tfidf
+        FROM tfn JOIN dft ON tfn.term = dft.term, n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — keyword extraction over the
+    corpus. One token explode, doc-keyed aggregation reused by the
+    length window and the rank window, vocabulary-sized df side on the
+    term key. Ranking on the rounded score with term tie-break keeps
+    the kept set bit-identical cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.tfidf_topk(docs, id_col="doc_id", text_col="text", k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@qdef(
+    "sink_compacted",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag,
+           l_linestatus, l_shipdate
+    FROM lineitem
+    """,
+)
+def q_sink_compacted(spark, sf_dir):
+    """Lake-layout maintenance: compact lineitem into 8 range-clustered
+    parquet files (repartitionByRange on l_orderkey — the 1-D analog
+    of Z-ordering — + in-file sort for tight row-group min/max stats +
+    maxRecordsPerFile size cap), then prove the rewritten lake is
+    content-identical to the source by reading it back against the
+    oracle. File-count bounds are asserted inline: the range
+    partitioning fixes the floor, the record cap bounds rotation."""
+    import tempfile
+
+    from weather4cast_bigdata_spark.sources import compact
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="w4c_compact_")
+    compact.write_compacted(
+        li, out, cluster_by=["l_orderkey"], n_files=8, max_records_per_file=50_000
+    )
+    n_files = compact.parquet_file_count(out)
+    assert 8 <= n_files <= 24, (
+        f"compaction produced {n_files} files — expected 8 range partitions "
+        "with at most 2-3 rotations each under the 50k record cap"
+    )
+    return compact.read_compacted(spark, out)
+
+
 # ---------------------------------------------------------------------
 # Weather-lake ETL / inference / solver entries + fixture-backed
 # extensions live in a sibling module (imported for its @qdef side
