@@ -1,0 +1,93 @@
+"""Physical-plan shape regression guards.
+
+EXPLAIN.md records the audited plan shapes; these tests pin the
+load-bearing properties so a future edit that silently degrades a
+plan (an extra shuffle, a broadcast that became a sort-merge, a
+nested-loop join appearing where none belongs) fails CI instead of
+surfacing as a scale incident. Shapes are asserted with AQE disabled
+(same discipline as tools/explain_audit.py): AQE may *improve* a
+plan at runtime but never changes the declared strategy.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from weather4cast_bigdata_spark.plans.registry import REGISTRY
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _counts(plan: str) -> dict[str, int]:
+    # Node headers only: formatted explain prints each node in both
+    # the tree and the detail section.
+    return {
+        # shuffle exchanges only — broadcast exchanges are the cheap kind
+        "exch": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+        "bnl": len(
+            re.findall(r"^\(\d+\) (?:BroadcastNestedLoopJoin|CartesianProduct)", plan, re.M)
+        ),
+        "smj": len(re.findall(r"^\(\d+\) \*?\s?SortMergeJoin", plan, re.M)),
+        "bhj": len(re.findall(r"^\(\d+\) \*?\s?BroadcastHashJoin", plan, re.M)),
+    }
+
+
+@pytest.fixture()
+def noaqe(spark):
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+# (query, max shuffle exchanges, allowed nested-loop joins).
+# The allowed bnl are all declared 1-row broadcast normalizers or the
+# brute-force ANN correctness baseline (EXPLAIN.md).
+SHAPES = [
+    ("dedup_exact", 1, 0),
+    # narrow projection; the 1 allowed exchange is ensure_min_parallelism's
+    # small-input repartition (a no-op at real scan parallelism)
+    ("dedup_minhash_signature", 1, 0),
+    ("dedup_minhash_lsh", 3, 0),
+    ("dedup_ngram_jaccard", 3, 0),
+    ("sim_cosine_topk", 1, 1),  # declared brute-force baseline
+    ("sim_hyperplane_lsh", 0, 0),
+    ("text_fingerprint", 0, 0),
+    ("text_tfidf_topk", 4, 1),  # 1-row corpus-size normalizer
+    ("join_range_binned", 2, 0),  # binned rewrite: NO nested loop
+    ("sample_stratified_split", 0, 0),
+    ("join_asof_nearest", 1, 0),
+    ("window_sessionize", 1, 0),
+    ("agg_salted", 2, 0),
+]
+
+
+@pytest.mark.parametrize("name,max_exch,max_bnl", SHAPES)
+def test_plan_shape(noaqe, sf_dir, name, max_exch, max_bnl):
+    plan = _formatted_plan(REGISTRY[name].fn(noaqe, sf_dir))
+    c = _counts(plan)
+    assert c["exch"] <= max_exch, f"{name}: {c['exch']} shuffles > {max_exch}\n{plan}"
+    assert c["bnl"] <= max_bnl, f"{name}: unexpected nested-loop join\n{plan}"
+
+
+def test_static_dim_joins_are_broadcast(noaqe, sf_dir):
+    """The static-dim join must broadcast every dim side — zero
+    shuffle exchanges in the whole plan."""
+    plan = _formatted_plan(REGISTRY["join_static_broadcast"].fn(noaqe, sf_dir))
+    c = _counts(plan)
+    assert c["bhj"] >= 1 and c["exch"] == 0, plan
+
+
+def test_range_join_binned_broadcasts_interval_side(noaqe, sf_dir):
+    """The interval spine is generated from a 1-row aggregate: the
+    fact side must never shuffle for the join itself — the only
+    exchanges belong to the spine build and the final group-by."""
+    plan = _formatted_plan(REGISTRY["join_range_binned"].fn(noaqe, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -328,3 +328,19 @@ def test_write_compacted_layout(spark, tmp_path):
     # 2 range partitions x ~500 rows -> ceil(500/100)=5 files each
     assert compact.parquet_file_count(p2) >= 10
     assert compact.read_compacted(spark, p2).count() == 1000
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The 100 TB swap for `agg_percentile` (SCALING.md §5): the
+    GK-sketch `approx_percentile` at accuracy 10000 must track the
+    exact sort-based percentile within 0.5% relative — one partial-agg
+    exchange of a bounded sketch instead of a corpus-wide sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("exact"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row.exact, row.approx):
+        assert abs(a - e) <= 0.005 * max(abs(e), 1.0), (e, a)
