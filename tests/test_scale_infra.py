@@ -344,3 +344,27 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     ).collect()[0]
     for e, a in zip(row.exact, row.approx):
         assert abs(a - e) <= 0.005 * max(abs(e), 1.0), (e, a)
+
+
+def test_cdc_apply_changes_semantics(spark):
+    """MERGE edge semantics: latest seq wins, same-seq
+    delete-vs-upsert conflict resolves to delete, inserts land, and
+    untouched base rows survive."""
+    from weather4cast_bigdata_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", "upsert", 1),
+            (2, "b2", "upsert", 2),   # latest wins
+            (3, "c1", "upsert", 5),
+            (3, "cX", "delete", 5),   # same seq: delete wins
+            (5, "e", "upsert", 1),    # insert
+            (4, "dX", "delete", 9),   # plain delete
+        ],
+        ["k", "v", "op", "seq"],
+    )
+    got = {r.k: r.v for r in cdc.apply_changes(base, changes, ["k"], "seq").collect()}
+    assert got == {1: "a", 2: "b2", 5: "e"}

@@ -2354,6 +2354,112 @@ def q_sink_compacted(spark, sf_dir):
     return compact.read_compacted(spark, out)
 
 
+@qdef(
+    "project_unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def q_project_unpivot_long(spark, sf_dir):
+    """Wide→long layout conversion (melt) — the inverse of the
+    multichannel pivot and the reason the engine can hold both raster
+    layouts (SURVEY §1.4): native ``unpivot``, a zero-shuffle narrow
+    expand that stays in whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+_ORDER_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+)
+
+
+@qdef(
+    "sink_merge_upsert",
+    oracle=f"""
+    WITH changes AS (
+        SELECT {_ORDER_COLS}, 'delete' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.05,
+               o_orderdate, o_orderpriority, 'upsert', 1
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.2,
+               o_orderdate, o_orderpriority, 'upsert', 2
+        FROM orders WHERE o_orderkey % 10 = 1
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.3,
+               o_orderdate, o_orderpriority, 'upsert', 3
+        FROM orders WHERE o_orderkey % 10 = 2
+        UNION ALL
+        SELECT {_ORDER_COLS}, 'delete', 3
+        FROM orders WHERE o_orderkey % 10 = 2
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+               o_totalprice + 1000, o_orderdate, o_orderpriority, 'upsert', 1
+        FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY seq DESC, CASE WHEN op = 'delete' THEN 0 ELSE 1 END
+            ) AS rn FROM changes
+        ) WHERE rn = 1
+    )
+    SELECT {_ORDER_COLS.replace('o_', 'b.o_')}
+    FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.o_orderkey IS NULL
+    UNION ALL
+    SELECT {_ORDER_COLS} FROM latest WHERE op = 'upsert'
+    """,
+)
+def q_sink_merge_upsert(spark, sf_dir):
+    """CDC apply / MERGE INTO analog: a deterministic change batch
+    (deletes, two conflicting sequenced updates where the latest wins,
+    a same-seq upsert-vs-delete conflict where delete wins, and
+    inserts under fresh keys) applied to the orders base table. One
+    change-batch window + ONE anti join of the base — the base never
+    shuffles twice; the oracle replays the merge in pure SQL."""
+    from weather4cast_bigdata_spark.operators import cdc
+
+    o = _t(spark, sf_dir, "orders")
+    m = F.col("o_orderkey") % 10
+
+    def chg(cond, op, seq, price=None, key_shift=0):
+        d = o.where(cond)
+        if key_shift:
+            d = d.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(key_shift))
+        if price is not None:
+            d = d.withColumn("o_totalprice", price)
+        return d.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq))
+
+    changes = (
+        chg(m == 0, cdc.DELETE, 1)
+        .unionByName(chg(m == 1, cdc.UPSERT, 1, price=F.col("o_totalprice") * 1.05))
+        .unionByName(chg(m == 1, cdc.UPSERT, 2, price=F.col("o_totalprice") * 1.2))
+        .unionByName(chg(m == 2, cdc.UPSERT, 3, price=F.col("o_totalprice") * 1.3))
+        .unionByName(chg(m == 2, cdc.DELETE, 3))
+        .unionByName(
+            chg(m == 3, cdc.UPSERT, 1, price=F.col("o_totalprice") + 1000, key_shift=10_000_000)
+        )
+    )
+    return cdc.apply_changes(o, changes, keys=["o_orderkey"], seq_col="seq")
+
+
 # ---------------------------------------------------------------------
 # Weather-lake ETL / inference / solver entries + fixture-backed
 # extensions live in a sibling module (imported for its @qdef side
