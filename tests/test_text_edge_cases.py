@@ -222,3 +222,33 @@ def test_blas_near_dup_zero_vector_no_nan_pairs(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     pairs = similarity.near_dup_pairs_blas(df, bucket_col="label", threshold=0.5).collect()
     assert {(r.a_id, r.b_id) for r in pairs} == {(1, 2)}
+
+
+def test_tfidf_topk_edges(spark):
+    """Edge semantics: a single-doc corpus has idf = ln(1) = 0 for
+    every term (all tfidf 0, rank by term asc); an empty document
+    contributes its [""] token; ranks never exceed k; ties break by
+    term ascending."""
+    from weather4cast_bigdata_spark.functions.text import tfidf_topk
+
+    one = spark.createDataFrame([(1, "alpha beta alpha")], ["doc_id", "text"])
+    out = tfidf_topk(one, k=3).collect()
+    assert all(r.tfidf == 0.0 for r in out)
+    assert [r.term for r in sorted(out, key=lambda r: r.rank)] == ["alpha", "beta"]
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y q"), (3, "")], ["doc_id", "text"]
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc (incl. the empty one, whose sole token is "") got ranks <= 2
+    assert set(by_doc) == {1, 2, 3}
+    assert all(1 <= r.rank <= 2 for r in rows)
+    # the empty doc's single "" token is unique to it: idf = ln(3) > 0
+    empty = by_doc[3]
+    assert len(empty) == 1 and empty[0].term == "" and empty[0].tfidf > 0
+    # doc 1: z is unique (idf ln 3), x/y shared by 2 docs (idf ln 1.5):
+    # z must rank first
+    assert sorted(by_doc[1], key=lambda r: r.rank)[0].term == "z"
