@@ -368,3 +368,21 @@ def test_cdc_apply_changes_semantics(spark):
     )
     got = {r.k: r.v for r in cdc.apply_changes(base, changes, ["k"], "seq").collect()}
     assert got == {1: "a", 2: "b2", 5: "e"}
+
+
+def test_constraint_audit_null_is_violation(spark):
+    """A NULL predicate must count as a violation (unverifiable !=
+    verified), and the uniqueness counter must count rows in excess
+    of one per key."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (3, 2.0)], ["k", "v"]
+    )
+    audit = {
+        r.rule: r.n_violations
+        for r in quality.constraint_audit(df, {"v_pos": F.col("v") > 0}).collect()
+    }
+    assert audit == {"v_pos": 2}  # NULL row + negative row
+    uniq = quality.uniqueness_violations(df, ["k"]).collect()[0]
+    assert uniq.n_duplicate_rows == 1 and uniq.n_rows == 4

@@ -25,6 +25,15 @@ a decimal tie):
    noise but is invisible at the rounded precision, so exact decimal
    ties (e.g. sum/32 of 2-decimal data terminating in ...5) resolve
    identically in both engines.
+   PER-ROW transcendental projections use the 6-decimal form, not the
+   9-decimal one: libm-vs-JVM divergence after a few chained ln/exp
+   ops reaches ~1e-14, so at 9 decimals a value lands within the
+   divergence of a rounding boundary with probability ~1e-5 per row —
+   empirically one mismatched row per ~600k at sf0.1. At 6 decimals
+   the collision probability drops to ~1e-8 per row. One-row
+   aggregate outputs keep 9 decimals (their output cardinality makes
+   a collision vanishingly unlikely, and the extra precision is
+   checked for free).
 4. round() directly on RAW parquet doubles (2-decimal money) is fine:
    the canonical parse is what both engines see.
 """
@@ -291,7 +300,7 @@ def q_project_clamp_scale(spark, sf_dir):
 @qdef(
     "project_log_clamp",
     oracle="""
-    SELECT event_id, round(ln(greatest(value / 400.0, 0.0002)) + 1e-12, 9) AS log_crr
+    SELECT event_id, round(ln(greatest(value / 400.0, 0.0002)) + 1e-9, 6) AS log_crr
     FROM events
     """,
 )
@@ -300,14 +309,14 @@ def q_project_log_clamp(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        r9(scalar.log_clamp(F.col("value") / 400.0)).alias("log_crr"),
+        r6(scalar.log_clamp(F.col("value") / 400.0)).alias("log_crr"),
     )
 
 
 @qdef(
     "project_logit",
     oracle="""
-    SELECT event_id, round(ln(x / (1.0 - x)) + 1e-12, 9) AS logit_v
+    SELECT event_id, round(ln(x / (1.0 - x)) + 1e-9, 6) AS logit_v
     FROM (SELECT event_id, least(greatest(value/400.0, 0.01), 0.99) AS x FROM events)
     """,
 )
@@ -317,7 +326,7 @@ def q_project_logit(spark, sf_dir):
     before logit (ensemble.py:12)."""
     events = _t(spark, sf_dir, "events")
     x = F.least(F.greatest(F.col("value") / 400.0, F.lit(0.01)), F.lit(0.99))
-    return events.select("event_id", r9(scalar.logit(x)).alias("logit_v"))
+    return events.select("event_id", r6(scalar.logit(x)).alias("logit_v"))
 
 
 @qdef(
@@ -325,7 +334,7 @@ def q_project_logit(spark, sf_dir):
     oracle="""
     SELECT event_id,
            round((ln(x/(1.0-x)) - ln(0.003/0.997))
-                 / (ln(0.997/0.003) - ln(0.003/0.997)) + 1e-12, 9) AS nl
+                 / (ln(0.997/0.003) - ln(0.003/0.997)) + 1e-9, 6) AS nl
     FROM (SELECT event_id,
                  least(greatest(value/400.0, 0.003), 0.997) AS x
           FROM events)
@@ -336,7 +345,7 @@ def q_project_normlogit(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        r9(scalar.normlogit(F.col("value") / 400.0)).alias("nl"),
+        r6(scalar.normlogit(F.col("value") / 400.0)).alias("nl"),
     )
 
 
@@ -345,7 +354,7 @@ def q_project_normlogit(spark, sf_dir):
     oracle="""
     SELECT event_id,
            round(1.0 / (1.0 + exp(-((value/400.0) * (ln(0.997/0.003) - ln(0.003/0.997))
-                                    + ln(0.003/0.997)))) + 1e-12, 9) AS inl
+                                    + ln(0.003/0.997)))) + 1e-9, 6) AS inl
     FROM events
     """,
 )
@@ -354,7 +363,7 @@ def q_project_inv_normlogit(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        r9(scalar.inv_normlogit(F.col("value") / 400.0)).alias("inl"),
+        r6(scalar.inv_normlogit(F.col("value") / 400.0)).alias("inl"),
     )
 
 
@@ -714,7 +723,7 @@ def q_join_ensemble_align(spark, sf_dir):
     )
     SELECT event_id,
            round(1.0 / (1.0 + exp(-((0.6*n1 + 0.4*n2) * (ln(0.997/0.003) - ln(0.003/0.997))
-                                    + ln(0.003/0.997)))) + 1e-12, 9) AS blend
+                                    + ln(0.003/0.997)))) + 1e-9, 6) AS blend
     FROM nl
     """,
 )
@@ -729,7 +738,7 @@ def q_udf_ensemble_blend(spark, sf_dir):
         (F.col("value") / 500.0).alias("p2"),
     )
     out = joins.logit_blend(preds, ["p1", "p2"], [0.6, 0.4])
-    return out.select("event_id", r9(F.col("blend")).alias("blend"))
+    return out.select("event_id", r6(F.col("blend")).alias("blend"))
 
 
 @qdef(
@@ -2458,6 +2467,84 @@ def q_sink_merge_upsert(spark, sf_dir):
         )
     )
     return cdc.apply_changes(o, changes, keys=["o_orderkey"], seq_col="seq")
+
+
+@qdef(
+    "audit_constraints",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+    SELECT 'qty_positive' AS rule,
+           CAST(sum(CASE WHEN coalesce(l_quantity > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           (SELECT n_rows FROM n) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_unit_range',
+           CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 0.05, FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+           (SELECT n_rows FROM n)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT),
+           (SELECT n_rows FROM n)
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_present',
+           CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+           (SELECT n_rows FROM n)
+    FROM lineitem
+    """,
+)
+def q_audit_constraints(spark, sf_dir):
+    """Declarative data-quality audit (Deequ-style): four named
+    row-level constraints — positivity, numeric range, categorical
+    domain, presence — counted in ONE scan with map-side-combined
+    counters (an N-rule audit must never cost N scans), then
+    unpivoted to the long (rule, n_violations, n_rows) dashboard
+    form. NULL predicates count as violations: an unverifiable row is
+    not a verified row."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_positive": F.col("l_quantity") > 0,
+        "discount_unit_range": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.05),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+    }
+    return quality.constraint_audit(li, rules)
+
+
+@qdef(
+    "agg_histogram",
+    oracle="""
+    WITH s AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    b AS (
+        SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bin,
+               lo, hi
+        FROM lineitem, s
+        WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT bin,
+           lo + bin * (hi - lo) / 10.0 AS bin_lo,
+           lo + (bin + 1) * (hi - lo) / 10.0 AS bin_hi,
+           count(*) AS n
+    FROM b GROUP BY bin, lo, hi
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Numeric profiling: fixed-width 10-bin histogram of
+    l_extendedprice over its [min, max] span — a 1-row min/max
+    broadcast back into a map-side-combined bin count (the two-scan
+    floor for data-dependent binning; closed top edge). Bin edges are
+    pure IEEE arithmetic on raw parquet doubles, identical in both
+    engines with no rounding needed."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quality.numeric_histogram(li, "l_extendedprice", n_bins=10)
 
 
 # ---------------------------------------------------------------------
