@@ -50,3 +50,23 @@ def test_cli_external_frames_dir(spark, tmp_path, capsys):
     weather_fixtures.load_fixtures(spark)["frames"].write.parquet(lake)
     assert main(["evaluate", "--frames-dir", lake]) == 0
     assert "valid start times:" in capsys.readouterr().out
+
+
+def test_cli_curate_and_audit(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert main(["curate", "--docs-dir", docs, "--output-dir", out]) == 0
+    txt = capsys.readouterr().out
+    assert "curated total:" in txt and "train:" in txt
+    assert spark.read.parquet(out).count() > 0
+
+    assert main(["audit", "--docs-dir", docs]) == 0
+    txt = capsys.readouterr().out
+    assert "text_nonempty:" in txt and "doc_id_unique:" in txt
+
+
+def test_cli_curate_requires_docs_dir(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["curate"])

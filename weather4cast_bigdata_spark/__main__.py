@@ -4,6 +4,8 @@
     python -m weather4cast_bigdata_spark evaluate [--regions R1,R2]
     python -m weather4cast_bigdata_spark evaluate_ensemble \
         --ensemble-weights ridge|equal|ridge_lagrange
+    python -m weather4cast_bigdata_spark curate --docs-dir /lake/documents.parquet
+    python -m weather4cast_bigdata_spark audit --docs-dir /lake/documents.parquet
 
 The reference dispatches train/evaluate/submit over its NetCDF lake;
 here the same modes run the Spark plans over a frame lake — by
@@ -41,12 +43,20 @@ def _region_filter(df, regions):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="weather4cast_bigdata_spark")
-    p.add_argument("mode", choices=["submit", "evaluate", "evaluate_ensemble", "train"])
+    p.add_argument(
+        "mode",
+        choices=["submit", "evaluate", "evaluate_ensemble", "train", "curate", "audit"],
+    )
     p.add_argument("--frames-dir", default="", help="Parquet frame lake (long layout); default: bundled fixtures")
     p.add_argument("--regions", default="", help="Comma-separated region whitelist")
     p.add_argument("--submission-dir", default="", help="submit: output path for the quantized partitioned sink")
     p.add_argument("--ensemble-weights", default="ridge", choices=["ridge", "equal", "ridge_lagrange"])
+    p.add_argument("--docs-dir", default="", help="curate/audit: documents parquet (doc_id, text, ...)")
+    p.add_argument("--output-dir", default="", help="curate: write the curated corpus here (else print summary only)")
     args = p.parse_args(argv)
+
+    if args.mode in ("curate", "audit") and not args.docs_dir:
+        p.error(f"{args.mode} requires --docs-dir")
     regions = (
         [r.strip() for r in args.regions.split(",") if r.strip()]
         if args.regions
@@ -55,6 +65,41 @@ def main(argv=None) -> int:
 
     spark = get_spark("w4c-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "curate":
+        from weather4cast_bigdata_spark.plans.curation import curate
+
+        docs = spark.read.parquet(args.docs_dir)
+        curated = curate(docs)
+        if args.output_dir:
+            curated.write.mode("overwrite").parquet(args.output_dir)
+            curated = spark.read.parquet(args.output_dir)
+        stats = (
+            curated.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+            .orderBy("split")
+            .collect()
+        )
+        for r in stats:
+            print(f"{r['split']}: {r['n_docs']} docs, {r['n_tokens']} tokens")
+        print(f"curated total: {sum(r['n_docs'] for r in stats)} of {docs.count()} input docs")
+        return 0
+
+    if args.mode == "audit":
+        from weather4cast_bigdata_spark.operators import quality
+
+        docs = spark.read.parquet(args.docs_dir)
+        rules = {
+            "doc_id_present": F.col("doc_id").isNotNull(),
+            "text_present": F.col("text").isNotNull(),
+            "text_nonempty": F.length(F.trim(F.col("text"))) > 0,
+        }
+        for r in quality.constraint_audit(docs, rules).orderBy("rule").collect():
+            print(f"{r['rule']}: {r['n_violations']} violations / {r['n_rows']} rows")
+        uniq = quality.uniqueness_violations(docs, ["doc_id"]).collect()[0]
+        print(f"doc_id_unique: {uniq['n_duplicate_rows']} duplicate rows / {uniq['n_rows']} rows")
+        return 0
+
     fx = _frames(spark, args)
     frames = _region_filter(fx["frames"], regions)
     decoded = weather.impute(weather.decode_normalize(frames, fx["variable_meta"]))
