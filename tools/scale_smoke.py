@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from weather4cast_bigdata_spark.operators import dedup  # noqa: E402
+from weather4cast_bigdata_spark.operators import dedup, similarity  # noqa: E402
 from weather4cast_bigdata_spark.plans.curation import curate  # noqa: E402
 from weather4cast_bigdata_spark.session import get_spark  # noqa: E402
 
@@ -102,6 +102,45 @@ def run(spark, docs, lake: str, max_df: int | None):
     probe("curation_pipeline", lambda: curate(docs, max_df=max_df))
 
 
+def build_vec_lakes(spark, sf_dir: str, root: str) -> dict[str, str]:
+    """10x embedding lake: verbatim vector clones under fresh ids —
+    honest for ANN cost (bucket populations x10; per-query output
+    stays k rows)."""
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    paths = {"vec_base": os.path.join(root, "vec_base")}
+    vecs.repartition(32).write.mode("overwrite").parquet(paths["vec_base"])
+    out = None
+    for i in range(N_COPIES):
+        d = vecs.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        out = d if out is None else out.unionByName(d)
+    paths["vec_10x"] = os.path.join(root, "vec_10x")
+    out.repartition(32).write.mode("overwrite").parquet(paths["vec_10x"])
+    return paths
+
+
+def run_ann(spark, corpus, lake: str):
+    queries = corpus.orderBy("vec_id").limit(200)
+
+    def probe(qname, build):
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = build().count()
+            best = min(best, time.perf_counter() - t0)
+        print(
+            json.dumps({"lake": lake, "query": qname, "rows": n, "sec": round(best, 2)}),
+            flush=True,
+        )
+
+    cents = similarity.kmeans_centroids(corpus, k=16)
+    probe("ivf_cosine_topk", lambda: similarity.ivf_cosine_topk(queries, corpus, cents, k=5, nprobe=2))
+    probe("embedding_near_dup", lambda: similarity.near_dup_pairs(corpus, bucket_col="label", threshold=0.9))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("w4c-scale-smoke")
@@ -115,6 +154,9 @@ def main() -> None:
     # config) — uncapped would be the documented quadratic blowup
     run(spark, base, "base_1x_capped", MAX_DF)
     run(spark, spark.read.parquet(paths["dup"]), "dup_10x_capped", MAX_DF)
+    vec_paths = build_vec_lakes(spark, sf_dir, root)
+    run_ann(spark, spark.read.parquet(vec_paths["vec_base"]), "vec_base_1x")
+    run_ann(spark, spark.read.parquet(vec_paths["vec_10x"]), "vec_10x")
 
 
 if __name__ == "__main__":
