@@ -1,0 +1,162 @@
+"""Edge-case tests for the wave-3 curation operators: packing
+boundaries, decontamination thresholds, PII patterns, EWMA heads,
+winsorize null handling. The registry-oracle replica covers the
+happy path; these pin the corners the star schema can't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions.text import pii_redact
+from weather4cast_bigdata_spark.operators import aggregates, curate_ext
+from weather4cast_bigdata_spark.operators.windows import ewma
+
+
+# --- packing ----------------------------------------------------------------
+
+
+def test_pack_chunked_matches_single_window_cumsum(spark):
+    """The distributed two-pass prefix sum must equal the naive global
+    window on any id distribution — including sparse/skewed ids that
+    land many docs in one bucket and leave other buckets empty."""
+    ids = [0, 1, 2, 5, 7, 100, 101, 102, 5000, 5001, 99999]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ((i % 13) + 1))) for i in ids], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["pack_first"], r["pack_last"])
+        for r in curate_ext.pack_chunked(docs, capacity=7, n_buckets=4).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    ).withColumn("start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    for r in naive.collect():
+        start, n = r["start"], r["n_tok"]
+        assert got[r["doc_id"]] == (start, start // 7, (start + n - 1) // 7)
+
+
+def test_pack_chunked_capacity_boundaries(spark):
+    """Docs that exactly fill a pack must not bleed into the next one;
+    a doc longer than the capacity spans multiple packs."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h"), (3, " ".join("x" * 1 for _ in range(10)))],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curate_ext.pack_chunked(docs, capacity=4).collect()}
+    assert (rows[1]["pack_first"], rows[1]["pack_last"]) == (0, 0)
+    assert (rows[2]["pack_first"], rows[2]["pack_last"]) == (1, 1)
+    # 10 tokens starting at offset 8 → packs 2..4
+    assert (rows[3]["pack_first"], rows[3]["pack_last"]) == (2, 4)
+
+
+# --- decontamination --------------------------------------------------------
+
+
+def test_decontaminate_threshold_and_clean_docs(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox appears here"),  # shares 2 shingles
+            (2, "quick brown fox"),  # shares 1 shingle ("quick brown fox")
+            (3, "completely unrelated words only"),  # clean
+            (4, "xy"),  # < n tokens: no shingles at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in curate_ext.decontaminate(train, ev, min_overlap=2).collect()
+    }
+    assert out[1] == (2, True)
+    assert out[2] == (1, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)  # short doc still reported, not dropped
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("mail a.b+c%d@sub.example.co.uk now", "mail <EMAIL> now"),
+        ("call 555-123-4567 or 555-0199", "call <PHONE> or <PHONE>"),
+        ("host 192.168.0.1 down", "host <IP> down"),
+        ("v1.2 release", "v1.2 release"),  # short dotted version untouched
+        ("no pii here", "no pii here"),
+    ],
+)
+def test_pii_redact_patterns(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], "t string")
+    assert df.select(pii_redact(F.col("t")).alias("r")).first()["r"] == want
+
+
+# --- EWMA -------------------------------------------------------------------
+
+
+def test_ewma_head_renormalizes(spark):
+    """First rows (fewer than lookback lags) must renormalize over the
+    available weights, and a constant series must stay constant."""
+    rows = [(1, i, 10.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k int, t int, value double")
+    out = ewma(df, ["k"], "t", "value", alpha=0.5, lookback=8).collect()
+    assert all(abs(r["ewma"] - 10.0) < 1e-6 for r in out)
+
+
+def test_ewma_weights_recent_more(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 1, 0.0), (1, 2, 100.0)], "k int, t int, value double"
+    )
+    got = {r["t"]: r["ewma"] for r in ewma(df, ["k"], "t", "value", alpha=0.5).collect()}
+    # at t=2: (100 + 0.5*0 + 0.25*0) / 1.75
+    assert abs(got[2] - 100.0 / 1.75) < 1e-5
+    assert got[0] == 0.0
+
+
+def test_ewma_null_values_drop_from_both_sums(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 4.0), (1, 1, None), (1, 2, 8.0)], "k int, t int, value double"
+    )
+    got = {r["t"]: r["ewma"] for r in ewma(df, ["k"], "t", "value", alpha=0.5).collect()}
+    # t=2: (8 + 0.25*4) / 1.25 — the null contributes to neither sum
+    assert abs(got[2] - 9.0 / 1.25) < 1e-5
+    assert got[1] == 4.0  # only the lagged value remains
+
+
+# --- winsorize / mixture ----------------------------------------------------
+
+
+def test_winsorize_clips_outliers_and_drops_nulls(spark):
+    vals = [float(v) for v in range(1, 100)] + [1e9]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("g", None)], "grp string, value double"
+    )
+    row = aggregates.winsorized_stats(df, "grp", "value").first()
+    assert row["n"] == 100  # null excluded
+    assert row["winsor_mean"] < 200  # the 1e9 outlier is clipped to p95
+    assert row["p_lo"] > 1.0 and row["p_hi"] < 1e9
+
+
+def test_mixture_sample_rates_and_weights(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", f"src{i % 2}") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    kept = curate_ext.mixture_sample(docs, {"src0": 1.0, "src1": 0.25}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["weight"])
+    assert len(by_src["src0"]) == 1000  # rate 1.0 keeps everything
+    assert 150 < len(by_src["src1"]) < 350  # ~25% of 1000
+    assert set(by_src["src0"]) == {1.0}
+    assert set(by_src["src1"]) == {4.0}
+    # determinism: same input → identical kept set
+    again = curate_ext.mixture_sample(docs, {"src0": 1.0, "src1": 0.25}).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)

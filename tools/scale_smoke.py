@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from weather4cast_bigdata_spark.operators import dedup, similarity  # noqa: E402
+from weather4cast_bigdata_spark.operators import curate_ext, dedup, similarity  # noqa: E402
 from weather4cast_bigdata_spark.plans.curation import curate  # noqa: E402
 from weather4cast_bigdata_spark.session import get_spark  # noqa: E402
 
@@ -100,6 +100,14 @@ def run(spark, docs, lake: str, max_df: int | None):
         lambda: dedup.ngram_jaccard_pairs_docs(docs, threshold=0.5, max_df=max_df),
     )
     probe("curation_pipeline", lambda: curate(docs, max_df=max_df))
+    # wave-3 narrow/one-shuffle ops: near-linear scaling is the pass bar
+    probe("repetition_features", lambda: curate_ext.repetition_features(docs))
+    probe("pack_chunked", lambda: curate_ext.pack_chunked(docs, capacity=2048))
+    probe(
+        "decontaminate",
+        # eval suite = a fixed 500-doc slice; the training side is what scales
+        lambda: curate_ext.decontaminate(docs, docs.orderBy("doc_id").limit(500)),
+    )
 
 
 def build_vec_lakes(spark, sf_dir: str, root: str) -> dict[str, str]:

@@ -248,6 +248,26 @@ def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3)
     )
 
 
+# PII patterns kept RE2/Java-portable (no lookaround) so the same
+# pattern string runs in Spark, DuckDB, and a Go/Rust scrubber.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails / phone-shaped numbers / IPv4 literals with
+    typed placeholders — the pre-release scrub every public-corpus
+    pipeline runs. Pure chained ``regexp_replace`` (codegen'd, no
+    Python); email first so its digits can't be half-eaten by the
+    phone pass. A production scrubber adds NER-based name redaction
+    as a Pandas-UDF stage at the same call site.
+    """
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
 def strip_markup(text: Column) -> Column:
     """Drop HTML/XML tags and collapse whitespace — the boilerplate
     scrub ahead of tokenization in web-corpus pipelines. Pure regexp

@@ -120,3 +120,43 @@ def top_frequent(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     """
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("freq"))
     return counts.orderBy(F.col("freq").desc(), F.col(col)).limit(k)
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized mean: clip values to the group's
+    [lo, hi] exact interpolated percentiles, then average — the
+    outlier-robust statistic quality dashboards report over skewed
+    value distributions.
+
+    Two aggregations over one scan: the percentile bounds (one
+    sort-based agg per group — group cardinality is small, the
+    result is a dim table) broadcast back onto the fact rows, then a
+    hash-agg mean of the clipped value. At 100 TB swap
+    ``percentile`` for ``approx_percentile`` (sketch-mergeable, no
+    per-group sort) — same plan shape, documented trade-off.
+    """
+    # NULL values must be excluded BEFORE clipping: least/greatest
+    # skip nulls in both engines, so an unfiltered NULL would clip to
+    # the lower bound instead of dropping out of the mean.
+    df = df.where(F.col(value_col).isNotNull())
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo)).alias("_lo"),
+        F.percentile(value_col, F.lit(hi)).alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.avg(clipped) + F.lit(1e-9), 6).alias("winsor_mean"),
+            F.round(F.min("_lo") + F.lit(1e-9), 6).alias("p_lo"),
+            F.round(F.min("_hi") + F.lit(1e-9), 6).alias("p_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

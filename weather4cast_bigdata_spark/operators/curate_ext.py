@@ -1,0 +1,215 @@
+"""Wave-3 curation operators: decontamination, mixture sampling,
+sequence packing, repetition scoring.
+
+Not in the reference (raster pipeline; cf. SURVEY.md §2 extension
+families) — these complete the standard large-scale training-data
+pipeline: benchmark decontamination (n-gram overlap against a held-out
+eval set, the GPT-3/PaLM appendix procedure), deterministic per-source
+mixture sampling (data-mixture reweighting), concat-and-chunk sequence
+packing (the fixed-context packing every LLM trainer applies), and
+Gopher-style within-document repetition signals.
+
+Everything is md5-deterministic so the DuckDB oracle reproduces
+results bit-exactly, and every shape is single-shuffle or narrow —
+the 100 TB disposition per operator is in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.functions.text import md5_hash32, tokens
+from weather4cast_bigdata_spark.operators.dedup import doc_shingle_hashes
+from weather4cast_bigdata_spark.partitioning import ensure_min_parallelism
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_overlap`` distinct
+    word-``n``-gram shingles with any document in a held-out eval set.
+
+    This is the published benchmark-decontamination recipe (n-gram
+    collision against the eval suite). Shape: both sides shingle to
+    32-bit hashes map-side; the eval shingle set is ``distinct``-ed
+    and **broadcast** — eval suites are thousands of documents while
+    the training corpus is the 100 TB side, so the join is a
+    broadcast-hash semi-probe with NO shuffle of the big side. The
+    only exchange is the per-doc overlap count (8-byte keys).
+
+    Returns every training doc: (id, n_overlap, contaminated).
+    """
+    train_sh = doc_shingle_hashes(train, id_col=id_col, text_col=text_col, n=n)
+    eval_sh = (
+        doc_shingle_hashes(eval_docs, id_col=id_col, text_col=text_col, n=n)
+        .select("h32")
+        .distinct()
+    )
+    overlap = (
+        train_sh.join(F.broadcast(eval_sh), on="h32")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(overlap, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(min_overlap)).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-source downsampling to a target data mixture.
+
+    Each doc's keep decision is ``md5(id) mod resolution <
+    rate·resolution`` — a pure narrow projection (no RNG state, no
+    shuffle, reproducible across engines and cluster sizes, stable
+    under re-runs and retries — the property ``rand()`` sampling lacks
+    on a 1000-executor job with task retries). The inverse-rate
+    ``weight`` column makes downstream statistics unbiased
+    (Horvitz-Thompson).
+    """
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    bucket = F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(resolution))
+    return (
+        docs.withColumn("_rate", rate)
+        .where(bucket < F.col("_rate") * resolution)
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("_rate"), 6))
+        .drop("_rate")
+    )
+
+
+def pack_chunked(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    ``id`` order into one global token stream, split into
+    fixed-``capacity`` training sequences; each doc reports the global
+    offset and the pack range it spans — exactly the layout a
+    fixed-context LLM trainer consumes.
+
+    The global prefix sum is the scale hazard: a bare
+    ``Window.orderBy(id)`` collapses to ONE partition. Instead the
+    classic distributed two-pass: (1) bucket by id range (span from a
+    1-row max-id aggregate), per-bucket cumulative sums in parallel;
+    (2) per-bucket totals — ``n_buckets`` rows — prefix-summed on the
+    tiny side and broadcast back as bucket offsets. Wall-clock is one
+    narrow pass + one ``n_buckets``-row exchange regardless of corpus
+    size. (Caveat: buckets follow the id range, so a sparse id space
+    skews bucket sizes — acceptable for monotone ingest ids; re-key
+    first if ids are adversarial.)
+
+    Returns (id, n_tok, start_offset, pack_first, pack_last).
+    """
+    d = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tok")
+    )
+    max_id = d.agg(F.max(id_col).alias("_max_id"))
+    span = F.floor(F.col("_max_id") / n_buckets) + 1
+    d = d.crossJoin(F.broadcast(max_id)).withColumn(
+        "_bucket", F.floor(F.col(id_col) / span).cast("int")
+    ).drop("_max_id")
+    # ONE bucket exchange + persist at the branch point: the cached
+    # (id, n_tok, bucket) table is ~24 bytes/doc and keeps its hash
+    # partitioning, so BOTH consumers (in-bucket window, bucket-totals
+    # agg) read it with no further exchange — without it each branch
+    # re-tokenizes the full corpus (column pruning diverges the
+    # branch plans, so ReuseExchange never fires).
+    d = d.repartition(n_buckets, "_bucket").persist()
+
+    in_bucket = Window.partitionBy("_bucket").orderBy(id_col)
+    cum = d.withColumn("_cum_in", F.sum("n_tok").over(in_bucket))
+
+    # n_buckets rows — the only cross-bucket data movement
+    prior = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("_bucket")
+        .agg(F.sum("n_tok").alias("_tot"))
+        .withColumn("_offset", F.coalesce(F.sum("_tot").over(prior), F.lit(0)))
+        .select("_bucket", "_offset")
+    )
+    d = cum
+
+    start = F.col("_offset") + F.col("_cum_in") - F.col("n_tok")
+    return (
+        d.join(F.broadcast(offsets), on="_bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            start.alias("start_offset"),
+            F.floor(start / capacity).alias("pack_first"),
+            F.floor((start + F.col("n_tok") - 1) / capacity).alias("pack_last"),
+        )
+    )
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: fraction of
+    tokens belonging to the most frequent token, and the duplicate
+    fraction (1 − distinct/total). High values flag boilerplate /
+    template spam for removal.
+
+    ZERO shuffles: instead of explode + two groupBys (which would
+    shuffle the exploded token stream), each document's sorted token
+    array is folded in one ``aggregate`` run-length scan computing
+    max-run (= max term frequency) and distinct count per row — a
+    narrow, fully codegen'd projection that scales embarrassingly.
+    Ratios are cross-engine-rounded (policy #3).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("ndist"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["ndist"])
+            .otherwise(acc["ndist"] + 1)
+            .alias("ndist"),
+        )
+
+    st = F.aggregate(srt, init, step)
+    n = F.size(toks)
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        st["ndist"].cast("bigint").alias("n_distinct"),
+        F.round(st["maxrun"] * F.lit(1.0) / n + F.lit(1e-9), 6).alias("top_token_frac"),
+        F.round(F.lit(1.0) - st["ndist"] * F.lit(1.0) / n + F.lit(1e-9), 6).alias(
+            "dup_token_frac"
+        ),
+    )

@@ -206,3 +206,37 @@ def join_asof(
         out = out.withColumn(right_ts_as, F.last("_r_ts", ignorenulls=True).over(w))
     drop = ["_side"] + [f"_r_{c}" for c in right_val_cols] + (["_r_ts"] if right_ts_as else [])
     return out.where(F.col("_side") == 0).drop(*drop)
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lookback: int = 8,
+    order_tiebreak: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Bounded-lookback exponentially weighted moving average per key:
+    ``Σ αᵏ·x_{t−k} / Σ αᵏ`` over the last ``lookback`` rows.
+
+    The textbook recursive EWMA is a sequential scan — inexpressible
+    as a window aggregate and a scale dead-end. Truncating at
+    ``lookback`` terms (αᵏ below ~1e-3 contributes nothing at α=0.5)
+    turns it into ``lookback`` ``lag`` reads over ONE ordered window —
+    a single shuffle on the key, fully codegen'd, and the weight
+    renormalization over the available prefix keeps the head of each
+    series unbiased. Deterministic tie-break columns make the result
+    engine-stable (rounded per numeric policy #3).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in order_tiebreak]]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(lookback):
+        lagged = F.col(value_col) if k == 0 else F.lag(F.col(value_col), k).over(w)
+        wk = F.lit(float(alpha) ** k)
+        num = num + F.coalesce(lagged * wk, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), wk).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den + F.lit(1e-9), 6))

@@ -2547,6 +2547,234 @@ def q_agg_histogram(spark, sf_dir):
     return quality.numeric_histogram(li, "l_extendedprice", n_bins=10)
 
 
+# =====================================================================
+# Wave-3 curation extensions: decontamination, PII redaction,
+# repetition scoring, mixture sampling, sequence packing, EWMA,
+# winsorized stats (operators/curate_ext.py, functions/text.py,
+# operators/windows.py, operators/aggregates.py)
+# =====================================================================
+
+
+@qdef(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
+    pos AS (
+        SELECT doc_id, source, w, unnest(range(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               {_H32_SQL.format(expr="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h32
+        FROM pos
+    ),
+    ev AS (SELECT DISTINCT h32 FROM sh WHERE source = 'src0'),
+    ov AS (
+        SELECT doc_id, count(*) AS n_overlap
+        FROM sh JOIN ev USING (h32) WHERE sh.source <> 'src0' GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(ov.n_overlap, 0) AS n_overlap,
+           coalesce(ov.n_overlap, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing ≥2
+    distinct 3-gram shingles with the held-out eval suite (source
+    'src0' plays the benchmark). Eval shingles broadcast — the 100 TB
+    training side never shuffles for the probe."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_ext.decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        min_overlap=2,
+    )
+
+
+@qdef(
+    "text_pii_redact",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-123-4567 at 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b', '<PHONE>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+               '<IP>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction: emails / phone-shaped numbers / IPv4 literals →
+    typed placeholders. The fixture text is PII-free word soup, so the
+    query first synthesizes a deterministic PII suffix per doc (same
+    expression in both engines), then scrubs it — exercising all three
+    patterns on every row. Pure chained regexp projection."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-4567 at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.select("doc_id", text.pii_redact(raw).alias("redacted"))
+
+
+@qdef(
+    "text_repetition_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL.replace('text', 'lower(text)')}) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(tf) AS n_tokens,
+           count(*) AS n_distinct,
+           round(max(tf) * 1.0 / sum(tf) + 1e-9, 6) AS top_token_frac,
+           round(1.0 - count(*) * 1.0 / sum(tf) + 1e-9, 6) AS dup_token_frac
+    FROM tf GROUP BY 1
+    """,
+)
+def q_text_repetition_score(spark, sf_dir):
+    """Gopher-style repetition signals: most-frequent-token fraction
+    and duplicate-token fraction per document — one explode, one
+    shuffle (the second groupBy rides the first's key prefix)."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    return curate_ext.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@qdef(
+    "sample_mixture_weighted",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                           WHEN 'src2' THEN 0.25 ELSE 0.1 END AS rate
+        FROM documents
+    )
+    SELECT doc_id, source, round(1.0 / rate, 6) AS weight
+    FROM r
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < rate * 10000
+    """,
+)
+def q_sample_mixture_weighted(spark, sf_dir):
+    """Deterministic data-mixture sampling: per-source keep rates via
+    md5-bucket thresholding (reproducible under retries, unlike
+    rand()), with Horvitz-Thompson inverse-rate weights."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_ext.mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    )
+    return kept.select("doc_id", "source", "weight")
+
+
+@qdef(
+    "pack_chunked",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    - n_tok AS BIGINT) AS start_offset
+        FROM d
+    )
+    SELECT doc_id, n_tok, start_offset,
+           CAST(floor(start_offset / 128) AS BIGINT) AS pack_first,
+           CAST(floor((start_offset + n_tok - 1) / 128) AS BIGINT) AS pack_last
+    FROM c
+    """,
+)
+def q_pack_chunked(spark, sf_dir):
+    """Concat-and-chunk sequence packing into capacity-128 training
+    sequences via the distributed two-pass prefix sum (per-bucket
+    cumsum + tiny bucket-offset broadcast) — the oracle's single
+    global window is exactly the shape the operator refuses to run."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    return curate_ext.pack_chunked(_t(spark, sf_dir, "documents"), capacity=128)
+
+
+def _ewma_sql(alpha: float = 0.5, lookback: int = 8) -> str:
+    num = ["0.0"]
+    den = ["0.0"]
+    for k in range(lookback):
+        wk = repr(alpha**k)
+        val = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        num.append(f"coalesce({val} * {wk}, 0.0)")
+        den.append(f"CASE WHEN {val} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    return f"""
+    SELECT event_id, user_id, ts,
+           round(({' + '.join(num)}) / ({' + '.join(den)}) + 1e-9, 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@qdef("window_ewma", oracle=_ewma_sql())
+def q_window_ewma(spark, sf_dir):
+    """Bounded-lookback EWMA (α=0.5, 8 terms) of event values per
+    user — the recursive form is a sequential dead-end; the truncated
+    lag-chain is one shuffle and fully codegen'd."""
+    from weather4cast_bigdata_spark.operators import windows as W
+
+    ev = _t(spark, sf_dir, "events")
+    return W.ewma(
+        ev, ["user_id"], "ts", "value", alpha=0.5, lookback=8,
+        order_tiebreak=["event_id"],
+    ).select("event_id", "user_id", "ts", "ewma")
+
+
+@qdef(
+    "agg_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(avg(least(greatest(e.value, b.lo), b.hi)) + 1e-9, 6) AS winsor_mean,
+           round(min(b.lo) + 1e-9, 6) AS p_lo,
+           round(min(b.hi) + 1e-9, 6) AS p_hi,
+           count(*) AS n
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_agg_winsorize(spark, sf_dir):
+    """Outlier-robust per-group mean: clip to the group's exact
+    [p05, p95] interpolated percentiles (bounds dim broadcast back),
+    then average. At 100 TB the documented swap is approx_percentile."""
+    return aggregates.winsorized_stats(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
 # ---------------------------------------------------------------------
 # Weather-lake ETL / inference / solver entries + fixture-backed
 # extensions live in a sibling module (imported for its @qdef side

@@ -751,6 +751,43 @@ def q_sim_ivf_topk(spark, sf_dir):
     )
 
 
+@qdef("sim_ivf_recall")
+def q_sim_ivf_recall(spark, sf_dir):
+    """ANN quality evidence as a first-class query: recall@5 of the
+    IVF path vs the brute-force cosine ground truth, swept over
+    nprobe ∈ {1, 2, 4, 8} of 8 cells — the recall/cost dial every
+    approximate index is tuned on; at nprobe = n_cells the search is
+    exhaustive, so recall must hit exactly 1.0 (a built-in
+    self-check). Deterministic (seeded k-means, id tie-breaks);
+    rows-only because centroid training is not SQL-expressible. At
+    scale this runs over a sampled query panel — recall is a
+    statistic, never a full-corpus pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    truth = similarity.cosine_topk(q, emb, k=5).select("query_id", "item_id")
+    out = None
+    for nprobe in (1, 2, 4, 8):
+        ivf = similarity.ivf_cosine_topk(q, emb, cents, k=5, nprobe=nprobe).select(
+            "query_id", "item_id"
+        )
+        hits = truth.join(ivf, on=["query_id", "item_id"], how="left_semi")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "n_truth",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_truth") + F.lit(1e-9), 6).alias(
+                    "recall_at_5"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 @qdef(
     "agg_salted",
     oracle="""
