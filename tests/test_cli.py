@@ -70,3 +70,26 @@ def test_cli_curate_requires_docs_dir(spark):
 
     with _pytest.raises(SystemExit):
         main(["curate"])
+
+
+def test_cli_decontaminate_and_pack(spark, tmp_path, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert main(
+        ["decontaminate", "--docs-dir", docs, "--eval-dir", docs, "--min-overlap", "1"]
+    ) == 0
+    txt = capsys.readouterr().out
+    # eval set == training set → every doc with >=1 shingle self-collides
+    assert "contaminated:" in txt
+
+    out = str(tmp_path / "packed")
+    assert main(["pack", "--docs-dir", docs, "--capacity", "64", "--output-dir", out]) == 0
+    txt = capsys.readouterr().out
+    assert "sequences of 64" in txt
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_decontaminate_requires_eval_dir(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["decontaminate", "--docs-dir", "/root/testdata/sf0.001/documents.parquet"])

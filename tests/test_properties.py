@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): algebraic invariants that hold
+for ALL inputs, not just the fixtures — the solver identities are
+pure numpy (fast, hundreds of examples); the Spark properties run a
+bounded number of examples because each is a full job."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from weather4cast_bigdata_spark.solve import solve_ridge, solve_ridge_sum1
+
+
+def _psd_system(draw, k):
+    x = draw(
+        st.lists(
+            st.lists(
+                st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+                min_size=k, max_size=k,
+            ),
+            min_size=2 * k, max_size=2 * k,
+        )
+    )
+    a = np.array(x, dtype=np.float64)
+    ata = a.T @ a + 1e-3 * np.eye(k)  # PSD + full-rank
+    y = draw(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+            min_size=k, max_size=k,
+        )
+    )
+    return ata, np.array(y, dtype=np.float64)
+
+
+@st.composite
+def gram_systems(draw, k_max=5):
+    k = draw(st.integers(2, k_max))
+    return _psd_system(draw, k)
+
+
+@given(gram_systems())
+@settings(max_examples=200, deadline=None)
+def test_sum1_constraint_always_holds(sys_):
+    """The Lagrange-bordered solve returns weights summing to exactly
+    1 for any full-rank PSD Gram system."""
+    ata, aty = sys_
+    w = solve_ridge_sum1(ata, aty)
+    assert abs(float(np.sum(w)) - 1.0) < 1e-8
+
+
+@given(gram_systems(), st.floats(0.1, 100.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_ridge_scale_invariance(sys_, c):
+    """Scaling ATA and ATy by the same constant leaves the weights
+    unchanged — λ is proportional to mean(diag ATA), so the whole
+    system rescales consistently. This is what makes the running-mean
+    Gram accumulation (ensemble.py:35-36 semantics) equivalent to the
+    plain-sum form: both differ only by a 1/N factor."""
+    ata, aty = sys_
+    w1 = solve_ridge(ata, aty)
+    w2 = solve_ridge(c * ata, c * aty)
+    np.testing.assert_allclose(w1, w2, rtol=1e-7, atol=1e-9)
+
+
+@given(gram_systems())
+@settings(max_examples=200, deadline=None)
+def test_ridge_approaches_exact_solution(sys_):
+    """As reg_scale → 0 the ridge solution converges to the exact
+    normal-equations solution on a well-conditioned system."""
+    ata, aty = sys_
+    exact = np.linalg.solve(ata, aty)
+    w = solve_ridge(ata, aty, reg_scale=1e-12)
+    np.testing.assert_allclose(w, exact, rtol=1e-4, atol=1e-6)
+
+
+# --- Spark-side properties (bounded example counts) -------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000_000), st.integers(1, 300)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 512),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_chunked_is_exact_cumsum(spark, docs_spec, capacity):
+    """For ANY id distribution and capacity: start offsets are the
+    id-ordered exclusive prefix sum of token counts, and pack spans
+    are floor-division of the span endpoints."""
+    from weather4cast_bigdata_spark.operators.curate_ext import pack_chunked
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in docs_spec]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in pack_chunked(df, capacity=capacity, n_buckets=7).collect()
+    }
+    start = 0
+    for i, n in sorted(docs_spec):
+        r = got[i]
+        assert (r["n_tok"], r["start_offset"]) == (n, start)
+        assert r["pack_first"] == start // capacity
+        assert r["pack_last"] == (start + n - 1) // capacity
+        start += n
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_ewma_bounded_by_window_extremes(spark, values):
+    """EWMA is a convex combination of its lookback window, so every
+    output lies within [min, max] of the last `lookback` values."""
+    from weather4cast_bigdata_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, t, float(v)) for t, v in enumerate(values)], "k int, t int, value double"
+    )
+    out = {r["t"]: r["ewma"] for r in ewma(df, ["k"], "t", "value", lookback=8).collect()}
+    for t in range(len(values)):
+        window = values[max(0, t - 7) : t + 1]
+        assert min(window) - 1e-5 <= out[t] <= max(window) + 1e-5

@@ -6,6 +6,10 @@
         --ensemble-weights ridge|equal|ridge_lagrange
     python -m weather4cast_bigdata_spark curate --docs-dir /lake/documents.parquet
     python -m weather4cast_bigdata_spark audit --docs-dir /lake/documents.parquet
+    python -m weather4cast_bigdata_spark decontaminate \
+        --docs-dir /lake/documents.parquet --eval-dir /lake/benchmark.parquet
+    python -m weather4cast_bigdata_spark pack \
+        --docs-dir /lake/documents.parquet --capacity 2048
 
 The reference dispatches train/evaluate/submit over its NetCDF lake;
 here the same modes run the Spark plans over a frame lake — by
@@ -45,18 +49,26 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="weather4cast_bigdata_spark")
     p.add_argument(
         "mode",
-        choices=["submit", "evaluate", "evaluate_ensemble", "train", "curate", "audit"],
+        choices=[
+            "submit", "evaluate", "evaluate_ensemble", "train",
+            "curate", "audit", "decontaminate", "pack",
+        ],
     )
     p.add_argument("--frames-dir", default="", help="Parquet frame lake (long layout); default: bundled fixtures")
     p.add_argument("--regions", default="", help="Comma-separated region whitelist")
     p.add_argument("--submission-dir", default="", help="submit: output path for the quantized partitioned sink")
     p.add_argument("--ensemble-weights", default="ridge", choices=["ridge", "equal", "ridge_lagrange"])
-    p.add_argument("--docs-dir", default="", help="curate/audit: documents parquet (doc_id, text, ...)")
-    p.add_argument("--output-dir", default="", help="curate: write the curated corpus here (else print summary only)")
+    p.add_argument("--docs-dir", default="", help="curate/audit/decontaminate/pack: documents parquet (doc_id, text, ...)")
+    p.add_argument("--output-dir", default="", help="curate/decontaminate/pack: write results here (else print summary only)")
+    p.add_argument("--eval-dir", default="", help="decontaminate: held-out benchmark documents parquet")
+    p.add_argument("--min-overlap", type=int, default=2, help="decontaminate: shared-shingle threshold")
+    p.add_argument("--capacity", type=int, default=2048, help="pack: tokens per training sequence")
     args = p.parse_args(argv)
 
-    if args.mode in ("curate", "audit") and not args.docs_dir:
+    if args.mode in ("curate", "audit", "decontaminate", "pack") and not args.docs_dir:
         p.error(f"{args.mode} requires --docs-dir")
+    if args.mode == "decontaminate" and not args.eval_dir:
+        p.error("decontaminate requires --eval-dir")
     regions = (
         [r.strip() for r in args.regions.split(",") if r.strip()]
         if args.regions
@@ -83,6 +95,42 @@ def main(argv=None) -> int:
         for r in stats:
             print(f"{r['split']}: {r['n_docs']} docs, {r['n_tokens']} tokens")
         print(f"curated total: {sum(r['n_docs'] for r in stats)} of {docs.count()} input docs")
+        return 0
+
+    if args.mode == "decontaminate":
+        from weather4cast_bigdata_spark.operators.curate_ext import decontaminate
+
+        docs = spark.read.parquet(args.docs_dir)
+        ev = spark.read.parquet(args.eval_dir)
+        flagged = decontaminate(docs, ev, min_overlap=args.min_overlap)
+        if args.output_dir:
+            flagged.write.mode("overwrite").parquet(args.output_dir)
+            flagged = spark.read.parquet(args.output_dir)
+        n_bad = flagged.where(F.col("contaminated")).count()
+        n_all = flagged.count()
+        print(
+            f"contaminated: {n_bad} of {n_all} docs "
+            f"(>= {args.min_overlap} shared shingles with the eval set)"
+        )
+        return 0
+
+    if args.mode == "pack":
+        from weather4cast_bigdata_spark.operators.curate_ext import pack_chunked
+
+        docs = spark.read.parquet(args.docs_dir)
+        packed = pack_chunked(docs, capacity=args.capacity)
+        if args.output_dir:
+            packed.write.mode("overwrite").parquet(args.output_dir)
+            packed = spark.read.parquet(args.output_dir)
+        s = packed.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            (F.max("pack_last") + 1).alias("n_packs"),
+        ).collect()[0]
+        print(
+            f"packed {s['n_docs']} docs / {s['n_tokens']} tokens into "
+            f"{s['n_packs']} sequences of {args.capacity}"
+        )
         return 0
 
     if args.mode == "audit":
