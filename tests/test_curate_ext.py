@@ -160,3 +160,37 @@ def test_mixture_sample_rates_and_weights(spark):
     # determinism: same input → identical kept set
     again = curate_ext.mixture_sample(docs, {"src0": 1.0, "src1": 0.25}).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+# --- substring repetition ---------------------------------------------------
+
+
+def test_substring_dup_stats_flags_shared_spans(spark):
+    from weather4cast_bigdata_spark.operators.dedup import substring_dup_stats
+
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta eta theta"),      # windows at pos 0..3 (4 windows)
+            (2, "iota " + shared + " kappa"),     # contains the same 5-gram
+            (3, "all words here are unique ones"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dup_stats(docs, n=5).collect()}
+    # doc1: 8 tokens → 4 windows, only the first window is shared
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (4, 1)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (3, 1)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (2, 0)
+    assert out[3]["dup_ratio"] == 0.0
+
+
+def test_substring_dup_stats_short_docs_report_zero(spark):
+    from weather4cast_bigdata_spark.operators.dedup import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also very short text")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in substring_dup_stats(docs, n=5).collect()}
+    assert out[1] == (1, 0, 0, 0.0) or (out[1]["n_windows"] == 0)
+    assert out[2]["n_windows"] == 0 and out[2]["dup_ratio"] == 0.0

@@ -410,8 +410,64 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return per_bit.select(F.col(id_col), sig.alias("simhash"))
 
 
+def substring_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document substring repetition: the hash-bucket
+    reading of exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") — every length-``n``
+    token window is hashed; a window whose hash appears in ≥
+    ``min_docs`` distinct documents is a duplicated span, and each
+    doc reports its duplicated-window fraction (the removal signal;
+    the paper's suffix-array form additionally recovers maximal span
+    extents — the bucket form is the shuffle-friendly screen that
+    feeds it).
+
+    Shape: positions ride the shingle explode (map-side), so the only
+    exchanges are int-keyed — one groupBy on the 32-bit window hash
+    (count-distinct-docs; safe on hot boilerplate hashes because
+    nothing per-key is materialized), one join back on the same key
+    (AQE handles skew), one per-doc count. Returns every doc:
+    (id, n_windows, n_dup_windows, dup_ratio).
+    """
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    d = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.size(sh).alias("n_windows"),
+        F.posexplode(F.transform(sh, md5_hash32)).alias("pos", "h"),
+    )
+    dup = (
+        d.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    per_doc = (
+        d.join(dup, on="h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    base = docs.select(F.col(id_col), F.size(sh).alias("n_windows"))
+    return base.join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        F.col("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            / F.greatest(F.col("n_windows"), F.lit(1))
+            + F.lit(1e-9),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
 __all__ = [
     "exact_duplicates",
+    "substring_dup_stats",
     "doc_shingles",
     "doc_shingle_hashes",
     "minhash_signatures",

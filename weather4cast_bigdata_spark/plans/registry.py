@@ -2748,6 +2748,46 @@ def q_window_ewma(spark, sf_dir):
 
 
 @qdef(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        FROM toks WHERE len(w) >= 5
+    ),
+    wh AS (
+        SELECT doc_id,
+               {_H32_SQL.format(expr="w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")} AS h
+        FROM pos
+    ),
+    dup AS (
+        SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY 1)
+        WHERE nd >= 2
+    ),
+    pd AS (
+        SELECT doc_id, count(*) AS n_dup_windows
+        FROM wh JOIN dup USING (h) GROUP BY 1
+    ),
+    base AS (
+        SELECT doc_id, greatest(len({_TOKS_SQL}) - 4, 0) AS n_windows
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_windows,
+           coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+           round(coalesce(pd.n_dup_windows, 0) / greatest(b.n_windows, 1)
+                 + 1e-9, 6) AS dup_ratio
+    FROM base b LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact cross-document substring repetition (the hash-bucket
+    screen of exact-substring dedup, Lee et al. 2021): fraction of
+    each doc's 5-token windows whose exact content appears in ≥2
+    distinct documents — all exchanges int-keyed."""
+    return dedup.substring_dup_stats(_t(spark, sf_dir, "documents"), n=5)
+
+
+@qdef(
     "agg_winsorize",
     oracle="""
     WITH b AS (
