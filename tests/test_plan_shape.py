@@ -65,6 +65,13 @@ SHAPES = [
     ("join_asof_nearest", 1, 0),
     ("window_sessionize", 1, 0),
     ("agg_salted", 2, 0),
+    # wave-3 curation layer
+    ("text_repetition_score", 1, 0),  # run-length fold: NO explode shuffle
+    ("sample_mixture_weighted", 0, 0),  # pure md5-threshold projection
+    ("text_pii_redact", 0, 0),  # chained regexp projection
+    ("window_ewma", 1, 0),  # one key shuffle; truncated lag chain
+    ("dedup_substring_spans", 4, 0),  # int-keyed hash/join/count only
+    ("join_interval_overlap", 3, 0),  # binned rewrite: NO nested loop
 ]
 
 
@@ -82,6 +89,15 @@ def test_static_dim_joins_are_broadcast(noaqe, sf_dir):
     plan = _formatted_plan(REGISTRY["join_static_broadcast"].fn(noaqe, sf_dir))
     c = _counts(plan)
     assert c["bhj"] >= 1 and c["exch"] == 0, plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(noaqe, sf_dir):
+    """The eval-shingle probe must reach the training side as a
+    broadcast join — the 100 TB training corpus never shuffles its
+    shingles for the contamination check."""
+    plan = _formatted_plan(REGISTRY["text_decontaminate"].fn(noaqe, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_range_join_binned_broadcasts_interval_side(noaqe, sf_dir):

@@ -427,19 +427,25 @@ def substring_dup_stats(
     extents — the bucket form is the shuffle-friendly screen that
     feeds it).
 
-    Shape: positions ride the shingle explode (map-side), so the only
-    exchanges are int-keyed — one groupBy on the 32-bit window hash
-    (count-distinct-docs; safe on hot boilerplate hashes because
-    nothing per-key is materialized), one join back on the same key
-    (AQE handles skew), one per-doc count. Returns every doc:
-    (id, n_windows, n_dup_windows, dup_ratio).
+    Shape: the CPU-heavy narrow stage (tokenize → shingle → hash)
+    runs ONCE into a persisted (id, hash-array) table — ~4 B/window,
+    spill-backed — because three consumers branch from it (the
+    dup-hash aggregate, the join-back, and the per-doc window count)
+    and Catalyst's column pruning diverges the branch plans so
+    ReuseExchange can't dedupe them. Every exchange after that is
+    int-keyed — the window-hash groupBy (count-distinct-docs; safe on
+    hot boilerplate hashes because nothing per-key is materialized),
+    the join back on the same key (AQE handles skew), one per-doc
+    count. Returns every doc: (id, n_windows, n_dup_windows,
+    dup_ratio).
     """
     sh = word_shingles(tokens(F.col(text_col)), n)
-    d = ensure_min_parallelism(docs).select(
-        F.col(id_col),
-        F.size(sh).alias("n_windows"),
-        F.posexplode(F.transform(sh, md5_hash32)).alias("pos", "h"),
+    harr = (
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col), F.transform(sh, md5_hash32).alias("_h"))
+        .persist()
     )
+    d = harr.select(F.col(id_col), F.posexplode("_h").alias("pos", "h"))
     dup = (
         d.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
@@ -451,7 +457,7 @@ def substring_dup_stats(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_windows"))
     )
-    base = docs.select(F.col(id_col), F.size(sh).alias("n_windows"))
+    base = harr.select(F.col(id_col), F.size("_h").alias("n_windows"))
     return base.join(per_doc, on=id_col, how="left").select(
         F.col(id_col),
         F.col("n_windows"),

@@ -120,6 +120,54 @@ def range_join_binned(
     ).drop("__bin")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval×interval overlap join — ``l_start <= r_end AND
+    r_start <= l_end`` (closed ends) — as a dedup-free equi join.
+
+    The interval generalization of ``range_join_binned``: BOTH sides
+    explode to their covered bins, the equi join runs on
+    (keys…, bin), and the exact predicate refines. Because two
+    overlapping intervals share every bin their intersection covers,
+    a naive bin join emits each pair once per shared bin; the
+    first-shared-bin guard — keep a match only in the bin containing
+    ``greatest(l_start, r_start)``, which for overlapping intervals
+    lies inside BOTH — makes every surviving pair appear exactly
+    once, so no distinct() shuffle is needed. Explode factor is
+    ``len/bin + 1`` per side; pick ``bin_seconds`` near the shorter
+    side's typical length.
+    """
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+
+    def _us(col: str) -> Column:
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    def _bin(col: str) -> Column:
+        return F.floor(_us(col) / bin_us).cast("bigint")
+
+    l = left.withColumn("__bin", F.explode(F.sequence(_bin(left_start), _bin(left_end))))
+    r = right.withColumn(
+        "__bin", F.explode(F.sequence(_bin(right_start), _bin(right_end)))
+    )
+    joined = l.join(r, on=[*keys, "__bin"], how="inner")
+    return joined.where(
+        (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (
+            F.col("__bin")
+            == F.floor(F.greatest(_us(left_start), _us(right_start)) / bin_us)
+        )
+    ).drop("__bin")
+
+
 def join_multichannel(
     df: DataFrame,
     keys: Sequence[str],

@@ -2748,6 +2748,55 @@ def q_window_ewma(spark, sf_dir):
 
 
 @qdef(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               min(ts) AS a_start, max(ts) AS a_end
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT event_id,
+               ts - INTERVAL 30 MINUTE AS b_start,
+               ts + INTERVAL 30 MINUTE AS b_end
+        FROM events WHERE event_type = 'error' AND value > 150
+    )
+    SELECT a.user_id, a.day, b.event_id,
+           epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))
+               AS overlap_us
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    """,
+)
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join (daily user-activity spans ×
+    ±30-min windows around high-value errors) via the binned
+    dedup-free equi rewrite — the raw inequality form the oracle runs
+    plans as a nested loop; the first-shared-bin guard keeps each
+    overlapping pair exactly once with no distinct() pass."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    b = ev.where((F.col("event_type") == "error") & (F.col("value") > 150)).select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("b_end"),
+    )
+    j = joins.interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bin_seconds=3600
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "event_id",
+        (
+            F.unix_micros(F.least("a_end", "b_end").cast("timestamp"))
+            - F.unix_micros(F.greatest("a_start", "b_start").cast("timestamp"))
+        ).alias("overlap_us"),
+    )
+
+
+@qdef(
     "dedup_substring_spans",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
