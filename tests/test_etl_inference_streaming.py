@@ -408,3 +408,35 @@ def test_audio_waveform_real_soundfile_branch(monkeypatch):
     assert wav.shape == (3,)
     np.testing.assert_allclose(wav, [0.5, 0.5, -0.5])
     assert multimodal._audio_waveform(b"garbage", n_fallback=4) is None
+
+
+def test_ewma_stream_late_frame_emits_once(spark, tmp_path):
+    """The streaming EWMA mirrors the assembly's late-frame rules: a
+    late interior frame is scored at its event-time position, and an
+    already-emitted later score is NOT retracted (append-mode
+    emit-once: the t3 score keeps the value computed before t2
+    arrived)."""
+    t0 = dt.datetime(2019, 7, 23, 21, 0, 0)
+    m = dt.timedelta(minutes=15)
+    batch1 = [("R1", t0 + i * m, float(i)) for i in (0, 1, 3)]
+    late = [("R1", t0 + 2 * m, 2.0)]
+    df1 = spark.createDataFrame(batch1, ["region", "ts", "value"])
+    df2 = spark.createDataFrame(late, ["region", "ts", "value"])
+    path = str(tmp_path / "ewma_late_in")
+    df1.coalesce(1).write.parquet(path)
+    df2.coalesce(1).write.mode("append").parquet(path)
+    st = (
+        spark.readStream.format("parquet")
+        .schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    scored = streaming.ewma_stream(st, alpha=0.5, lookback=8)
+    _run_stream(scored, "ewma_late")
+    got = {r.ts: r.raw_ewma for r in spark.sql("SELECT ts, raw_ewma FROM ewma_late").collect()}
+    assert len(got) == 4  # every frame scored exactly once
+    assert got[t0] == 0.0
+    # t3 scored on arrival over {0,1,_,3}: (3 + .5*1 + .25*0)/1.75
+    assert abs(got[t0 + 3 * m] - 3.5 / 1.75) < 1e-9
+    # the late t2 scored at its true position over {0,1,2}
+    assert abs(got[t0 + 2 * m] - (2 + 0.5 * 1 + 0.25 * 0) / 1.75) < 1e-9

@@ -973,3 +973,41 @@ def q_streaming_dedup(spark, sf_dir):
     deduped = streaming.dedup_within_watermark(replayed, keys=("region", "ts"))
     _run_to_table(deduped, name, "append")
     return spark.table(name)
+
+
+def _slots_ewma_sql(alpha: float = 0.5, lookback: int = 8) -> str:
+    num = ["0.0"]
+    den = ["0.0"]
+    for k in range(lookback):
+        wk = repr(alpha**k)
+        val = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        num.append(f"coalesce({val} * {wk}, 0.0)")
+        den.append(f"CASE WHEN {val} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    return f"""
+    {_SLOTS_CTE}
+    SELECT region, ts,
+           round(({' + '.join(num)}) / ({' + '.join(den)}) + 1e-9, 6) AS ewma
+    FROM slots
+    WINDOW w AS (PARTITION BY region ORDER BY ts)
+    """
+
+
+@qdef("streaming_ewma", oracle=_slots_ewma_sql())
+def q_streaming_ewma(spark, sf_dir):
+    """Streaming EWMA: each arriving frame emits the exponentially
+    weighted mean of its region's last 8 frames in event-time order
+    (stateful buffer, emit-once, event-time TTL) — the live twin of
+    the batch lag-chain `window_ewma`; the availableNow drain over
+    the slot lake hash-matches the batch SQL because the arithmetic
+    mirrors the lag-chain term-for-term before the shared 6-decimal
+    round."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_events_dir(spark, sf_dir)
+    name = _fresh_stream_table(spark, "w4c_stream_ewma")
+    st = streaming.frame_stream(spark, path, schema)
+    scored = streaming.ewma_stream(st, alpha=0.5, lookback=8)
+    _run_to_table(scored, name, "append")
+    return spark.table(name).select(
+        "region", "ts", r6(F.col("raw_ewma")).alias("ewma")
+    )

@@ -213,6 +213,112 @@ def stateful_sequence_assembly(
     )
 
 
+def ewma_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    lookback: int = 8,
+    watermark: str = "24 hours",
+    state_ttl: str = "48 hours",
+) -> DataFrame:
+    """Streaming EWMA per region — the live twin of
+    ``operators.windows.ewma``: each arriving frame emits the
+    exponentially weighted average of the last ``lookback`` frames in
+    EVENT-time order, head renormalized over the available prefix.
+
+    Same state discipline as ``stateful_sequence_assembly``: a
+    per-region buffer of the last ``lookback`` frames kept sorted by
+    event time (late frames inside the watermark insert at their true
+    position and trigger emission for every later not-yet-emitted
+    frame), append-mode emit-once (no retraction of already-emitted
+    scores when a later-arriving interior frame would have changed
+    them — first emission wins), event-time TTL so a finite
+    availableNow drain terminates. The arithmetic mirrors the batch
+    lag-chain term-for-term (sequential k = 0..lookback−1
+    accumulation), so a deterministic in-order drain is bit-identical
+    to the batch SQL before the shared 6-decimal round.
+    """
+    ttl_ms = _duration_ms(state_ttl)
+    out_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "region", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+                {"name": "raw_ewma", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    state_schema = StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "ts_list", "type": {"type": "array", "elementType": "long", "containsNull": True}, "nullable": True, "metadata": {}},
+                {"name": "val_list", "type": {"type": "array", "elementType": "double", "containsNull": True}, "nullable": True, "metadata": {}},
+                {"name": "em_list", "type": {"type": "array", "elementType": "boolean", "containsNull": True}, "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+
+    def score(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts_list, val_list, em_list = state.get if state.exists else ([], [], [])
+        ts_list, val_list, em_list = list(ts_list), list(val_list), list(em_list)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for r in pdf.itertuples(index=False):
+                ts_us = int(pd.Timestamp(getattr(r, ts_col)).value // 1000)
+                idx = bisect.bisect_left(ts_list, ts_us)
+                ts_list.insert(idx, ts_us)
+                val_list.insert(idx, float(getattr(r, value_col)))
+                em_list.insert(idx, False)
+                for j in range(idx, len(ts_list)):
+                    if em_list[j]:
+                        continue
+                    # mirror the batch lag-chain accumulation order
+                    num, den = 0.0, 0.0
+                    for k in range(min(lookback, j + 1)):
+                        w = alpha**k
+                        num += val_list[j - k] * w
+                        den += w
+                    rows.append(
+                        {
+                            "region": key[0],
+                            "ts": pd.Timestamp(ts_list[j] * 1000),
+                            "raw_ewma": num / den,
+                        }
+                    )
+                    em_list[j] = True
+                if len(ts_list) > lookback:
+                    drop = len(ts_list) - lookback
+                    ts_list = ts_list[drop:]
+                    val_list = val_list[drop:]
+                    em_list = em_list[drop:]
+        state.update((ts_list, val_list, em_list))
+        if ts_list:
+            state.setTimeoutTimestamp(ts_list[-1] // 1000 + ttl_ms)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream.withWatermark(ts_col, watermark).groupBy(
+        "region"
+    ).applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def session_windows(
     stream: DataFrame,
     keys: Sequence[str] = ("region",),
