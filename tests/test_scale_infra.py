@@ -386,3 +386,53 @@ def test_constraint_audit_null_is_violation(spark):
     assert audit == {"v_pos": 2}  # NULL row + negative row
     uniq = quality.uniqueness_violations(df, ["k"]).collect()[0]
     assert uniq.n_duplicate_rows == 1 and uniq.n_rows == 4
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must tighten per-file min/max stats on BOTH
+    interleaved keys: under partkey-only range clustering every file
+    spans ~the full suppkey domain (no pruning for suppkey filters);
+    under the Morton layout the average per-file suppkey span must
+    shrink materially."""
+    import pyarrow.parquet as pq
+
+    from weather4cast_bigdata_spark.sources import compact
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    single = str(tmp_path / "single")
+    zorder = str(tmp_path / "zorder")
+    compact.write_compacted(li, single, ["l_partkey"], n_files=8)
+    compact.write_zordered(li, zorder, "l_partkey", "l_suppkey", n_files=8)
+
+    def avg_span(path):
+        spans, lo_all, hi_all = [], None, None
+        for root, _d, files in __import__("os").walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(__import__("os").path.join(root, f))
+                for rg in range(md.num_row_groups):
+                    col = next(
+                        md.row_group(rg).column(i)
+                        for i in range(md.num_columns)
+                        if md.row_group(rg).column(i).path_in_schema == "l_suppkey"
+                    )
+                    lo, hi = col.statistics.min, col.statistics.max
+                    spans.append(hi - lo)
+                    lo_all = lo if lo_all is None else min(lo_all, lo)
+                    hi_all = hi if hi_all is None else max(hi_all, hi)
+        return (sum(spans) / len(spans)) / max(hi_all - lo_all, 1)
+
+    span_single = avg_span(single)
+    span_zorder = avg_span(zorder)
+    # single-key layout leaves suppkey unsorted: each file ~full domain
+    assert span_single > 0.8
+    # Morton layout: suppkey locality inside every file
+    assert span_zorder < 0.6 * span_single
+
+    # content round-trip: clustering must not change the data
+    a = sorted(tuple(r) for r in spark.read.parquet(zorder).collect())
+    b = sorted(tuple(r) for r in li.collect())
+    assert a == b

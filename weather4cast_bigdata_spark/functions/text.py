@@ -202,6 +202,38 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean bigram conditional log-probability
+    ``avg ln c(w1 w2)/c(w1·)`` against the corpus's own bigram
+    distribution — one order up from ``unigram_logprob``: it scores
+    word ORDER, so shuffled or template-stitched text ranks below
+    natural prose even when its word frequencies look fine (the
+    KenLM-style fluency proxy at n=2).
+
+    Shape mirrors ``unigram_logprob``: bigrams form map-side
+    (``word_shingles`` at n=2 — no self-join on position), one
+    explode, two vocabulary-sized frequency dims broadcast back, one
+    per-doc aggregation. Docs with fewer than 2 tokens have no
+    bigrams and drop out, matching the oracle. Every bigram is in its
+    own corpus, so the log never sees zero.
+    """
+    toks = tokens(F.col(text_col))
+    d = docs.select(
+        F.col(id_col), F.explode(word_shingles(toks, 2)).alias("bg")
+    ).withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+    c2 = d.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = d.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        d.join(F.broadcast(c2), on="bg")
+        .join(F.broadcast(c1), on="w1")
+        .select(F.col(id_col), F.log(F.col("c2") / F.col("c1")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp") + F.lit(1e-9), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 def tfidf_topk(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     """Per-document top-k TF-IDF terms — the keyword-extraction /
     relevance-weighting primitive corpus search and topic filters are

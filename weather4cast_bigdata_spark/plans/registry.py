@@ -2748,6 +2748,93 @@ def q_window_ewma(spark, sf_dir):
 
 
 @qdef(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS b FROM pos),
+    c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+    SELECT doc_id,
+           round(avg(ln(c2 * 1.0 / c1)) + 1e-9, 6) AS mean_logprob,
+           count(*) AS n_bigrams
+    FROM bg JOIN c2 USING (b) JOIN c1 USING (w1)
+    GROUP BY 1
+    """,
+)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency proxy: mean ln p(w2|w1) per doc under the
+    corpus's own bigram counts — scores word ORDER, one step past the
+    unigram frequency proxy. Map-side bigram formation, broadcast
+    frequency dims, one per-doc aggregation."""
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@qdef(
+    "sink_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    """,
+)
+def q_sink_zorder(spark, sf_dir):
+    """Z-order lake compaction: rewrite lineitem clustered along the
+    Morton curve of (l_partkey, l_suppkey) — per-file min/max stats
+    tighten on BOTH keys so selective filters on either column prune
+    files (asserted in tests/test_scale_infra.py) — then prove the
+    rewritten lake content-identical by reading it back against the
+    oracle."""
+    import tempfile
+
+    from weather4cast_bigdata_spark.sources import compact
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="w4c_zorder_")
+    compact.write_zordered(li, out, "l_partkey", "l_suppkey", n_files=8)
+    return spark.read.parquet(out)
+
+
+def _zorder_sql(a: str, b: str, bits: int = 16) -> str:
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} & {mask}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({b} & {mask}) >> {i}) & 1) << {2 * i + 1}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+@qdef(
+    "project_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_zorder_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def q_project_zorder_key(spark, sf_dir):
+    """Morton (Z-order) interleave of (l_partkey, l_suppkey) — the
+    space-filling-curve clustering key for two-dimensional lake
+    layout (sources/compact.write_zordered sorts files by it so
+    row-group stats prune filters on EITHER column). Pure bit
+    arithmetic, codegen'd, engine-reproducible."""
+    from weather4cast_bigdata_spark.sources import compact
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        compact.zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+    )
+
+
+@qdef(
     "join_interval_overlap",
     oracle="""
     WITH a AS (
