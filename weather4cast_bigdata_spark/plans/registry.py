@@ -2748,6 +2748,125 @@ def q_window_ewma(spark, sf_dir):
 
 
 @qdef(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, q AS mode_qty, n AS mode_n
+    FROM (
+        SELECT l_returnflag, q, n,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY n DESC, q DESC
+               ) AS rn
+        FROM c
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode_deterministic(spark, sf_dir):
+    """Statistical mode per group with a DETERMINISTIC tie-break
+    (max count, then max value) — engine-native mode() leaves ties
+    unspecified, which no cross-engine pipeline can tolerate.
+    Implemented as max(struct(count, value)): two map-side-combined
+    aggregations, no window, no sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("l_returnflag")
+        .agg(F.max(F.struct("n", "q")).alias("_m"))
+        .select(
+            "l_returnflag",
+            F.col("_m.q").alias("mode_qty"),
+            F.col("_m.n").alias("mode_n"),
+        )
+    )
+
+
+@qdef(
+    "window_rank_stats",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w + 1e-9, 6) AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank_stats(spark, sf_dir):
+    """The ranking-window family in one pass: rank, dense_rank,
+    ntile(4), percent_rank per customer over order value — all four
+    share ONE window spec, so Spark plans a single sort within a
+    single shuffle on the partition key (order-value leaderboards /
+    quartile bucketing)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("prank"),
+    )
+
+
+@qdef(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation GROUP BY 1
+    """,
+)
+def q_agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): collect,
+    sort, join — the ORDER BY inside the aggregate is what makes the
+    result deterministic across engines and partitionings; an
+    unordered listagg is nondeterministic under ANY parallel engine."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@qdef(
+    "join_semi_anti",
+    oracle="""
+    SELECT c.c_custkey,
+           (c.c_custkey IN (SELECT o_custkey FROM orders)) AS has_orders
+    FROM customer c
+    """,
+)
+def q_join_semi_anti(spark, sf_dir):
+    """Explicit semi/anti join surface (SURVEY §2.3 notes them
+    implicit in the validity filter): customers WITH orders
+    (left_semi) unioned with customers WITHOUT (left_anti) — the two
+    partitions are disjoint and exhaustive, re-expressed as one
+    boolean column for the oracle. Semi/anti never duplicate or
+    widen rows, which is exactly why they beat inner-join+distinct
+    at scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, on="c_custkey", how="left_semi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    anti = c.join(o, on="c_custkey", how="left_anti").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return semi.unionByName(anti)
+
+
+@qdef(
     "text_bigram_logprob",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
