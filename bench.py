@@ -31,6 +31,7 @@ from weather4cast_bigdata_spark.session import get_spark
 # shuffle/join-heavy plans that dominate at scale.
 HEADLINE = [
     "flagship_evaluate",
+    "flagship_star_join",
     "join_multichannel",
     "join_static_broadcast",
     "join_time_intersect",

@@ -72,6 +72,9 @@ SHAPES = [
     ("window_ewma", 1, 0),  # one key shuffle; truncated lag chain
     ("dedup_substring_spans", 4, 0),  # int-keyed hash/join/count only
     ("join_interval_overlap", 3, 0),  # binned rewrite: NO nested loop
+    # star join: both dims broadcast, the agg is the only shuffle,
+    # the LIMIT must plan as TakeOrderedAndProject (asserted below)
+    ("flagship_star_join", 1, 0),
 ]
 
 
@@ -89,6 +92,15 @@ def test_static_dim_joins_are_broadcast(noaqe, sf_dir):
     plan = _formatted_plan(REGISTRY["join_static_broadcast"].fn(noaqe, sf_dir))
     c = _counts(plan)
     assert c["bhj"] >= 1 and c["exch"] == 0, plan
+
+
+def test_star_join_topk_is_take_ordered(noaqe, sf_dir):
+    """The star-join flagship's LIMIT must plan as
+    TakeOrderedAndProject (per-partition top-k before the
+    single-reducer merge), never a full global sort."""
+    plan = _formatted_plan(REGISTRY["flagship_star_join"].fn(noaqe, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
 def test_decontaminate_broadcasts_eval_shingles(noaqe, sf_dir):

@@ -2748,6 +2748,58 @@ def q_window_ewma(spark, sf_dir):
 
 
 @qdef(
+    "flagship_star_join",
+    oracle="""
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 6)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_flagship_star_join(spark, sf_dir):
+    """The classic OLAP star-join shape (TPC-H Q3): selective dim
+    filter (customer segment) → fact join chain → revenue agg →
+    top-10. The declarative form lets Catalyst broadcast the filtered
+    customer side, push both date predicates into the parquet scans,
+    and plan the LIMIT as TakeOrderedAndProject (per-partition top-k
+    before a single-reducer merge — never a full sort). The one
+    required shuffle is the (orderkey, ...) aggregation."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@qdef(
     "agg_mode_deterministic",
     oracle="""
     WITH c AS (
