@@ -1,0 +1,50 @@
+"""PageRank invariants on graphs whose exact answers are known."""
+
+from __future__ import annotations
+
+from weather4cast_bigdata_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_cycle_is_uniform(spark):
+    """On a directed cycle every node is symmetric: rank = 1/n
+    exactly, at any damping, from the first iteration."""
+    n = 5
+    got = _ranks(spark, [(i, (i + 1) % n) for i in range(n)])
+    assert all(abs(v - 1.0 / n) < 1e-6 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_star_center_dominates_and_mass_conserved(spark):
+    """Leaves all point at a center: the center collects damped mass;
+    the dangling center redistributes uniformly, so total rank stays
+    1 despite the sink."""
+    got = _ranks(spark, [(i, 0) for i in range(1, 6)])
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert all(got[0] > got[i] for i in range(1, 6))
+    # leaves are symmetric
+    leaf_vals = {got[i] for i in range(1, 6)}
+    assert len(leaf_vals) == 1
+
+
+def test_chain_with_dangling_sink_conserves_mass(spark):
+    got = _ranks(spark, [(1, 2), (2, 3)], iters=15)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # downstream accumulates: 3 > 2 > 1
+    assert got[3] > got[2] > got[1]
+
+
+def test_parallel_edges_collapse(spark):
+    """A duplicated edge must not double the contribution."""
+    a = _ranks(spark, [(1, 2), (1, 2), (2, 1)])
+    b = _ranks(spark, [(1, 2), (2, 1)])
+    assert a == b
+
+
+def test_deterministic_across_runs(spark):
+    edges = [(i, (i * 7) % 23) for i in range(60)]
+    assert _ranks(spark, edges) == _ranks(spark, edges)

@@ -2747,6 +2747,32 @@ def q_window_ewma(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "ewma")
 
 
+@qdef("graph_pagerank")
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the user interaction-follows graph (edge u→v
+    when v's event directly follows u's within an event_type, by
+    event time): 8 damped power-iteration rounds with uniform
+    dangling-mass redistribution — the second iterative pattern
+    beside connected components (localCheckpoint per round, one
+    int-keyed join + one groupBy-sum per round, one scalar to the
+    driver). Rows-only: a fixed-point iteration is not a SQL
+    expression; invariants (mass conservation, symmetry, dominance)
+    are pinned in tests/test_graph.py."""
+    from pyspark.sql import Window
+
+    from weather4cast_bigdata_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_type", "ts", "event_id", "user_id")
+        .withColumn("next_user", F.lead("user_id").over(w))
+        .where(F.col("next_user").isNotNull() & (F.col("next_user") != F.col("user_id")))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    return pagerank(edges, iters=8).withColumnRenamed("id", "user_id")
+
+
 @qdef(
     "flagship_star_join",
     oracle="""
