@@ -1011,3 +1011,66 @@ def q_streaming_ewma(spark, sf_dir):
     return spark.table(name).select(
         "region", "ts", r6(F.col("raw_ewma")).alias("ewma")
     )
+
+
+@qdef(
+    "streaming_checkpoint_resume",
+    oracle=f"""
+    {_SLOTS_CTE}
+    SELECT region, ts, value FROM slots
+    """,
+)
+def q_streaming_checkpoint_resume(spark, sf_dir):
+    """Exactly-once incremental ingest — THE production streaming
+    operation at lake scale: the slot lake is split by median
+    timestamp into two arrival batches; an availableNow drain with a
+    checkpoint ingests batch one to a parquet sink, batch two lands
+    in the source dir, and a SECOND drain over the SAME checkpoint
+    ingests only the new files (the file-source log in the
+    checkpoint is what makes re-runs incremental, not re-reads).
+    The final sink equals the full slot set exactly once — no dupes
+    from the first batch, no gaps from the second — and hash-matches
+    the batch oracle."""
+    import shutil
+
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_events_dir(spark, sf_dir)
+    full = spark.read.parquet(path)
+    mid = full.agg(
+        F.expr("percentile(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE), 0.5)")
+    ).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="w4c_ckpt_resume_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    half_a = full.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) <= F.lit(int(mid))
+    )
+    half_b = full.where(
+        F.unix_micros(F.col("ts").cast("timestamp")) > F.lit(int(mid))
+    )
+
+    def drain():
+        q = (
+            streaming.frame_stream(spark, src, schema)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    half_a.coalesce(2).write.mode("overwrite").parquet(src)
+    # drop the batch-write _SUCCESS marker noise; the file source
+    # lists data files only, but keep the dir stable for the append
+    drain()
+    # batch two ARRIVES: append-only new files in the same source dir
+    half_b.coalesce(2).write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink).select("region", "ts", "value")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
