@@ -194,3 +194,32 @@ def test_substring_dup_stats_short_docs_report_zero(spark):
     out = {r["doc_id"]: r for r in substring_dup_stats(docs, n=5).collect()}
     assert out[1] == (1, 0, 0, 0.0) or (out[1]["n_windows"] == 0)
     assert out[2]["n_windows"] == 0 and out[2]["dup_ratio"] == 0.0
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    chunks = curate_ext.chunk_overlap(docs, chunk_tokens=4, stride=2).collect()
+    # starts 0,2,4,6 → 4 chunks; tail chunk truncated
+    assert [r["chunk_idx"] for r in sorted(chunks, key=lambda r: r["chunk_idx"])] == [0, 1, 2, 3]
+    covered = set()
+    for r in chunks:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_chunk_tokens"] <= 4
+        covered.update(toks)
+    assert covered == {f"t{i}" for i in range(10)}
+    # consecutive chunks share stride-worth of context
+    by_idx = {r["chunk_idx"]: r["chunk_text"].split(" ") for r in chunks}
+    assert by_idx[0][2:] == by_idx[1][:2]
+
+
+def test_chunk_overlap_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    chunks = curate_ext.chunk_overlap(docs, chunk_tokens=64, stride=32).collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "a b c"
+    assert chunks[0]["n_chunk_tokens"] == 3

@@ -167,6 +167,45 @@ def pack_chunked(
     )
 
 
+def chunk_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding prep
+    step that splits long documents into ``chunk_tokens``-token
+    windows every ``stride`` tokens (tail window kept, so every
+    token lands in ≥1 chunk; overlap = chunk − stride tokens of
+    context carry-over).
+
+    Pure narrow projection: chunk starts come from a per-row
+    ``sequence``, the slice+join runs inside higher-order functions —
+    no explode-then-window, no shuffle; output rows = ~n_tok/stride
+    per doc. Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # start positions 1, 1+stride, ... over ceil(max(n-chunk,0)/stride)+1 windows
+    n_chunks = F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + stride - 1) / stride
+    ) + 1
+    starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    d = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        toks.alias("_t"),
+        F.explode(starts).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

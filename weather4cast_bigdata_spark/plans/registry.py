@@ -2945,6 +2945,37 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 @qdef(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    ch AS (
+        SELECT doc_id, w,
+               unnest(range(0,
+                   CAST(floor((greatest(len(w) - 64, 0) + 31) / 32) AS BIGINT) + 1
+               )) AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           len(w[chunk_idx*32 + 1 : chunk_idx*32 + 64]) AS n_chunk_tokens,
+           array_to_string(w[chunk_idx*32 + 1 : chunk_idx*32 + 64], ' ')
+               AS chunk_text
+    FROM ch
+    """,
+)
+def q_text_chunk_overlap(spark, sf_dir):
+    """RAG/embedding prep: split each document into 64-token windows
+    every 32 tokens (tail kept — every token lands in ≥1 chunk, with
+    32 tokens of context carry-over). Pure narrow projection:
+    per-row sequence of chunk starts, higher-order slice+join — no
+    shuffle anywhere."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    return curate_ext.chunk_overlap(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=32
+    )
+
+
+@qdef(
     "text_bigram_logprob",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
