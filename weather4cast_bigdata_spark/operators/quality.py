@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,4 +85,68 @@ def numeric_histogram(df: DataFrame, col: str, n_bins: int = 10) -> DataFrame:
             (F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))).alias("bin_hi"),
             "n",
         )
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass column profiler (Deequ/Glue-crawler shape): per
+    column — row count, null count, exact distinct count, min, max —
+    unpivoted to the long (column, metric, value) dashboard form.
+    Values surface as strings so heterogeneous column types share one
+    output schema.
+
+    ONE aggregation: the k count-distincts plan as a single
+    expand+aggregate (k× map-side row fan-out, still one shuffle);
+    min/max/counts ride the same pass. An N-column profile must never
+    cost N scans of a 100 TB table.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    pairs = []
+    for c in cols:
+        for m in ("rows", "nulls", "distinct", "min", "max"):
+            pairs += [
+                F.lit(c), F.lit(m), F.col(f"{c}__{m}").cast("string"),
+            ]
+    return row.select(
+        F.explode(
+            # stack() needs a SQL string; build the (col, metric, value)
+            # triples as an array of structs instead — same expansion,
+            # no string templating
+            F.array(*[
+                F.struct(
+                    pairs[i].alias("column"),
+                    pairs[i + 1].alias("metric"),
+                    pairs[i + 2].alias("value"),
+                )
+                for i in range(0, len(pairs), 3)
+            ])
+        ).alias("_p")
+    ).select("_p.column", "_p.metric", "_p.value")
+
+
+def entropy(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact Shannon entropy (nats) of a categorical distribution per
+    group: ``−Σ p·ln p`` over the value frequencies — the
+    concentration signal profilers pair with distinct counts (0 =
+    constant column; ln(k) = uniform over k values).
+
+    Two cascaded aggregations on one scan — (group, value) counts,
+    then the entropy fold — both map-side combined; output rounded
+    per the engine numeric policy (transcendental aggregate).
+    """
+    c = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy(group_col)
+    p = c.withColumn("_p", F.col("n") / F.sum("n").over(tot))
+    return p.groupBy(group_col).agg(
+        F.round(-F.sum(F.col("_p") * F.log("_p")) + F.lit(1e-9), 6).alias("entropy"),
+        F.count(F.lit(1)).alias("n_values"),
     )

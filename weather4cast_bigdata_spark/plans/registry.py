@@ -2945,6 +2945,78 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 @qdef(
+    "audit_profile",
+    oracle="""
+    WITH m AS (
+        SELECT count(*) AS o_rows,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_nulls,
+               count(DISTINCT o_orderpriority) AS o_distinct,
+               CAST(min(o_orderpriority) AS VARCHAR) AS o_min,
+               CAST(max(o_orderpriority) AS VARCHAR) AS o_max,
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+               count(DISTINCT o_totalprice) AS p_distinct,
+               CAST(min(o_totalprice) AS VARCHAR) AS p_min,
+               CAST(max(o_totalprice) AS VARCHAR) AS p_max
+        FROM orders
+    )
+    SELECT 'o_orderpriority' AS "column", v.metric, v.value
+    FROM m, LATERAL (VALUES
+        ('rows', CAST(o_rows AS VARCHAR)), ('nulls', CAST(o_nulls AS VARCHAR)),
+        ('distinct', CAST(o_distinct AS VARCHAR)), ('min', o_min), ('max', o_max)
+    ) v(metric, value)
+    UNION ALL
+    SELECT 'o_totalprice', v.metric, v.value
+    FROM m, LATERAL (VALUES
+        ('rows', CAST(o_rows AS VARCHAR)), ('nulls', CAST(p_nulls AS VARCHAR)),
+        ('distinct', CAST(p_distinct AS VARCHAR)), ('min', p_min), ('max', p_max)
+    ) v(metric, value)
+    """,
+)
+def q_audit_profile(spark, sf_dir):
+    """Single-pass column profiler (Deequ/crawler shape): rows /
+    nulls / exact distinct / min / max for two orders columns in ONE
+    aggregation (the k count-distincts plan as one expand+aggregate —
+    an N-column profile must never cost N scans), unpivoted to the
+    long dashboard form."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    return quality.profile_columns(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority", "o_totalprice"]
+    )
+
+
+@qdef(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id % 10 AS bucket, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_type,
+               n * 1.0 / sum(n) OVER (PARTITION BY event_type) AS pr
+        FROM c
+    )
+    SELECT event_type,
+           round(-sum(pr * ln(pr)) + 1e-9, 6) AS entropy,
+           count(*) AS n_values
+    FROM p GROUP BY 1
+    """,
+)
+def q_agg_entropy(spark, sf_dir):
+    """Exact Shannon entropy (nats) of the user-bucket distribution
+    per event type — the concentration signal profilers pair with
+    distinct counts (0 = constant, ln k = uniform). Two cascaded
+    map-side-combined aggregations on one scan."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.pmod(F.col("user_id"), F.lit(10)).alias("bucket")
+    )
+    return quality.entropy(ev, "event_type", "bucket")
+
+
+@qdef(
     "text_chunk_overlap",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
