@@ -2945,6 +2945,46 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 @qdef(
+    "sample_topk_per_group",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               round(
+                   (least(len(string_split_regex(trim(lower(text)), '\\s+')) / 50.0, 1.0)
+                    + least(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                          t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) * 1.0
+                        / len(string_split_regex(trim(lower(text)), '\\s+')) * 5.0, 1.0)
+                    + greatest(1.0 - len(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                        / len(text) * 10.0, 0.0)
+                   ) / 3.0 + 1e-9, 6) AS q
+        FROM documents
+    )
+    SELECT doc_id, source, q AS quality, rank FROM (
+        SELECT doc_id, source, q,
+               row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_sample_topk_per_group(spark, sf_dir):
+    """Stratified best-of selection: the top-5 documents per source by
+    quality score — the 'keep the best N per domain' curation step
+    (a per-source window row_number over the rounded score, doc-id
+    tie-break; one shuffle on source). The windowed form beats
+    groupBy+collect_list+slice: nothing per-group materializes."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    q = F.round(text.quality_score(F.col("text")) + F.lit(1e-9), 6)
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", q.alias("quality"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+
+
+@qdef(
     "audit_profile",
     oracle="""
     WITH m AS (
