@@ -1591,6 +1591,72 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 @qdef(
+    "dedup_minhash_estimate",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               min(({_H32_SQL.format(expr='shingle')} * 1103515245 + 12345) % 2147483647) AS mh_0,
+               min(({_H32_SQL.format(expr='shingle')} * 214013 + 2531011) % 2147483647) AS mh_1,
+               min(({_H32_SQL.format(expr='shingle')} * 69069 + 362437) % 2147483647) AS mh_2,
+               min(({_H32_SQL.format(expr='shingle')} * 1664525 + 1013904223) % 2147483647) AS mh_3
+        FROM shingled GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx,
+               CAST(mh_0 AS VARCHAR) || '_' || CAST(mh_1 AS VARCHAR) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               CAST(mh_2 AS VARCHAR) || '_' || CAST(mh_3 AS VARCHAR) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(((CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END
+                 + CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END
+                 + CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END
+                 + CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END) / 4.0)
+                 + 1e-9, 6) AS jaccard_est
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
+    """,
+)
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION — the third leg of the MinHash
+    story (signatures → LSH candidates → estimated similarity):
+    P[min-hash collision] = Jaccard, so the fraction of agreeing
+    signature components estimates the pair's Jaccard without
+    touching shingle sets — at 100 TB the verify stage reads k
+    integers per doc instead of re-shingling documents. The exact
+    ``dedup_ngram_jaccard`` is the correctness anchor; estimator
+    variance (1/√k) is the documented trade."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures_docs(docs)
+    cand = dedup.lsh_candidate_pairs(sig)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(4)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(4)]
+    )
+    est = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(4)
+    ) / F.lit(4.0)
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a", "id_b", F.round(est + F.lit(1e-9), 6).alias("jaccard_est")
+        )
+    )
+
+
+@qdef(
     "dedup_ngram_jaccard",
     oracle=f"""
     {_SHINGLES_SQL},
