@@ -3011,6 +3011,57 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 @qdef(
+    "solve_ridge_verified",
+    oracle="""
+    WITH f AS (
+        SELECT value AS p0,
+               value * 0.5 + (event_id % 7) AS p1,
+               value * 0.8 + (event_id % 3) AS y
+        FROM events
+    ),
+    g AS (
+        SELECT avg(p0*p0) AS a, avg(p0*p1) AS b, avg(p1*p1) AS c,
+               avg(p0*y) AS d0, avg(p1*y) AS d1
+        FROM f
+    ),
+    l AS (SELECT *, 1e-4 * ((a + c) / 2.0) AS lam FROM g)
+    SELECT 0 AS model_id,
+           round(((c+lam)*d0 - b*d1) / ((a+lam)*(c+lam) - b*b) + 1e-9, 6) AS weight
+    FROM l
+    UNION ALL
+    SELECT 1,
+           round(((a+lam)*d1 - b*d0) / ((a+lam)*(c+lam) - b*b) + 1e-9, 6)
+    FROM l
+    """,
+)
+def q_solve_ridge_verified(spark, sf_dir):
+    """The ridge ensemble fit, HASH-VERIFIED end to end: a 2-predictor
+    system derived from the events table (pure IEEE projections, so
+    both engines aggregate identical doubles), one distributed Gram
+    aggregation, numpy solve at the driver — checked against the SQL
+    closed form (Cramer's rule on the 2×2 regularized normal
+    equations). Upgrades the solver family from rows-only evidence:
+    the fixture-based `solve_ridge`/`solve_ridge_sum1` demonstrate
+    the k-model path; this one proves the arithmetic."""
+    from weather4cast_bigdata_spark import solve
+    from weather4cast_bigdata_spark.operators.aggregates import gram_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.col("value").alias("p0"),
+        (F.col("value") * 0.5 + (F.col("event_id") % 7)).alias("p1"),
+        (F.col("value") * 0.8 + (F.col("event_id") % 3)).alias("y"),
+    )
+    row = gram_matrix(f, ["p0", "p1"], "y").collect()[0]
+    ata, aty = solve.gram_row_to_matrices(row, 2)
+    w = solve.solve_ridge(ata, aty)
+    return spark.createDataFrame(
+        [(i, round(float(x) + 1e-9, 6)) for i, x in enumerate(w)],
+        "model_id int, weight double",
+    )
+
+
+@qdef(
     "sample_topk_per_group",
     oracle="""
     WITH scored AS (
