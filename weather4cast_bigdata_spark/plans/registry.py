@@ -3011,6 +3011,94 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 @qdef(
+    "curation_report",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
+    pos AS (
+        SELECT doc_id, source, w, unnest(range(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               {_H32_SQL.format(expr="w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h32
+        FROM pos
+    ),
+    ev AS (SELECT DISTINCT h32 FROM sh WHERE source = 'src0'),
+    ov AS (
+        SELECT doc_id, count(*) AS n_overlap
+        FROM sh JOIN ev USING (h32) WHERE sh.source <> 'src0' GROUP BY 1
+    ),
+    contam AS (
+        SELECT d.source, count(*) AS n_contaminated
+        FROM documents d JOIN ov ON d.doc_id = ov.doc_id
+        WHERE ov.n_overlap >= 2 GROUP BY 1
+    ),
+    rep AS (
+        SELECT source, doc_id,
+               round(max(tf) * 1.0 / sum(tf) + 1e-9, 6) AS ttf
+        FROM (
+            SELECT t.source, t.doc_id, tok, count(*) AS tf
+            FROM (SELECT doc_id, source,
+                         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+                  FROM documents) t
+            JOIN documents d USING (doc_id)
+            GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(avg(len(string_split_regex(trim(d.text), '\\s+'))) + 1e-9, 6)
+               AS mean_tokens,
+           round(avg(rep.ttf) + 1e-9, 6) AS mean_top_token_frac,
+           coalesce(max(contam.n_contaminated), 0) AS n_contaminated
+    FROM documents d
+    JOIN rep ON rep.doc_id = d.doc_id
+    LEFT JOIN contam ON contam.source = d.source
+    GROUP BY 1
+    """,
+)
+def q_curation_report(spark, sf_dir):
+    """Corpus-health capstone: one per-source dashboard composing the
+    wave-3 signals — doc count, mean token length, mean
+    most-frequent-token fraction (repetition), and benchmark
+    contamination count (vs the src0 eval suite) — each an
+    independently verified operator, here composed into a single
+    plan and hash-checked as a whole."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = curate_ext.repetition_features(docs).select("doc_id", "top_token_frac")
+    contam = (
+        curate_ext.decontaminate(
+            docs.where(F.col("source") != "src0"),
+            docs.where(F.col("source") == "src0"),
+            min_overlap=2,
+        )
+        .where(F.col("contaminated"))
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.join(rep, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            r6(F.avg(text.token_count(F.col("text")))).alias("mean_tokens"),
+            r6(F.avg("top_token_frac")).alias("mean_top_token_frac"),
+        )
+        .join(contam, on="source", how="left")
+        .select(
+            "source",
+            "n_docs",
+            "mean_tokens",
+            "mean_top_token_frac",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+
+
+@qdef(
     "solve_ridge_verified",
     oracle="""
     WITH f AS (
