@@ -3011,6 +3011,46 @@ def q_join_semi_anti(spark, sf_dir):
 
 
 @qdef(
+    "window_range_trailing",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER w + 1e-9, 6) AS trailing_1h_sum,
+           count(*) OVER w AS trailing_1h_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_window_range_trailing(spark, sf_dir):
+    """Time-RANGE trailing aggregate: each event's 1-hour look-back
+    sum/count per user — a RANGE frame over event-time (how many
+    rows fall in the hour varies per row), not a row-count frame;
+    the irregular-cadence form row frames cannot express. One
+    shuffle on the key; the frame scan is a single ordered pass with
+    a sliding aggregate state."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # RANGE frames need a numeric ordering key: order by epoch micros
+    # (exact integers — identical frame membership in both engines)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        r6(F.sum("value").over(w)).alias("trailing_1h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    )
+
+
+@qdef(
     "curation_report",
     oracle=f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
