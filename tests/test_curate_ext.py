@@ -223,3 +223,73 @@ def test_chunk_overlap_short_doc_single_chunk(spark):
     assert len(chunks) == 1
     assert chunks[0]["chunk_text"] == "a b c"
     assert chunks[0]["n_chunk_tokens"] == 3
+
+
+# --- semantic dedup ---------------------------------------------------------
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Pin the SemDeDup drop semantics on hand-built embeddings:
+    cluster-local pairs above threshold drop the MORE centroid-
+    similar member (keep-the-outlier); cross-cluster near-identical
+    vectors are never compared; ties break toward the larger id."""
+    import numpy as np
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        # cluster 0: a/b are a near-dup pair; b is closer to the
+        # centroid -> b drops, a (the outlier) survives
+        (1, [0.9, 0.45]),   # csim ≈ 0.894
+        (2, [1.0, 0.1]),    # csim ≈ 0.995, cos(1,2) ≈ 0.93
+        # cluster 1: isolated -> kept
+        (3, [0.0, 1.0]),
+        # cluster 0, orthogonal-ish to a/b pair region -> kept
+        (4, [0.72, -0.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(df, cents, threshold=0.9).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["kept"] is True
+    assert out[2]["kept"] is False
+    assert out[3]["kept"] is True and out[3]["cluster"] == 1
+    assert out[4]["kept"] is True and out[4]["cluster"] == 0
+    # exact tie on centroid_sim (mirror vectors, same csim): larger id drops
+    tie = spark.createDataFrame(
+        [(10, [0.8, 0.6]), (11, [0.8, 0.6])], "vec_id long, embedding array<double>"
+    )
+    tout = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(tie, cents, threshold=0.99).collect()
+    }
+    assert tout[10]["kept"] is True and tout[11]["kept"] is False
+
+
+def test_inverted_index_band_and_postings(spark):
+    """df band is inclusive; postings are the sorted doc list; tf
+    counts within-doc repetition."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    mk = lambda i, t: (i, t)
+    sh = "alpha beta gamma"  # one trigram shingle
+    docs = spark.createDataFrame(
+        [
+            mk(1, sh),
+            mk(2, sh),
+            mk(3, sh + " " + sh),  # contains the shingle 2x (+bridges)
+            mk(4, "delta epsilon zeta"),  # df=1 shingle -> filtered out
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["shingle"]: r
+        for r in curate_ext.inverted_index(docs, min_df=2, max_df=3).collect()
+    }
+    assert "delta epsilon zeta" not in out
+    r = out["alpha beta gamma"]
+    assert r["df"] == 3 and r["tf_total"] == 4
+    assert list(r["postings"]) == [1, 2, 3]

@@ -3051,6 +3051,55 @@ def q_window_range_trailing(spark, sf_dir):
 
 
 @qdef(
+    "text_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM toks, unnest(range(1, len(w) - 1)) t(i)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT shingle, doc_id, count(*) AS tf FROM sh GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT shingle, count(*) AS df, sum(tf) AS tf_total
+        FROM pairs GROUP BY 1
+    ),
+    keep AS (SELECT * FROM stats WHERE df BETWEEN 5 AND 50),
+    post AS (
+        SELECT p.shingle, list_sort(list(p.doc_id)) AS postings
+        FROM pairs p JOIN keep k ON p.shingle = k.shingle
+        GROUP BY 1
+    )
+    SELECT k.shingle, k.df, k.tf_total,
+           array_to_string(post.postings, ',') AS postings
+    FROM keep k JOIN post USING (shingle)
+    """,
+)
+def q_text_inverted_index(spark, sf_dir):
+    """Bounded inverted-index build (trigram shingle -> df, total tf,
+    sorted postings) over the corpus — the classic retrieval/
+    search-prep workload. Postings lists are materialized only for
+    terms in a df band (5..50): the explicit skew cap that keeps a
+    boilerplate shingle's corpus-sized postings list from ever being
+    collected (see operators/curate_ext.inverted_index for the
+    100 TB shape)."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = curate_ext.inverted_index(docs, min_df=5, max_df=50)
+    # Postings compared as a comma-joined string (engine-neutral
+    # list rendering); values are the sorted doc_id list either way.
+    return idx.withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), ",")
+    )
+
+
+@qdef(
     "curation_report",
     oracle=f"""
     WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
