@@ -407,3 +407,94 @@ def cosine_topk_blas(
         score, "query_id long, rank int, item_id long, cos_sim double"
     )
     return scored.withColumn("cos_sim", F.round(F.col("cos_sim") + F.lit(1e-9), 6))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, then drop near-duplicates
+    cluster-locally.
+
+    Within each k-means cluster, every pair with rounded cosine >=
+    ``threshold`` marks one member for removal: the one MORE similar
+    to its centroid (ties -> larger id) — the paper's
+    keep-the-outlier rule, which preserves diversity, made
+    deterministic. Non-iterative by construction (a single drop pass,
+    not a greedy sequence), so the result is order-independent and
+    reproducible across partitionings.
+
+    Scale shape: centroid assignment is one Arrow-batched matmul
+    against the broadcast (k, d) matrix (no shuffle); the pair scan
+    is CLUSTER-local (the near_dup_pairs bucket join — candidate
+    space is sum of squared cluster sizes, never corpus²); the drop
+    set is one distinct + one anti-join. All keys are ints.
+
+    Returns (id, cluster, centroid_sim, kept) for every input row.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("cluster", IntegerType()),
+                StructField("centroid_sim", DoubleType()),
+            ]
+        )
+    )
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cents.T
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype("int32"),
+                "centroid_sim": sims[np.arange(len(best)), best],
+            }
+        )
+
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign(F.col(vec_col)).alias("_a"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("_a.cluster").alias("cluster"),
+        F.round(F.col("_a.centroid_sim") + F.lit(1e-9), 6).alias("centroid_sim"),
+    )
+    pairs = near_dup_pairs(
+        assigned, "cluster", id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+    sims = assigned.select(F.col(id_col).alias("_id"), F.col("centroid_sim").alias("_cs"))
+    # For each near-dup pair, drop the member closer to the centroid
+    # (tie -> larger id): one broadcast-sized decision join per side.
+    drops = (
+        pairs.join(sims.withColumnRenamed("_id", "a_id").withColumnRenamed("_cs", "a_cs"), "a_id")
+        .join(sims.withColumnRenamed("_id", "b_id").withColumnRenamed("_cs", "b_cs"), "b_id")
+        .select(
+            F.when(
+                (F.col("a_cs") > F.col("b_cs"))
+                | ((F.col("a_cs") == F.col("b_cs")) & (F.col("a_id") > F.col("b_id"))),
+                F.col("a_id"),
+            )
+            .otherwise(F.col("b_id"))
+            .alias("_drop")
+        )
+        .distinct()
+    )
+    return assigned.join(
+        drops, assigned[id_col] == drops["_drop"], "left"
+    ).select(
+        id_col,
+        "cluster",
+        "centroid_sim",
+        F.col("_drop").isNull().alias("kept"),
+    )

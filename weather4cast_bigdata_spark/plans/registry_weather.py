@@ -788,6 +788,25 @@ def q_sim_ivf_recall(spark, sf_dir):
     return out
 
 
+@qdef("dedup_semantic")
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, drop the more-centroid-similar
+    member of every cluster-local pair with cosine >= 0.3 — the
+    keep-the-outlier rule that prunes redundant training examples
+    while preserving diversity. Cluster-local pair scan (never
+    corpus²), one Arrow matmul for assignment, int-keyed joins.
+    Rows-only: centroid training is not SQL-expressible; the drop
+    rule itself is pinned exactly on hand-built embeddings in
+    tests/test_curate_ext.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    # 0.3 ≈ the pair density the synthetic near-orthogonal embeddings
+    # actually exhibit (cf. dedup_embedding_cosine's 0.2 cut): ~36%
+    # of the corpus is pruned — a realistic SemDeDup rate.
+    return similarity.semantic_dedup(emb, cents, threshold=0.3)
+
+
 @qdef(
     "agg_salted",
     oracle="""
