@@ -498,3 +498,61 @@ def semantic_dedup(
         "centroid_sim",
         F.col("_drop").isNull().alias("kept"),
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of an
+    embedding column — the storage/bandwidth compression every
+    production ANN index applies before sharding (4x smaller than
+    float32, 8x smaller than the float64 shuffle representation).
+
+    Two passes, both scale-safe:
+
+    1. Per-dimension corpus min/max via posexplode + groupBy(dim).
+       d keys only, and min/max partial-aggregate map-side, so the
+       exchange carries d rows per partition — never the corpus.
+    2. The d-row stats table is collapsed to one array row and
+       broadcast-joined back (BroadcastNestedLoopJoin of a 1-row
+       build side — constant cost); codes are computed JVM-side with
+       ``transform`` + ``element_at``: code = round(255*(x-lo)/span),
+       span clamped so constant dimensions quantize to 0.
+
+    Emits per-vector codes plus the mean absolute reconstruction
+    error — the quality metric a quantized index is accepted on.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    dims = df.select(F.posexplode(v).alias("i", "x"))
+    stats = dims.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    minmax = stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "lo", "hi"))
+        ).alias("_s")
+    ).select(
+        F.transform("_s", lambda s: s["lo"]).alias("_lo"),
+        F.transform("_s", lambda s: F.greatest(s["hi"] - s["lo"], F.lit(1e-12))).alias(
+            "_span"
+        ),
+    )
+    coded = df.select(F.col(id_col), v.alias("_v")).crossJoin(F.broadcast(minmax))
+    code = lambda x, i: F.round(
+        (x - F.element_at("_lo", i + 1)) / F.element_at("_span", i + 1) * 255
+        + F.lit(1e-9)
+    ).cast("int")
+    recon = lambda c, i: F.element_at("_lo", i + 1) + c / F.lit(255.0) * F.element_at(
+        "_span", i + 1
+    )
+    codes = F.transform("_v", code)
+    err = F.aggregate(
+        F.zip_with(F.transform(codes, recon), "_v", lambda r, x: F.abs(r - x)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    ) / F.size("_v")
+    return coded.select(
+        id_col,
+        F.array_join(codes.cast("array<string>"), ",").alias("codes"),
+        F.round(err + F.lit(1e-9), 6).alias("mean_abs_err"),
+    )

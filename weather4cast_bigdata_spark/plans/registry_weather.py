@@ -808,6 +808,40 @@ def q_dedup_semantic(spark, sf_dir):
 
 
 @qdef(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    r AS (SELECT unnest(range(1, 65)) AS i),
+    dims AS (
+        SELECT r.i, min(e.v[r.i]) AS lo,
+               greatest(max(e.v[r.i]) - min(e.v[r.i]), 1e-12) AS span
+        FROM e, r GROUP BY r.i
+    ),
+    codes AS (
+        SELECT e.vec_id, r.i, e.v[r.i] AS x,
+               round((e.v[r.i] - d.lo) / d.span * 255 + 1e-9)::INT AS c,
+               d.lo + round((e.v[r.i] - d.lo) / d.span * 255 + 1e-9)::INT
+                   / 255.0 * d.span AS recon
+        FROM e, r JOIN dims d ON d.i = r.i
+    )
+    SELECT vec_id,
+           string_agg(c::VARCHAR, ',' ORDER BY i) AS codes,
+           round(avg(abs(recon - x)) + 1e-9, 6) AS mean_abs_err
+    FROM codes GROUP BY vec_id
+    """,
+)
+def q_embed_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embedding corpus (per-dim
+    min/max codebook + mean-abs reconstruction error) — the 4x
+    index-compression step before sharding an ANN index. Pass 1 is a
+    d-key min/max agg (map-side combined); pass 2 broadcasts the
+    1-row codebook and quantizes JVM-side. Oracle recomputes the
+    whole codebook + codes in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings_int8(emb)
+
+
+@qdef(
     "agg_salted",
     oracle="""
     SELECT event_type,
@@ -843,6 +877,37 @@ def q_agg_salted(spark, sf_dir):
     return out.select(
         "event_type", r6(F.col("total")).alias("total"), "n", "vmin", "vmax",
         r6(F.col("mean")).alias("mean"),
+    )
+
+
+@qdef(
+    "join_salted",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value) + 1e-9, 6) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-safe replicate-and-salt shuffle join (SCALING.md §3): the
+    fact side salts on a row hash, the dim side replicates n_salts
+    times, the join runs on (key, salt) so no reducer ever holds a
+    hot key whole. For when the build side exceeds the broadcast
+    budget AND the probe side has power-law keys — the third tool
+    after AQE skew splitting and broadcast. Oracle is the plain
+    unsalted join: the salt must never change which pairs match.
+    Broadcast is disabled via hint-free sizing at scale; here the
+    result equality is what's under test."""
+    from weather4cast_bigdata_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    joined = skew.salted_join(ev, cust.select("c_custkey", "c_mktsegment").withColumnRenamed("c_custkey", "user_id"), "user_id", n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.sum("value")).alias("sum_value"),
     )
 
 
