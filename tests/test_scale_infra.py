@@ -436,3 +436,39 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(zorder).collect())
     b = sorted(tuple(r) for r in li.collect())
     assert a == b
+
+
+def test_salted_join_row_identical_under_skew(spark):
+    """The salt must never change which pairs match: a hot key with
+    duplicate dim rows reproduces the plain join's multiset exactly,
+    and fact rows spread across salt partitions (hot key split)."""
+    from collections import Counter
+
+    from weather4cast_bigdata_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(i, 1 if i < 90 else i % 5, float(i)) for i in range(100)],
+        "row_id long, k long, v double",
+    )
+    # duplicate dim rows for the hot key -> join multiplicity 2
+    dim = spark.createDataFrame(
+        [(1, "hot_a"), (1, "hot_b"), (2, "two"), (3, "three")], "k long, tag string"
+    )
+    plain = Counter(
+        (r["row_id"], r["tag"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = Counter(
+        (r["row_id"], r["tag"])
+        for r in skew.salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    assert salted == plain and sum(plain.values()) == 90 * 2 + 8
+    # the hot key's fact rows really do land in >1 salt bucket
+    import pyspark.sql.functions as F
+
+    n_salts_used = (
+        fact.where("k = 1")
+        .select(F.pmod(F.xxhash64("row_id", "k", "v"), F.lit(4)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_used > 1

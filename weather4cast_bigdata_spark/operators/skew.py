@@ -71,3 +71,41 @@ def salted_agg(
             raise ValueError(f"non-decomposable aggregate: {kind!r}")
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*stage1_exprs)
     return stage1.groupBy(*keys).agg(*stage2_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe shuffle join: replicate-and-salt (SCALING.md §3).
+
+    When the probe side has a hot key AND the build side is too big
+    to broadcast, a plain shuffle join lands every hot-key row in one
+    reducer. Salting splits it: the fact side gets a deterministic
+    salt in [0, n_salts) derived from its unique row id (NOT the join
+    key — hot-key rows spread uniformly), the dim side is replicated
+    n_salts times (explode of a literal sequence — a narrow per-row
+    expansion, no shuffle of its own), and the join runs on
+    (key, salt). Every reducer sees ≤ 1/n_salts of any key's rows;
+    exchange volume grows only by the dim replication factor.
+
+    Result is row-identical to ``fact.join(dim, key)`` — the salt
+    never changes which pairs match, only where they are computed.
+    """
+    if n_salts < 1:
+        raise ValueError(f"salted_join: n_salts must be >= 1, got {n_salts}")
+    f_cols = [c for c in fact.columns]
+    d_cols = [c for c in dim.columns if c != key]
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in f_cols]), F.lit(n_salts)).cast("int"),
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        salted_fact.join(salted_dim, on=[key, "_salt"], how="inner")
+        .select(*f_cols, *d_cols)
+    )
