@@ -108,6 +108,13 @@ def run(spark, docs, lake: str, max_df: int | None):
         # eval suite = a fixed 500-doc slice; the training side is what scales
         lambda: curate_ext.decontaminate(docs, docs.orderBy("doc_id").limit(500)),
     )
+    # inverted index: df/tf stats scale with the corpus, but postings
+    # only materialize inside the df band — the DUP lake multiplies
+    # every df by 10, so the band itself is the cap under test
+    probe(
+        "inverted_index",
+        lambda: curate_ext.inverted_index(docs, min_df=5, max_df=50),
+    )
 
 
 def build_vec_lakes(spark, sf_dir: str, root: str) -> dict[str, str]:
@@ -147,6 +154,8 @@ def run_ann(spark, corpus, lake: str):
     cents = similarity.kmeans_centroids(corpus, k=16)
     probe("ivf_cosine_topk", lambda: similarity.ivf_cosine_topk(queries, corpus, cents, k=5, nprobe=2))
     probe("embedding_near_dup", lambda: similarity.near_dup_pairs(corpus, bucket_col="label", threshold=0.9))
+    probe("semantic_dedup", lambda: similarity.semantic_dedup(corpus, cents, threshold=0.3).where("NOT kept"))
+    probe("quantize_int8", lambda: similarity.quantize_embeddings_int8(corpus))
 
 
 def main() -> None:

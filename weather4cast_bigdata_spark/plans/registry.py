@@ -2456,6 +2456,39 @@ def q_project_unpivot_long(spark, sf_dir):
     )
 
 
+@qdef(
+    "project_pivot_wide",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           round(coalesce(sum(value) FILTER (event_type = 'click'), 0) + 1e-9, 6) AS click_sum,
+           round(coalesce(sum(value) FILTER (event_type = 'error'), 0) + 1e-9, 6) AS error_sum,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0) + 1e-9, 6) AS purchase_sum,
+           round(coalesce(sum(value) FILTER (event_type = 'signup'), 0) + 1e-9, 6) AS signup_sum,
+           round(coalesce(sum(value) FILTER (event_type = 'view'), 0) + 1e-9, 6) AS view_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_project_pivot_wide(spark, sf_dir):
+    """Long→wide pivot (the inverse of project_unpivot_long): daily
+    per-event-type value totals as columns. The pivot value list is
+    EXPLICIT — without it Spark runs a separate distinct scan over
+    the pivot column before planning, a full extra pass over 100 TB;
+    with it the pivot is one groupBy with conditional aggregates
+    (exactly the FILTER form the oracle runs), map-side combined,
+    single shuffle on the day key."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.sum("value"))
+    )
+    return out.select(
+        "day",
+        *[r6(F.coalesce(F.col(t), F.lit(0.0))).alias(f"{t}_sum") for t in types],
+    )
+
+
 _ORDER_COLS = (
     "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
 )
