@@ -293,3 +293,27 @@ def test_inverted_index_band_and_postings(spark):
     r = out["alpha beta gamma"]
     assert r["df"] == 3 and r["tf_total"] == 4
     assert list(r["postings"]) == [1, 2, 3]
+
+
+def test_quantize_int8_error_bound_and_range(spark):
+    """Scalar quantization invariants: every code is in [0, 255], a
+    constant dimension codes to 0 with zero error contribution, and
+    the per-element reconstruction error is bounded by
+    span/(2*255) — the half-step bound that defines the scheme."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rows = [
+        (1, [0.0, 5.0, -3.0]),
+        (2, [10.0, 5.0, 3.0]),
+        (3, [2.5, 5.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings_int8(df).collect()}
+    spans = [10.0, 1e-12, 6.0]
+    for vid, vec in rows:
+        codes = [int(c) for c in out[vid]["codes"].split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        assert codes[1] == 0  # constant dim
+        # mean err <= mean of per-dim half-steps
+        bound = sum(s / 255 / 2 for s in spans) / 3 + 1e-9
+        assert out[vid]["mean_abs_err"] <= round(bound, 6) + 1e-6
