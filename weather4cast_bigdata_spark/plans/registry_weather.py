@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from weather4cast_bigdata_spark.functions import strings
 from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
 from weather4cast_bigdata_spark.plans import weather
-from weather4cast_bigdata_spark.plans.registry import SLOT_SQL, _t, qdef, r6
+from weather4cast_bigdata_spark.plans.registry import SLOT_SQL, _COSINE_SQL, _t, qdef, r6
 from weather4cast_bigdata_spark.sources import netcdf, weather_fixtures
 
 # =====================================================================
@@ -808,6 +808,47 @@ def q_dedup_semantic(spark, sf_dir):
 
 
 @qdef(
+    "sink_ivf_index",
+    oracle="WITH " + _COSINE_SQL.format(qfilter="WHERE vec_id < 8", pair_cond=""),
+)
+def q_sink_ivf_index(spark, sf_dir):
+    """Persisted-ANN-index lifecycle: assign every corpus vector its
+    IVF cell, WRITE the corpus partitioned by cell
+    (``partitionBy("ivf_bucket")`` — the index IS the lake layout),
+    read it back, and search bucket-locally at full probe against
+    the STORED cells. Full probe makes the result provably identical
+    to the brute-force baseline, so this sink query shares
+    sim_cosine_topk's SQL oracle — the first hash-matched
+    round-trip of an index structure, not just of rows. A partial
+    probe is asserted inline to plan with parquet PartitionFilters
+    (cell directories outside the probe list are never scanned —
+    at 100 TB a probe touches nprobe/k of the index bytes)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    out = tempfile.mkdtemp(prefix="w4c_ivf_")
+    similarity.assign_ivf_buckets(emb, cents, nprobe=1).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_bucket").parquet(out)
+    lake = spark.read.parquet(out)
+    # partition-pruning proof on a 2-cell probe
+    probe_plan = (
+        lake.where(F.col("ivf_bucket").isin(0, 1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in probe_plan and "ivf_bucket" in probe_plan, (
+        "probe scan did not push the cell filter to partition pruning"
+    )
+    q = similarity.assign_ivf_buckets(
+        emb.where(F.col("vec_id") < 8), cents, nprobe=8
+    )
+    return similarity.cosine_topk_bucketed(q, lake, "ivf_bucket", k=5)
+
+
+@qdef(
     "embed_quantize_int8",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1056,6 +1097,48 @@ def q_streaming_dedup(spark, sf_dir):
     replayed = st.union(streaming.frame_stream(spark, path, schema))
     deduped = streaming.dedup_within_watermark(replayed, keys=("region", "ts"))
     _run_to_table(deduped, name, "append")
+    return spark.table(name)
+
+
+@qdef(
+    "streaming_static_enrich",
+    oracle=f"""
+    {_SLOTS_CTE}
+    SELECT s.region, s.ts, s.value, d.tier,
+           round(s.value * d.weight + 1e-9, 6) AS weighted_value
+    FROM slots s
+    JOIN (VALUES ('click', 1.0, 'hot'), ('view', 0.5, 'hot'),
+                 ('purchase', 2.0, 'critical'), ('signup', 1.5, 'critical'),
+                 ('error', 3.0, 'alert')) d(region, weight, tier)
+      ON s.region = d.region
+    """,
+)
+def q_streaming_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the frame stream broadcast-joined
+    per micro-batch against a static region-metadata dim (weight +
+    tier) — stateless, shuffle-free on the stream side, the pattern
+    for attaching calibration/config tables to live data. The
+    availableNow drain hash-matches the batch join over the same
+    slot lake."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    path, schema = _stream_events_dir(spark, sf_dir)
+    name = _fresh_stream_table(spark, "w4c_stream_enrich")
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0, "hot"),
+            ("view", 0.5, "hot"),
+            ("purchase", 2.0, "critical"),
+            ("signup", 1.5, "critical"),
+            ("error", 3.0, "alert"),
+        ],
+        "region string, weight double, tier string",
+    )
+    st = streaming.frame_stream(spark, path, schema)
+    enriched = streaming.enrich_with_static(st, dim, on="region").select(
+        "region", "ts", "value", "tier", r6(F.col("value") * F.col("weight")).alias("weighted_value")
+    )
+    _run_to_table(enriched, name, "append")
     return spark.table(name)
 
 

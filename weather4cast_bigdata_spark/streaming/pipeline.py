@@ -361,3 +361,17 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def enrich_with_static(
+    stream: DataFrame, static: DataFrame, on: str | Sequence[str]
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the broadcast dim snapshot — the standard pattern for attaching
+    slowly-changing metadata (region weights, channel calibration,
+    source tiers) to a live stream. Stateless: no streaming state, no
+    watermark requirement (the static side is re-resolved per batch,
+    so a dim refresh is picked up at the next trigger). The broadcast
+    hint keeps every batch shuffle-free — the stream side never
+    exchanges."""
+    return stream.join(F.broadcast(static), on=on, how="inner")
