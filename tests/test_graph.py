@@ -48,3 +48,38 @@ def test_parallel_edges_collapse(spark):
 def test_deterministic_across_runs(spark):
     edges = [(i, (i * 7) % 23) for i in range(60)]
     assert _ranks(spark, edges) == _ranks(spark, edges)
+
+
+# --- triangle census ---------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from weather4cast_bigdata_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 (4 triangles, 12 wedges) plus a pendant edge off node 1
+    (adds 3 wedges, no triangle): the census must count each triangle
+    once despite the degree-oriented rewrite."""
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = _tri(spark, k4 + [(1, 5)])
+    assert r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    assert r["n_wedges"] == 12 + 3
+    assert abs(r["clustering_coeff"] - round(12 / 15 + 1e-9, 6)) < 1e-9
+
+
+def test_triangle_hub_skew_and_duplicates(spark):
+    """A star graph (max-degree hub) has zero triangles no matter how
+    its wedges pivot; duplicate edges must not inflate any count."""
+    star = [(0, i) for i in range(1, 30)]
+    r = _tri(spark, star + star[:10])
+    assert r["n_edges"] == 29 and r["n_triangles"] == 0
+    assert r["n_wedges"] == 29 * 28 // 2
+    assert r["clustering_coeff"] == 0.0
+    # closing one spoke pair creates exactly one triangle
+    r2 = _tri(spark, star + [(1, 2)])
+    assert r2["n_triangles"] == 1

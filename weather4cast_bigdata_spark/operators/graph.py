@@ -83,3 +83,77 @@ def pagerank(
             )
         ).localCheckpoint(eager=True)
     return ranks.select("id", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"))
+
+
+def triangle_stats(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Global triangle census over an undirected edge list (canonical
+    ``a < b`` per edge): edge count, wedge count (paths of length 2),
+    triangle count, and the global clustering coefficient
+    ``3·triangles / wedges`` — the density fingerprint of a near-dup
+    graph (clone clusters are cliques, so a high coefficient means
+    dup mass concentrates in tight groups rather than long chains).
+
+    Enumeration is DEGREE-ORIENTED, the standard skew defense for
+    distributed triangle counting (MR-era "count triangles" /
+    Schank-Wagner): each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only at their smallest-degree apex, and each triangle
+    is produced exactly once. A raw a<b self-join pivots every wedge
+    on whatever node happens to have the small id — a power-law hub
+    (one boilerplate doc near-duping thousands) then lands its full
+    O(deg²) wedge set in one task; orientation bounds every apex's
+    out-degree by O(√m), so the worst task is O(m) wedges no matter
+    how skewed the degree distribution. Three int-keyed shuffles
+    (degrees, wedge join, closing-edge join).
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).distinct()
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_edges = e.count()
+    wedges_undirected = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    # orient: src = smaller (deg, id); dst = larger
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ann = e.join(du, "u").join(dv, "v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ann.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges at the apex: src -> {dst1, dst2}, dst1 < dst2 dedup
+    wedge = o1.join(o2, F.col("o1.src") == F.col("o2.src")).where(
+        F.col("o1.dst") < F.col("o2.dst")
+    ).select(F.col("o1.dst").alias("x"), F.col("o2.dst").alias("y"))
+    # close the wedge with the undirected canonical edge: x<y always
+    # holds, and e is canonical u<v, so one equi-join direction
+    # suffices (an inner join is safe — e is distinct, so at most one
+    # match per wedge)
+    tri = wedge.join(
+        e, (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")), "left_semi"
+    ).count()
+    spark = edges.sparkSession
+    return (
+        spark.createDataFrame([(n_edges, tri)], "n_edges bigint, n_triangles bigint")
+        .crossJoin(wedges_undirected)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
