@@ -317,3 +317,27 @@ def test_quantize_int8_error_bound_and_range(spark):
         # mean err <= mean of per-dim half-steps
         bound = sum(s / 255 / 2 for s in spans) / 3 + 1e-9
         assert out[vid]["mean_abs_err"] <= round(bound, 6) + 1e-6
+
+
+def test_model_quality_scores_separation_and_determinism(spark):
+    """The classifier must (a) score deterministically across
+    partitionings, (b) separate an easy corpus: long wordy docs vs
+    one-char docs get higher keep probability."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    rows = [(i, "word " * 50) for i in range(10)] + [
+        (100 + i, "x") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality.model_quality_scores(docs).collect()}
+    out2 = {
+        r["doc_id"]: r
+        for r in quality.model_quality_scores(docs.repartition(7)).collect()
+    }
+    assert {k: v["quality_prob"] for k, v in out.items()} == {
+        k: v["quality_prob"] for k, v in out2.items()
+    }
+    long_p = min(out[i]["quality_prob"] for i in range(10))
+    short_p = max(out[100 + i]["quality_prob"] for i in range(10))
+    assert long_p > short_p
+    assert out[0]["keep"] and not out[100]["keep"]
