@@ -2872,6 +2872,80 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, iters=8).withColumnRenamed("id", "user_id")
 
 
+@qdef("quality_model_filter")
+def q_quality_model_filter(spark, sf_dir):
+    """Model-based quality gate: a pyspark.ml logistic-regression
+    classifier trained distributed (one treeAggregate per L-BFGS
+    iteration, no per-row Python) on cheap text features, scoring
+    every document with a keep/drop probability — the
+    classifier-filter stage of production curation stacks. Rows-only:
+    an L-BFGS fixed-iteration fit is not a SQL expression; the
+    synthetic-label construction, score determinism, and separation
+    property are pinned in tests/test_curate_ext.py."""
+    from weather4cast_bigdata_spark.operators import quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality.model_quality_scores(docs)
+
+
+@qdef(
+    "graph_triangles",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    hashed AS (
+        SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v
+        FROM inter
+        JOIN sz x ON x.doc_id = id_a
+        JOIN sz y ON y.doc_id = id_b
+        WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    ),
+    deg AS (
+        SELECT id, count(*) AS deg
+        FROM (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY 1
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT sum(deg * (deg - 1) // 2)::BIGINT FROM deg) AS n_wedges,
+           n_triangles,
+           round(CASE WHEN (SELECT sum(deg * (deg - 1) / 2) FROM deg) > 0
+                      THEN 3.0 * n_triangles
+                           / (SELECT sum(deg * (deg - 1) / 2) FROM deg)
+                      ELSE 0.0 END + 1e-9, 6) AS clustering_coeff
+    FROM tri
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Global triangle census of the near-dup graph (Jaccard ≥ 0.5
+    edges): edge/wedge/triangle counts + clustering coefficient —
+    clone clusters are cliques, so the coefficient measures how much
+    dup mass sits in tight groups. Degree-oriented enumeration (the
+    distributed-triangle-count skew defense: every wedge pivots at
+    its smallest-degree apex, worst task O(m) not O(deg²)); the
+    oracle counts the same triangles with the naive 3-way canonical
+    self-join, proving the oriented rewrite is count-identical."""
+    from weather4cast_bigdata_spark.operators.graph import triangle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.5)
+    return triangle_stats(edges)
+
+
 @qdef(
     "flagship_star_join",
     oracle="""
