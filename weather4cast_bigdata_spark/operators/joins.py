@@ -236,3 +236,40 @@ def logit_blend(
     for c, w in zip(pred_cols, weights):
         expr = expr + normlogit(F.col(c)) * F.lit(float(w))
     return df.withColumn(out_col, inv_normlogit(expr))
+
+
+def fuzzy_self_join_blocked(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Entity-resolution (record-linkage) self-join: candidate pairs
+    from a BLOCKING key, verified with Levenshtein edit distance —
+    the standard two-phase fuzzy-match shape. An unblocked fuzzy
+    join is O(n²) edit-distance evaluations (the canonical
+    scale-killer for string matching); blocking turns candidate
+    generation into a shuffled EQUI join whose cost tracks block
+    populations, and only candidates pay the O(len²) distance DP.
+    Blocking is a RECALL knob (a true match split across blocks is
+    missed — same contract as LSH banding / `max_df`), never a
+    precision one: every emitted pair passed the exact distance
+    test. ``a < b`` on the id dedups the pair space."""
+    lhs = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(name_col).alias("a_name"),
+        block.alias("_blk"),
+    )
+    rhs = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(name_col).alias("b_name"),
+        block.alias("_blk"),
+    )
+    return (
+        lhs.join(rhs, "_blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("edit_dist", F.levenshtein("a_name", "b_name"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("a_id", "b_id", "edit_dist")
+    )

@@ -2120,6 +2120,55 @@ def q_scan_jsonl_roundtrip(spark, sf_dir):
 
 
 @qdef(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_scan_orc_roundtrip(spark, sf_dir):
+    """ORC interchange round-trip: documents → zstd ORC sink → read
+    back hash-matched against the original table. ORC is the second
+    columnar lake format Spark ships natively (Hive-ecosystem
+    interchange); the read path gets the same predicate-pushdown /
+    column-pruning treatment as parquet, so supporting it is a
+    format flag, not an architecture change."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="w4c_orc_")
+    docs.write.mode("overwrite").option("compression", "zstd").orc(out)
+    return spark.read.orc(out).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@qdef(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+               FROM customer)
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_join_fuzzy_blocked(spark, sf_dir):
+    """Entity-resolution fuzzy self-join over customer names:
+    prefix-blocked candidate generation (equi join — never the O(n²)
+    all-pairs edit-distance scan), Levenshtein ≤ 1 verification.
+    Both engines share the same unit-cost edit distance, so the pair
+    set hash-matches; blocking recall semantics documented on the
+    operator."""
+    cust = _t(spark, sf_dir, "customer")
+    return joins.fuzzy_self_join_blocked(
+        cust,
+        "c_custkey",
+        "c_name",
+        block=F.substring("c_name", 1, 16),
+        max_dist=1,
+    ).select(F.col("a_id").cast("long").alias("a_id"), F.col("b_id").cast("long").alias("b_id"), "edit_dist")
+
+
+@qdef(
     "scan_csv_roundtrip",
     oracle="""
     SELECT doc_id, text, lang, source, n_chars FROM documents
