@@ -240,3 +240,88 @@ def ewma(
         num = num + F.coalesce(lagged * wk, F.lit(0.0))
         den = den + F.when(lagged.isNotNull(), wk).otherwise(F.lit(0.0))
     return df.withColumn(out_col, F.round(num / den + F.lit(1e-9), 6))
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    minutes: int = 15,
+) -> DataFrame:
+    """Regularize an irregular series onto a fixed cadence with
+    linear interpolation — the gap-fill every sensor/frame cadence
+    pipeline needs before windowed modeling (the batch generalization
+    of the reference's previous-day fallback, datasets.py:200-210).
+
+    Per key: densify to the full [min, max] slot lattice
+    (``sequence`` + explode — a narrow per-key expansion, no
+    shuffle), left-join the observed slot means, then bridge each
+    gap with the linear interpolant between its bounding
+    observations. The bracketing scan is two ordered window passes
+    (``last/first IGNORE NULLS``) over the key partition — one
+    shuffle on the key total; no Python, no iteration. Leading /
+    trailing gaps (no bracket on one side) hold the nearest
+    observation flat. Emits ``is_observed`` so downstream quality
+    filters can weight real vs imputed samples.
+    """
+    from pyspark.sql import Window
+
+    slot_us = 60_000_000 * minutes
+    obs = (
+        with_time_slot(df, ts_col, minutes=minutes, out_col="_slot")
+        .groupBy(*key_cols, "_slot")
+        .agg(F.round(F.avg(value_col) + F.lit(1e-9), 6).alias("_v"))
+    )
+    spine = (
+        obs.groupBy(*key_cols)
+        .agg(F.min("_slot").alias("_lo"), F.max("_slot").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {minutes} MINUTES"))
+            ).alias("_slot"),
+        )
+    )
+    dense = spine.join(obs, [*key_cols, "_slot"], "left")
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col("_slot"))
+    marked = dense.select(
+        *key_cols,
+        F.col("_slot").alias(ts_col),
+        F.col("_v"),
+        F.last("_v", ignorenulls=True).over(w_prev).alias("_pv"),
+        F.last(F.when(F.col("_v").isNotNull(), us), ignorenulls=True)
+        .over(w_prev)
+        .alias("_pt"),
+        F.first("_v", ignorenulls=True).over(w_next).alias("_nv"),
+        F.first(F.when(F.col("_v").isNotNull(), us), ignorenulls=True)
+        .over(w_next)
+        .alias("_nt"),
+        us.alias("_t"),
+    )
+    frac = (F.col("_t") - F.col("_pt")) / F.greatest(
+        F.col("_nt") - F.col("_pt"), F.lit(slot_us)
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    filled = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(interp)
+    )
+    return marked.select(
+        *key_cols,
+        ts_col,
+        F.round(filled + F.lit(1e-9), 6).alias("value"),
+        F.col("_v").isNotNull().alias("is_observed"),
+    )

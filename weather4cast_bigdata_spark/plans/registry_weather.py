@@ -1142,6 +1142,59 @@ def q_streaming_static_enrich(spark, sf_dir):
     return spark.table(name)
 
 
+@qdef(
+    "window_resample_interpolate",
+    oracle=f"""
+    {_SLOTS_CTE},
+    bounds AS (SELECT region, min(ts) AS lo, max(ts) AS hi FROM slots GROUP BY 1),
+    spine AS (
+        SELECT region, unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ts
+        FROM bounds
+    ),
+    dense AS (
+        SELECT s.region, s.ts, sl.value AS v
+        FROM spine s LEFT JOIN slots sl ON sl.region = s.region AND sl.ts = s.ts
+    ),
+    m AS (
+        SELECT region, ts, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER wn AS nt,
+               epoch_us(ts) AS t
+        FROM dense
+        WINDOW wp AS (PARTITION BY region ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY region ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT region, ts,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (t - pt) / greatest(nt - pt, 900000000)
+                 END + 1e-9, 6) AS value,
+           v IS NOT NULL AS is_observed
+    FROM m
+    """,
+)
+def q_window_resample_interpolate(spark, sf_dir):
+    """Cadence regularization with linear gap-fill: the per-region
+    15-min slot series densified to its full lattice, missing slots
+    bridged by the linear interpolant between bounding observations
+    (edges held flat), each row flagged observed/imputed — the batch
+    generalization of the previous-day fallback and the prerequisite
+    for fixed-cadence windowed training. One shuffle on the key; the
+    bracket scan is two ordered IGNORE-NULLS window passes."""
+    ev = _t(spark, sf_dir, "events")
+    series = ev.select(F.col("event_type").alias("region"), "ts", "value")
+    return windows.resample_interpolate(
+        series, ["region"], "ts", "value", minutes=15
+    )
+
+
 def _slots_ewma_sql(alpha: float = 0.5, lookback: int = 8) -> str:
     num = ["0.0"]
     den = ["0.0"]
