@@ -125,3 +125,62 @@ def test_flip_remaps_match_numpy(spark):
     fud, flr = np.flipud(grid), np.fliplr(grid)
     assert all(fud[r.ry, r.rx] == r.v for r in ud)
     assert all(flr[r.ry, r.rx] == r.v for r in lr)
+
+
+# --- resample / gap-fill -----------------------------------------------------
+
+
+def test_resample_interpolate_bridges_and_edges(spark):
+    """Interior gaps take the linear interpolant between bounding
+    observations; leading/trailing gaps hold the nearest observation
+    flat; observed slots pass through untouched."""
+    from datetime import datetime
+
+    from weather4cast_bigdata_spark.operators.windows import resample_interpolate
+
+    t = lambda m: datetime(2020, 1, 1, 0, m)
+    rows = [  # observations at :15, :60 (45-min gap), value 10 -> 40
+        ("a", t(15), 10.0),
+        ("a", t(0).replace(hour=1), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {r["ts"].minute + 60 * r["ts"].hour: r for r in resample_interpolate(df, ["k"], "ts", "value").collect()}
+    assert len(out) == 4  # :15 :30 :45 :60
+    assert out[15]["value"] == 10.0 and out[15]["is_observed"]
+    assert out[60]["value"] == 40.0 and out[60]["is_observed"]
+    assert not out[30]["is_observed"] and abs(out[30]["value"] - 20.0) < 1e-6
+    assert not out[45]["is_observed"] and abs(out[45]["value"] - 30.0) < 1e-6
+
+
+def test_resample_interpolate_single_observation(spark):
+    """One observation per key: the lattice is one slot, no NULLs, no
+    division hazards."""
+    from datetime import datetime
+
+    from weather4cast_bigdata_spark.operators.windows import resample_interpolate
+
+    df = spark.createDataFrame(
+        [("a", datetime(2020, 1, 1, 0, 7), 5.0)], "k string, ts timestamp, value double"
+    )
+    out = resample_interpolate(df, ["k"], "ts", "value").collect()
+    assert len(out) == 1 and out[0]["value"] == 5.0 and out[0]["is_observed"]
+
+
+def test_fuzzy_blocked_join_blocking_is_recall_only(spark):
+    """Every emitted pair passed the exact distance test (precision),
+    and a true match split across blocks is missed (recall knob) —
+    the documented contract."""
+    import pyspark.sql.functions as F
+
+    from weather4cast_bigdata_spark.operators.joins import fuzzy_self_join_blocked
+
+    rows = [(1, "abcde"), (2, "abcdX"), (3, "abcdef"), (4, "Xbcde")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = fuzzy_self_join_blocked(
+        df, "id", "name", block=F.substring("name", 1, 3), max_dist=1
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["edit_dist"] for r in out}
+    # (1,2): same block, dist 1 -> kept. (1,3): same block, dist 1 (insert) -> kept.
+    # (2,3): same block, dist 2 -> rejected by the exact test.
+    # (1,4): dist 1 but DIFFERENT block -> missed (recall loss, by design).
+    assert got == {(1, 2): 1, (1, 3): 1}
