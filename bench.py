@@ -32,6 +32,7 @@ from weather4cast_bigdata_spark.session import get_spark
 HEADLINE = [
     "flagship_evaluate",
     "flagship_star_join",
+    "flagship_pricing_summary",
     "join_multichannel",
     "join_static_broadcast",
     "join_time_intersect",

@@ -2921,6 +2921,186 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, iters=8).withColumnRenamed("id", "user_id")
 
 
+@qdef(
+    "flagship_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity) + 1e-9, 6) AS sum_qty,
+           round(sum(l_extendedprice) + 1e-9, 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 6)
+               AS sum_charge,
+           round(avg(l_quantity) + 1e-9, 6) AS avg_qty,
+           round(avg(l_extendedprice) + 1e-9, 6) AS avg_price,
+           round(avg(l_discount) + 1e-9, 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def q_flagship_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy
+    aggregate — a single pushed-filter parquet scan (only 7 of the
+    lineitem columns read), all eight aggregates partial-computed
+    map-side, one exchange carrying ≤ |groups|×partitions rows. The
+    pure-throughput complement to the join-shaped Q3 flagship: at
+    100 TB this query is bounded by scan bandwidth, which is exactly
+    what columnar pruning + predicate pushdown + whole-stage codegen
+    maximize."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r6(F.sum(disc_price)).alias("sum_disc_price"),
+            r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@qdef(
+    "agg_moments",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(value) AS s1,
+               sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(s1 / n + 1e-9, 6) AS mean,
+           round(s2 / n - (s1/n) * (s1/n) + 1e-9, 6) AS variance,
+           round((s3/n - 3 * (s1/n) * s2/n + 2 * (s1/n) * (s1/n) * (s1/n))
+                 / pow(s2 / n - (s1/n) * (s1/n), 1.5) + 1e-9, 6) AS skewness,
+           round((s4/n - 4 * (s1/n) * s3/n + 6 * (s1/n) * (s1/n) * s2/n
+                  - 3 * (s1/n) * (s1/n) * (s1/n) * (s1/n))
+                 / pow(s2 / n - (s1/n) * (s1/n), 2) - 3 + 1e-9, 6) AS excess_kurtosis
+    FROM p
+    """,
+)
+def q_agg_moments(spark, sf_dir):
+    """Single-pass higher-moment statistics per group (variance,
+    skewness, excess kurtosis) from raw power sums — the algebraic
+    expansion E[(x-μ)^k] that keeps every aggregate
+    partial-computable (map-side combine; one exchange of 4 doubles
+    per group per partition). Built-ins are deliberately avoided:
+    Spark's skewness/kurtosis and DuckDB's use different bias
+    corrections, so the engine computes the population moments
+    EXPLICITLY and both engines evaluate the identical formula —
+    numeric policy over convenience."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value")
+    p = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * F.col("s2") / F.col("n") + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * F.col("s3") / F.col("n")
+        + 6 * m * m * F.col("s2") / F.col("n")
+        - 3 * m * m * m * m
+    )
+    return p.select(
+        "event_type",
+        "n",
+        r6(m).alias("mean"),
+        r6(m2).alias("variance"),
+        r6(m3 / F.pow(m2, 1.5)).alias("skewness"),
+        r6(m4 / F.pow(m2, 2) - 3).alias("excess_kurtosis"),
+    )
+
+
+@qdef(
+    "dim_scd2_build",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate,
+               sum(CASE WHEN prev_status IS NULL
+                          OR prev_status <> o_orderstatus THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM h
+    ),
+    spans AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status, run_id,
+               min(o_orderdate) AS valid_from
+        FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT custkey, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
+               AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id) IS NULL)
+               AS is_current
+    FROM spans
+    """,
+)
+def q_dim_scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build from an event
+    log: per customer, collapse the order-status sequence into runs
+    (lag-compare → change flag → running sum), emit one versioned
+    row per run with [valid_from, valid_to) validity and a current
+    flag — the warehouse pattern that turns a change stream into a
+    point-in-time-joinable dimension (the batch complement of
+    sink_merge_upsert's CDC apply). One shuffle on the key; every
+    pass is an ordered window over the same partitioning, so the
+    sort is reused across the three window steps."""
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = od.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    runs = h.select(
+        "o_custkey", "o_orderstatus", "o_orderdate",
+        F.sum(
+            F.when(
+                F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    spans = runs.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "run_id",
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    w2 = Window.partitionBy("custkey").orderBy("run_id")
+    nxt = F.lead("valid_from").over(w2)
+    return spans.select(
+        "custkey", "status", "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 @qdef("quality_model_filter")
 def q_quality_model_filter(spark, sf_dir):
     """Model-based quality gate: a pyspark.ml logistic-regression
