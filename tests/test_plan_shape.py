@@ -75,6 +75,16 @@ SHAPES = [
     # star join: both dims broadcast, the agg is the only shuffle,
     # the LIMIT must plan as TakeOrderedAndProject (asserted below)
     ("flagship_star_join", 1, 0),
+    # closing-wave additions
+    ("flagship_pricing_summary", 1, 0),  # scan-bandwidth flagship: one agg shuffle
+    ("agg_moments", 1, 0),  # power sums: partial-agg, one exchange
+    ("dim_scd2_build", 1, 0),  # three window passes reuse ONE key sort
+    ("window_range_trailing", 1, 0),
+    ("project_pivot_wide", 2, 0),  # explicit values: NO distinct pre-scan pass
+    ("window_resample_interpolate", 2, 0),
+    ("join_fuzzy_blocked", 1, 0),  # blocked candidates: NO cartesian distance scan
+    ("embed_quantize_int8", 2, 1),  # 1-row codebook broadcast (declared benign)
+    ("text_inverted_index", 6, 0),
 ]
 
 
