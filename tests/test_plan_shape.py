@@ -85,6 +85,8 @@ SHAPES = [
     ("join_fuzzy_blocked", 1, 0),  # blocked candidates: NO cartesian distance scan
     ("embed_quantize_int8", 2, 1),  # 1-row codebook broadcast (declared benign)
     ("text_inverted_index", 6, 0),
+    # as-of rewrite: union + window, NO range join, NO nested loop
+    ("join_point_in_time", 2, 0),
 ]
 
 

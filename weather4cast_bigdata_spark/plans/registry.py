@@ -3101,6 +3101,104 @@ def q_dim_scd2_build(spark, sf_dir):
     )
 
 
+@qdef(
+    "join_point_in_time",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER w AS prev_status
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate,
+               sum(CASE WHEN prev_status IS NULL
+                          OR prev_status <> o_orderstatus THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM h
+    ),
+    spans AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status, run_id,
+               min(o_orderdate) AS valid_from
+        FROM runs GROUP BY 1, 2, 3
+    ),
+    eod AS (
+        SELECT custkey, status, valid_from FROM (
+            SELECT *, row_number() OVER (PARTITION BY custkey, valid_from
+                                         ORDER BY run_id DESC) AS rn
+            FROM spans
+        ) WHERE rn = 1
+    ),
+    matched AS (
+        SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_orderdate AS ts,
+               o.o_orderstatus, d.status AS status_asof,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                                  ORDER BY d.valid_from DESC) AS rn
+        FROM orders o JOIN eod d
+          ON d.custkey = o.o_custkey AND d.valid_from <= o.o_orderdate
+    )
+    SELECT o_orderkey, custkey, ts, o_orderstatus, status_asof
+    FROM matched WHERE rn = 1
+    """,
+)
+def q_join_point_in_time(spark, sf_dir):
+    """Point-in-time (temporal) dimension join: each order fact picks
+    the SCD2 dimension version in effect on its date — the lookup
+    every feature-store / ML-training join must get right to avoid
+    label leakage. Same-day changes collapse to the end-of-day
+    version (latest run wins, deterministic). Implemented as the
+    union + ordered-window as-of scan (one key shuffle, linear per
+    key) — NEVER the valid_from <= ts range join, which explodes per
+    key before filtering; the oracle runs exactly that naive range
+    join, proving the as-of rewrite result-identical."""
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = od.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    runs = h.select(
+        "o_custkey", "o_orderstatus", "o_orderdate",
+        F.sum(
+            F.when(
+                F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    spans = runs.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "run_id",
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    w_eod = Window.partitionBy("custkey", "valid_from").orderBy(
+        F.col("run_id").desc()
+    )
+    eod = (
+        spans.withColumn("_rn", F.row_number().over(w_eod))
+        .where(F.col("_rn") == 1)
+        .select("custkey", "status", F.col("valid_from").alias("ts"))
+    )
+    facts = od.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderstatus",
+    )
+    return windows.join_asof(
+        facts, eod, keys=["custkey"], ts_col="ts", right_val_cols=["status"]
+    ).select(
+        "o_orderkey", "custkey", "ts", "o_orderstatus",
+        F.col("status_asof"),
+    )
+
+
 @qdef("quality_model_filter")
 def q_quality_model_filter(spark, sf_dir):
     """Model-based quality gate: a pyspark.ml logistic-regression
