@@ -83,3 +83,35 @@ def test_triangle_hub_skew_and_duplicates(spark):
     # closing one spoke pair creates exactly one triangle
     r2 = _tri(spark, star + [(1, 2)])
     assert r2["n_triangles"] == 1
+
+
+def test_triangle_census_matches_bruteforce_random(spark):
+    """Three seeded random graphs: the degree-oriented census must
+    equal a plain Python adjacency count of edges/wedges/triangles."""
+    import itertools
+    import random
+
+    from weather4cast_bigdata_spark.operators.graph import triangle_stats
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        edges = set()
+        for _ in range(60):
+            a, b = rng.randrange(18), rng.randrange(18)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+        df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        r = triangle_stats(df).collect()[0]
+        assert r["n_edges"] == len(edges), seed
+        assert r["n_wedges"] == wedges, seed
+        assert r["n_triangles"] == tri, seed

@@ -3199,6 +3199,125 @@ def q_join_point_in_time(spark, sf_dir):
     )
 
 
+@qdef(
+    "sample_exact_k_per_group",
+    oracle=f"""
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_H32_SQL.format(expr="CAST(doc_id AS VARCHAR)")}, doc_id
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+)
+def q_sample_exact_k_per_group(spark, sf_dir):
+    """Exact-k uniform sample per group: rank each doc inside its
+    source by a deterministic md5 hash of its id and keep the first
+    20 — the fixed-budget panel draw (eval panels, human-annotation
+    batches, per-domain probes) that rate-based sampling
+    (sample_mixture_weighted) cannot provide. Hash-ordering makes
+    the draw uniform-ish yet fully reproducible across engines,
+    cluster sizes, and retries — no RNG state anywhere. One shuffle
+    on the group key; the per-group sort is the window scan."""
+    docs = _t(spark, sf_dir, "documents")
+    h = text.md5_hash32(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= 20)
+    )
+
+
+@qdef(
+    "text_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+    ),
+    uni AS (
+        SELECT t.tok, count(*) AS c FROM (
+            SELECT unnest(w) AS tok FROM toks
+        ) t GROUP BY 1
+    ),
+    un AS (SELECT sum(c) AS n FROM uni),
+    big AS (
+        SELECT w[i] AS t1, w[i+1] AS t2, count(*) AS c
+        FROM toks, unnest(range(1, len(w))) r(i)
+        WHERE len(w) >= 2
+        GROUP BY 1, 2
+    ),
+    bn AS (SELECT sum(c) AS n FROM big)
+    SELECT t1, t2, big.c AS pair_count,
+           round(ln((big.c * 1.0 / bn.n)
+                    / ((u1.c * 1.0 / un.n) * (u2.c * 1.0 / un.n))) + 1e-9, 6)
+               AS pmi
+    FROM big, bn, un
+    JOIN uni u1 ON u1.tok = t1
+    JOIN uni u2 ON u2.tok = t2
+    WHERE big.c >= 25
+    ORDER BY pmi DESC, t1, t2
+    LIMIT 50
+    """,
+)
+def q_text_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocation discovery: the top-50
+    token bigrams whose joint probability most exceeds independence
+    (min pair count 25 to kill low-frequency noise) — the classic
+    phrase/multi-word-expression miner (word2vec's phrase pass,
+    NLTK collocations). Two map-side-combined counts (unigrams,
+    adjacent bigrams via the zip_with shingle form — no positional
+    self-join), two broadcast total normalizers, two broadcastable
+    joins onto the unigram table, TakeOrderedAndProject for the
+    top-k. At 100 TB the unigram side is the skew carrier and
+    everything stays partial-aggregable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.tokens(F.lower(F.col("text")))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    un = uni.agg(F.sum("c").alias("n_uni"))
+    big = (
+        docs.select(F.explode(text.word_shingles(toks, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= 25)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("t1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("t2"),
+            "pair_count",
+        )
+    )
+    bn = (
+        docs.select(
+            F.greatest(F.size(toks) - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("n_big"))
+    )
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("c").alias("c2"))
+    pmi = (
+        big.crossJoin(F.broadcast(bn))
+        .crossJoin(F.broadcast(un))
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .select(
+            "t1", "t2", "pair_count",
+            r6(
+                F.log(
+                    (F.col("pair_count") / F.col("n_big"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "t1", "t2").limit(50)
+
+
 @qdef("quality_model_filter")
 def q_quality_model_filter(spark, sf_dir):
     """Model-based quality gate: a pyspark.ml logistic-regression
