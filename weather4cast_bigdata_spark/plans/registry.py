@@ -2240,8 +2240,8 @@ def q_plot_frame_grid(spark, sf_dir):
     SELECT source,
            count(*) AS n_docs,
            round(avg(quality) + 1e-9, 6) AS mean_quality,
-           sum(n_tokens) AS total_tokens,
-           count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_exact_dups
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups
     FROM scored GROUP BY source
     """,
 )
@@ -2792,7 +2792,7 @@ def q_text_pii_redact(spark, sf_dir):
     ),
     tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
     SELECT doc_id,
-           sum(tf) AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
            round(max(tf) * 1.0 / sum(tf) + 1e-9, 6) AS top_token_frac,
            round(1.0 - count(*) * 1.0 / sum(tf) + 1e-9, 6) AS dup_token_frac
@@ -3619,7 +3619,7 @@ def q_window_range_trailing(spark, sf_dir):
         SELECT shingle, doc_id, count(*) AS tf FROM sh GROUP BY 1, 2
     ),
     stats AS (
-        SELECT shingle, count(*) AS df, sum(tf) AS tf_total
+        SELECT shingle, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
         FROM pairs GROUP BY 1
     ),
     keep AS (SELECT * FROM stats WHERE df BETWEEN 5 AND 50),

@@ -4,6 +4,17 @@ column names, and (order-insensitively) values.
 
 Used by tests/ so every operator is verified the same way the driver
 verifies it (CORRECTNESS_r{N}.json).
+
+Round-3 change: the default comparison is now **strict** — dtype
+kinds must match (an int64 Spark column vs a float64 DuckDB column is
+a FAILURE even when the values are numerically equal, because the
+driver hashes exact values and ``0`` != ``0.0``) and float values
+must be bit-exact.  The round-2 driver caught two oracle HUGEINT →
+float64 coercions (`curation_source_stats`, `window_sessionize`)
+that the old 1e-9-relative-tolerance comparator waved through; the
+strict mode makes local green imply driver green.  Pass
+``strict=False`` to get the old tolerant behaviour for diagnosing
+*how far apart* mismatched values are.
 """
 
 from __future__ import annotations
@@ -33,26 +44,65 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _is_date_object(s: pd.Series) -> bool:
+    """Spark DATE columns arrive in pandas as object dtype holding
+    ``datetime.date``; DuckDB DATE arrives as datetime64[us].  The
+    driver's hash treats these as equal (join_multichannel &c passed
+    r1/r2), so both map to the datetime class here."""
+    import datetime as _dt
+
+    if s.dtype != object:
+        return False
+    nn = s.dropna()
+    if nn.empty:
+        return False
+    v = nn.iloc[0]
+    return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+
+
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    hash distinguishes: integer / float / bool / datetime / other.
+    datetime is one class because both engines' timestamps are
+    canonicalised to strings before compare (mirrors the driver rows
+    that already hash-match on timestamp columns)."""
+    if pd.api.types.is_datetime64_any_dtype(s) or _is_date_object(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif _is_date_object(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def _values_equal(a, b, tol=1e-9) -> bool:
+def _values_equal(a, b, strict: bool, tol=1e-9) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if strict:
+            return fa == fb
         return abs(fa - fb) <= tol * max(1.0, abs(fa), abs(fb))
     return a == b
 
 
-def compare_query(name: str, spark, sf_dir: str, fn, oracle: str) -> CompareResult:
+def compare_query(
+    name: str, spark, sf_dir: str, fn, oracle: str, strict: bool = True
+) -> CompareResult:
     sdf = fn(spark, sf_dir).toPandas()
     con = duckdb_conn(sf_dir)
     try:
@@ -69,6 +119,17 @@ def compare_query(name: str, spark, sf_dir: str, fn, oracle: str) -> CompareResu
     if len(sdf) != len(odf):
         return CompareResult(name, False, f"row count {len(sdf)} != {len(odf)}", len(sdf), len(odf))
 
+    if strict:
+        for col in sorted(sdf.columns):
+            sk, ok_ = _dtype_kind(sdf[col]), _dtype_kind(odf[col])
+            if sk != ok_:
+                return CompareResult(
+                    name, False,
+                    f"dtype mismatch col {col}: spark={sdf[col].dtype} ({sk}) "
+                    f"!= oracle={odf[col].dtype} ({ok_})",
+                    len(sdf), len(odf),
+                )
+
     s, o = _canon(sdf), _canon(odf)
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
@@ -77,7 +138,7 @@ def compare_query(name: str, spark, sf_dir: str, fn, oracle: str) -> CompareResu
             b_nan = b is None or (isinstance(b, float) and math.isnan(b))
             if a_nan and b_nan:
                 continue
-            if a_nan != b_nan or not _values_equal(a, b):
+            if a_nan != b_nan or not _values_equal(a, b, strict):
                 return CompareResult(
                     name, False, f"value mismatch at row {i} col {col}: {a!r} != {b!r}",
                     len(sdf), len(odf),
