@@ -124,6 +124,32 @@ def test_decontaminate_broadcasts_eval_shingles(noaqe, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ngram_pair_stage_carries_max_df_cap(noaqe, sf_dir):
+    """The shingle-bucket pair stage must carry the finite max_df
+    stop-list by DEFAULT (a shingle in d docs emits d(d-1)/2 pair
+    rows; uncapped boilerplate is the one web-scale blowup in the
+    dedup family). Asserted in the physical plan for the pair query;
+    the curation flagship's plan truncates at the eager
+    connected-components checkpoint, so its cap is pinned at the
+    signature level (curate() and the operator share the same
+    default constant)."""
+    import inspect
+
+    from weather4cast_bigdata_spark.operators.dedup import (
+        NGRAM_MAX_DF,
+        ngram_jaccard_pairs_docs,
+    )
+    from weather4cast_bigdata_spark.plans.curation import curate
+
+    plan = _formatted_plan(REGISTRY["dedup_ngram_jaccard"].fn(noaqe, sf_dir))
+    assert f"<= {NGRAM_MAX_DF})" in plan, plan
+    assert inspect.signature(curate).parameters["max_df"].default == NGRAM_MAX_DF
+    assert (
+        inspect.signature(ngram_jaccard_pairs_docs).parameters["max_df"].default
+        == NGRAM_MAX_DF
+    )
+
+
 def test_range_join_binned_broadcasts_interval_side(noaqe, sf_dir):
     """The interval spine is generated from a 1-row aggregate: the
     fact side must never shuffle for the join itself — the only

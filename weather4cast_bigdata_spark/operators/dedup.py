@@ -101,13 +101,26 @@ def minhash_signatures_docs(
     return d.select(F.col(id_col), *cols)
 
 
+#: Default document-frequency stop-list cap for shingle-bucket pair
+#: enumeration.  A shingle appearing in d docs yields d(d-1)/2 pair
+#: rows, so an uncapped boilerplate n-gram ("all rights reserved")
+#: shared by 1e6 web docs would emit 5e11 rows from ONE bucket.  256
+#: bounds the worst bucket at ~32k pair rows while being far above
+#: any genuine near-dup cluster's shingle df.  Recall-only: the
+#: Jaccard denominator keeps the full per-doc set size, so capping
+#: can lower a pair's score but never fabricate one.  Mirrored as the
+#: `live` CTE (HAVING count(*) <= 256) in every pair-enumerating
+#: oracle in plans/registry.py — keep the two in sync.
+NGRAM_MAX_DF = 256
+
+
 def ngram_jaccard_pairs_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Single-pass hashed-shingle Jaccard from the doc table: the
     per-doc set size rides the explode, so there is no separate size
@@ -118,13 +131,14 @@ def ngram_jaccard_pairs_docs(
     functions — ~1.5× faster than the equivalent self-join, which
     shuffles both sides and recomputes the shingle map twice. Same
     skew profile as the join form (all pairs of one shingle land in
-    one task either way); at web scale, pass ``max_df`` to stop-list
-    high-document-frequency shingles (boilerplate n-grams shared by
-    thousands of docs, SCALING.md §3): a shingle in d docs yields
-    d(d−1)/2 pair rows, so the cap bounds the worst bucket's blowup
-    quadratically. The denominator keeps the full per-doc set size,
-    so stop-listing can only lower a pair's Jaccard — a recall knob,
-    never a false-positive source.
+    one task either way); ``max_df`` (default :data:`NGRAM_MAX_DF`)
+    stop-lists high-document-frequency shingles (boilerplate n-grams
+    shared by thousands of docs, SCALING.md §3): a shingle in d docs
+    yields d(d−1)/2 pair rows, so the cap bounds the worst bucket's
+    blowup quadratically. The denominator keeps the full per-doc set
+    size, so stop-listing can only lower a pair's Jaccard — a recall
+    knob, never a false-positive source. Pass ``max_df=None`` only
+    for bounded corpora where exact all-pairs recall is required.
     """
     sh = word_shingles(tokens(F.col(text_col)), n)
     base = ensure_min_parallelism(docs).select(

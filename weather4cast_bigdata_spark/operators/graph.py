@@ -10,8 +10,8 @@ damping-factor power iteration).
 Not in the reference (raster pipeline); added as a first-class
 extension. Scale shape per round: ONE join of the rank vector with
 the out-degree-annotated edge list (shuffle on src) + ONE groupBy-sum
-on dst — both int-keyed — plus a scalar dangling-mass aggregate
-(one double to the driver; the only driver traffic). The edge list
+on dst — both int-keyed — plus a 1-row dangling-mass aggregate
+broadcast into the update in-plan (no driver collect). The edge list
 and node set persist once; ranks are ``localCheckpoint``-ed per round
 so lineage stays O(1) over iterations, exactly as in
 ``dedup.connected_components``.
@@ -66,20 +66,26 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        # dangling mass: one scalar to the driver per round
-        dangling = (
-            ranks.join(has_out, on="id", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # Dangling mass folded IN-PLAN: a 1-row aggregate broadcast
+        # into the rank update via crossJoin (the same scalar-
+        # normalizer shape flagship_evaluate uses) — no per-iteration
+        # driver collect, so the only driver action per round is the
+        # lineage-truncating eager checkpoint below. Term grouping
+        # mirrors the scalar form ((1-d)/n + d·dm/n) + d·c so ranks
+        # stay bit-identical to the collected version.
+        dangling = ranks.join(has_out, on="id", how="left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contrib, on="id", how="left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dm") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
             )
         ).localCheckpoint(eager=True)
     return ranks.select("id", F.round(F.col("rank") + F.lit(1e-9), 6).alias("rank"))

@@ -34,7 +34,7 @@ def curate(
     text_col: str = "text",
     quality_min: float = 0.5,
     jaccard_threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = dedup.NGRAM_MAX_DF,
 ) -> DataFrame:
     """Returns the curated corpus: one row per surviving canonical
     document with ``(doc_id, lang, split, n_tokens, quality)``.

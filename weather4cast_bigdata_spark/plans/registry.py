@@ -1664,10 +1664,12 @@ def q_dedup_minhash_estimate(spark, sf_dir):
         SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
     ),
     sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    live AS (SELECT h32 FROM hashed GROUP BY 1 HAVING count(*) <= 256),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM hashed a JOIN hashed b
           ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        JOIN live ON live.h32 = a.h32
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -1695,10 +1697,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
     ),
     sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    live AS (SELECT h32 FROM hashed GROUP BY 1 HAVING count(*) <= 256),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM hashed a JOIN hashed b
           ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        JOIN live ON live.h32 = a.h32
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -2047,10 +2051,12 @@ _QUALITY_SQL = r"""
         SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
     ),
     sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    live AS (SELECT h32 FROM hashed GROUP BY 1 HAVING count(*) <= 256),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM hashed a JOIN hashed b
           ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        JOIN live ON live.h32 = a.h32
         GROUP BY 1, 2
     ),
     pairs AS (
@@ -3342,10 +3348,12 @@ def q_quality_model_filter(spark, sf_dir):
         SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
     ),
     sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    live AS (SELECT h32 FROM hashed GROUP BY 1 HAVING count(*) <= 256),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         FROM hashed a JOIN hashed b
           ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        JOIN live ON live.h32 = a.h32
         GROUP BY 1, 2
     ),
     edges AS (
