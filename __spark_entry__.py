@@ -106,6 +106,17 @@ _ROUND3_PRIORITY = [
     "sample_random_crop",
     "scan_orc_roundtrip",
     "project_pivot_wide",
+    # hash-verified siblings of the rows-only families (added r3;
+    # oracle-bearing, strict-local-green — driver window in r4)
+    "shuffle_seeded_verified",
+    "graph_pagerank_verified",
+    "agg_approx_distinct_verified",
+    "solve_ridge_sum1_verified",
+    "scan_binary_roundtrip_verified",
+    "udf_scatter_roundtrip_verified",
+    "quantize_halfeven_parity",
+    "multimodal_plumbing_verified",
+    "dedup_semantic_verified",
     "sim_ivf_topk",
     "sim_ivf_recall",
     "agg_approx_distinct",

@@ -61,6 +61,13 @@ HEADLINE = [
     # Training-data flagship: quality → exact dedup → near-dup CC →
     # canonical keep → stratified split, one composed plan.
     "curation_pipeline",
+    # Closing-wave flagships (added r3): SCD2 run-collapse windows,
+    # point-in-time temporal join against the SCD2 history, and the
+    # two-pass prefix-sum sequence packer — the most expensive plans
+    # that were previously unmeasured.
+    "dim_scd2_build",
+    "join_point_in_time",
+    "pack_chunked",
 ]
 
 

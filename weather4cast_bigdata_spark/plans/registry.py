@@ -4152,3 +4152,7 @@ def q_agg_winsorize(spark, sf_dir):
 # effects; placed last so it can import helpers from this module).
 # ---------------------------------------------------------------------
 from weather4cast_bigdata_spark.plans import registry_weather  # noqa: E402,F401
+
+# Hash-verified siblings of the rows-only families (round 3) — same
+# side-effect import pattern.
+from weather4cast_bigdata_spark.plans import registry_verified  # noqa: E402,F401
