@@ -82,25 +82,19 @@ def main() -> None:
     spark = get_spark("w4c-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up JVM / codegen / parquet footer caches, then each headline
-    # plan shape once at the smallest SF: whole-stage codegen compiles
-    # per plan and the JVM's C2 JIT needs a few executions of the
-    # expression-eval paths before steady state — at small SF that
-    # warm-up cost would otherwise dominate every first measurement.
-    force(REGISTRY["flagship_evaluate"].fn(spark, sf_dir))
-    # warm at the smallest sibling SF of the CONFIGURED data root, not
-    # a hardcoded machine path — a custom $SPARK_GRAFT_SF_DIR layout
-    # still warms against its own lake
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.001")
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warm up each headline plan once at the TARGET SF: whole-stage
+    # codegen compiles per plan, the JVM's C2 JIT needs a few
+    # executions of the expression-eval paths, and parquet footer /
+    # AQE statistics are per-lake — a warm-up at a smaller sibling SF
+    # (the round-1/2 protocol) left the first measured sf0.1 run
+    # paying those one-off costs, so best-of-2 recorded warm-up tail
+    # rather than steady state for the heavier plans.
     for name in HEADLINE:
         try:
-            force(REGISTRY[name].fn(spark, warm_dir))
+            force(REGISTRY[name].fn(spark, sf_dir))
         except Exception as e:
-            # sf0.001 is too sparse for a few window queries — that is
-            # expected; a SYSTEMATIC failure must be visible, not
-            # swallowed, or it resurfaces only as a confusing timing
+            # a SYSTEMATIC failure must be visible, not swallowed, or
+            # it resurfaces only as a confusing timing
             print(f"warm-up skipped {name}: {type(e).__name__}: {e}", file=sys.stderr)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
