@@ -2931,14 +2931,23 @@ def q_graph_pagerank(spark, sf_dir):
     "flagship_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity) + 1e-9, 6) AS sum_qty,
-           round(sum(l_extendedprice) + 1e-9, 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 6)
-               AS sum_charge,
-           round(avg(l_quantity) + 1e-9, 6) AS avg_qty,
-           round(avg(l_extendedprice) + 1e-9, 6) AS avg_price,
-           round(avg(l_discount) + 1e-9, 6) AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) + 1e-9, 6)
+               AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) + 1e-9, 6)
+               AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 + 1e-9, 6) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+                 + 1e-9, 6) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                 / count(*) + 1e-9, 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2953,20 +2962,37 @@ def q_flagship_pricing_summary(spark, sf_dir):
     pure-throughput complement to the join-shaped Q3 flagship: at
     100 TB this query is bounded by scan bandwidth, which is exactly
     what columnar pruning + predicate pushdown + whole-stage codegen
-    maximize."""
+    maximize.
+
+    Numeric policy: the money aggregates SUM over DECIMAL, not
+    DOUBLE.  Double addition is not associative, so at large SF the
+    partial-aggregation tree's summation order makes the result
+    partitioning-dependent (and diverge from any other engine's) —
+    the strict sf0.1 sweep caught exactly that.  The money columns
+    are exact 2-decimal values, so the DECIMAL cast is lossless, the
+    sum is exact integer arithmetic at any scale and any partition
+    count, and the final CAST-to-double is one deterministic
+    rounding.  Averages divide the exact decimal sum by the count in
+    double — again one deterministic rounding per group."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_d = F.col("l_quantity").cast("decimal(12,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = F.col("l_discount").cast("decimal(3,2)")
+    tax_d = F.col("l_tax").cast("decimal(3,2)")
+    disc_price_d = price_d * (F.lit(1) - disc_d)
+    charge_d = disc_price_d * (F.lit(1) + tax_d)
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum("l_quantity")).alias("sum_qty"),
-            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r6(F.sum(disc_price)).alias("sum_disc_price"),
-            r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
+            r6(F.sum(qty_d).cast("double")).alias("sum_qty"),
+            r6(F.sum(price_d).cast("double")).alias("sum_base_price"),
+            r6(F.sum(disc_price_d).cast("double")).alias("sum_disc_price"),
+            r6(F.sum(charge_d).cast("double")).alias("sum_charge"),
+            r6(F.sum(qty_d).cast("double") / n).alias("avg_qty"),
+            r6(F.sum(price_d).cast("double") / n).alias("avg_price"),
+            r6(F.sum(disc_d).cast("double") / n).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -3406,8 +3432,9 @@ def q_graph_triangles(spark, sf_dir):
     SELECT l.l_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 6)
-               AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 + 1e-9, 6) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -3426,7 +3453,11 @@ def q_flagship_star_join(spark, sf_dir):
     customer side, push both date predicates into the parquet scans,
     and plan the LIMIT as TakeOrderedAndProject (per-partition top-k
     before a single-reducer merge — never a full sort). The one
-    required shuffle is the (orderkey, ...) aggregation."""
+    required shuffle is the (orderkey, ...) aggregation.  Revenue
+    SUMs over DECIMAL (lossless 2-decimal money) so the top-10
+    ordering can never flip on a last-bit double difference between
+    engines or partitionings — same numeric policy as
+    flagship_pricing_summary."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
@@ -3443,9 +3474,12 @@ def q_flagship_star_join(spark, sf_dir):
             "o_orderpriority",
         )
         .agg(
-            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
+            r6(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+                ).cast("double")
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)

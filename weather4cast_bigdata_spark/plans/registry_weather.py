@@ -373,7 +373,8 @@ def q_multimodal_image_features(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           round(sum(o_totalprice) + 1e-9, 6) AS total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) + 1e-9, 6)
+               AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -382,11 +383,14 @@ def q_agg_rollup(spark, sf_dir):
     """Hierarchical subtotals via ROLLUP — zero-cost Spark extension
     over the reference's per-variable aggregates (SURVEY.md §2.4
     note); partial aggregation handles all grouping sets in one
-    shuffle."""
+    shuffle.  The money total SUMs over DECIMAL (lossless: 2-decimal
+    values) so the grand-total row — millions of addends at scale —
+    is exact and partitioning-independent, then one deterministic
+    cast back to double (same policy as flagship_pricing_summary)."""
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        r6(F.sum("o_totalprice")).alias("total"),
+        r6(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")).alias("total"),
     )
 
 
