@@ -68,6 +68,9 @@ HEADLINE = [
     "dim_scd2_build",
     "join_point_in_time",
     "pack_chunked",
+    # Exact prefix-filtered all-pairs Jaccard (AllPairs/PPJoin) —
+    # the lossless scale path next to the capped bucket enumerator.
+    "dedup_jaccard_prefix",
 ]
 
 

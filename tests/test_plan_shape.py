@@ -87,6 +87,11 @@ SHAPES = [
     ("text_inverted_index", 6, 0),
     # as-of rewrite: union + window, NO range join, NO nested loop
     ("join_point_in_time", 2, 0),
+    # exact prefix-filtered all-pairs join: df count/join, per-doc
+    # re-sort, prefix buckets, pair distinct, verify joins — every
+    # exchange linear in corpus size (or in the Zipf-bounded
+    # candidate set), NO cartesian/nested loop anywhere
+    ("dedup_jaccard_prefix", 6, 0),
 ]
 
 

@@ -319,6 +319,128 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (the
+    AllPairs / PPJoin family) — the lossless scale path where
+    ``ngram_jaccard_pairs_docs``'s ``max_df`` stop-list is a
+    recall-only approximation.
+
+    Principle: fix a global total order on the shingle universe —
+    here ascending document frequency, rarest first, ties by hash —
+    and sort every document's shingle set in that order.  For
+    Jaccard ≥ t a pair must overlap in ≥ ceil(t·|x|) elements of
+    either side, so by pigeonhole the first
+    ``p(x) = |x| − ceil(t·|x|) + 1`` elements of x (its *prefix*)
+    must contain at least one common element with y's prefix.  Only
+    prefix tokens are exploded into buckets; candidate pairs then
+    verify the true Jaccard on the full hash sets and filter ≥ t —
+    no recall loss, bit-identical to the brute-force join.
+
+    Why it scales where bucket enumeration doesn't: rare-first
+    ordering pushes boilerplate shingles ("all rights reserved",
+    df ~ 1e6) to the END of every document, so they enter a prefix
+    only for documents that consist of almost nothing else.  Bucket
+    population tracks *rare*-shingle df, which Zipf keeps small —
+    the d(d−1)/2 blowup of the unfiltered form never materialises,
+    and the additional length filter (min_sz ≥ t·max_sz, a Jaccard
+    necessary condition) prunes cross-length pairs inside surviving
+    buckets.
+
+    Cost: 4 shuffles (df count, df join, per-doc re-sort, prefix
+    buckets) + the candidate-verify hash joins — more exchanges than
+    the single-shuffle enumerator, but every exchange is linear in
+    corpus size while the enumerator's output is quadratic in bucket
+    population; at web scale the pair volume dominates everything.
+    The ceil() guards subtract 1e-9 before rounding so a float
+    representation error can only LENGTHEN a prefix or ADMIT an
+    extra candidate (verified away later), never drop a true pair.
+    """
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    base = (
+        ensure_min_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.array_distinct(F.transform(sh, md5_hash32)).alias("_hs"),
+        )
+        .where(F.size("_hs") > 0)
+        .persist()
+    )
+    sing = base.select(
+        F.col(id_col), F.size("_hs").alias("sz"), F.explode("_hs").alias("h32")
+    )
+    dfreq = sing.groupBy("h32").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sing.join(dfreq, "h32")
+        .groupBy(id_col, "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h32"))).alias("_ord"))
+    )
+    plen = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    pref = ordered.select(
+        F.col(id_col),
+        F.col("sz"),
+        F.explode(
+            F.transform(F.slice("_ord", F.lit(1), plen), lambda s: s["h32"])
+        ).alias("h32"),
+    )
+    buckets = (
+        pref.groupBy("h32")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("sz")))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.transform(
+                            F.slice("ms", i + F.lit(2), F.size("ms")),
+                            lambda y: F.struct(
+                                x[id_col].alias("id_a"),
+                                x["sz"].alias("sz_a"),
+                                y[id_col].alias("id_b"),
+                                y["sz"].alias("sz_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_hs_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hs_b"))
+    inter = F.size(F.array_intersect("_hs_a", "_hs_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("_hs_a") + F.size("_hs_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

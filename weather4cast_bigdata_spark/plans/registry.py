@@ -1690,6 +1690,43 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @qdef(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    hashed AS (
+        SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (x.sz + y.sz - inter) + 1e-9, 6) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = id_a
+    JOIN sz y ON y.doc_id = id_b
+    WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    """,
+)
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT all-pairs Jaccard ≥ 0.5 via prefix filtering
+    (AllPairs/PPJoin): global rare-first shingle order, only each
+    doc's ``sz − ceil(t·sz) + 1`` rarest shingles enter candidate
+    buckets, candidates verify the true Jaccard on the full hash
+    sets.  Lossless — the oracle is the UNCAPPED brute-force pair
+    join, so this proves the filter drops no qualifying pair — and
+    scale-safe where the capped enumerator is recall-only: bucket
+    population tracks rare-shingle df, which Zipf keeps bounded.
+    See operators/dedup.py:prefix_filtered_jaccard_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.prefix_filtered_jaccard_pairs(docs, threshold=0.5)
+    return pairs.select("id_a", "id_b", r6(F.col("jaccard")).alias("jaccard"))
+
+
+@qdef(
     "dedup_connected_components",
     oracle=f"""
     {_SHINGLES_SQL.replace("WITH ", "WITH RECURSIVE ", 1)},
