@@ -106,6 +106,14 @@ _ROUND3_PRIORITY = [
     "sample_random_crop",
     "scan_orc_roundtrip",
     "project_pivot_wide",
+    # round-3 additions (oracle-bearing, strict-local-green)
+    "dedup_jaccard_prefix",
+    "text_decontaminate_bloom",
+    "text_heavy_hitters_cms",
+    "sample_weighted_priority",
+    "embed_pq_codes",
+    "sim_pq_adc_topk",
+    "sink_lsh_index",
     # hash-verified siblings of the rows-only families (added r3;
     # oracle-bearing, strict-local-green — driver window in r4)
     "shuffle_seeded_verified",

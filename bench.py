@@ -71,6 +71,10 @@ HEADLINE = [
     # Exact prefix-filtered all-pairs Jaccard (AllPairs/PPJoin) —
     # the lossless scale path next to the capped bucket enumerator.
     "dedup_jaccard_prefix",
+    # Bounded-broadcast bloom decontamination + PQ encode (the two
+    # round-3 scale-path additions with nontrivial plans).
+    "text_decontaminate_bloom",
+    "embed_pq_codes",
 ]
 
 

@@ -93,3 +93,41 @@ def test_cli_decontaminate_requires_eval_dir(spark):
 
     with _pytest.raises(SystemExit):
         main(["decontaminate", "--docs-dir", "/root/testdata/sf0.001/documents.parquet"])
+
+
+def test_cli_decontaminate_bloom(spark, capsys):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert main(
+        ["decontaminate", "--docs-dir", docs, "--eval-dir", docs,
+         "--min-overlap", "1", "--bloom"]
+    ) == 0
+    # eval set == training set → every shingled doc self-collides
+    # (bloom has false positives only, so the count can't be lower)
+    assert "contaminated:" in capsys.readouterr().out
+
+
+def test_cli_sql_mode(spark, tmp_path, capsys):
+    lake = "/root/testdata/sf0.001"
+    assert main(
+        ["sql", "--lake-dir", lake,
+         "--query", "SELECT count(*) AS n FROM documents"]
+    ) == 0
+    assert "500" in capsys.readouterr().out
+
+    out = str(tmp_path / "sqlout")
+    assert main(
+        ["sql", "--lake-dir", lake, "--output-dir", out,
+         "--query",
+         "SELECT o_orderpriority, count(*) AS n FROM orders "
+         "GROUP BY 1 ORDER BY 1"]
+    ) == 0
+    txt = capsys.readouterr().out
+    assert "registered views:" in txt and "lineitem" in txt
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_cli_sql_requires_lake_and_query(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["sql", "--lake-dir", "/root/testdata/sf0.001"])

@@ -80,6 +80,49 @@ def test_decontaminate_threshold_and_clean_docs(spark):
     assert out[4] == (0, False)  # short doc still reported, not dropped
 
 
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """Bloom membership has false positives only: every doc the exact
+    operator flags must also be flagged by the bloom variant, and the
+    bloom overlap count can never undercount."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("source") != "src0")
+    ev = docs.where(F.col("source") == "src0")
+    exact = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in curate_ext.decontaminate(train, ev, min_overlap=2).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_overlap_bloom"], r["contaminated"])
+        for r in curate_ext.decontaminate_bloom(train, ev, min_overlap=2).collect()
+    }
+    assert set(exact) == set(bloom)
+    for doc_id, (n_exact, flag_exact) in exact.items():
+        n_bloom, flag_bloom = bloom[doc_id]
+        assert n_bloom >= n_exact, doc_id
+        if flag_exact:
+            assert flag_bloom, doc_id
+
+
+def test_decontaminate_bloom_tiny_filter_saturates(spark):
+    """With m_bits=1 every position collides: all shingled docs hit
+    every eval shingle — the degenerate bound that proves the flag is
+    monotone in filter size."""
+    ev = spark.createDataFrame(
+        [(100, "p q r s")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "xy")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in curate_ext.decontaminate_bloom(
+            train, ev, min_overlap=2, m_bits=1
+        ).collect()
+    }
+    assert out[1] is True  # 3 shingles, all collide into bit 0
+    assert out[2] is False  # no shingles → can never be flagged
+
+
 # --- PII redaction ----------------------------------------------------------
 
 
@@ -341,3 +384,96 @@ def test_model_quality_scores_separation_and_determinism(spark):
     short_p = max(out[100 + i]["quality_prob"] for i in range(10))
     assert long_p > short_p
     assert out[0]["keep"] and not out[100]["keep"]
+
+
+# --- priority sampling / count-min sketch -----------------------------------
+
+
+def test_priority_sample_exhaustive_when_k_exceeds_population(spark):
+    """With k ≥ n every row is kept, τ = 0, and est_weight == weight
+    (the exhaustive-census degenerate case of the estimator)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id long, text string"
+    )
+    rows = curate_ext.priority_sample(
+        docs, k=10, weight=F.size(F.split(F.trim("text"), r"\s+"))
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["est_weight"] == r["weight"]
+
+
+def test_priority_sample_ht_estimator_unbiased_shape(spark):
+    """Sampled est_weights must each be ≥ the row's own weight and the
+    selection must be exactly k rows with distinct ids."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from weather4cast_bigdata_spark.functions.text import tokens
+
+    out = curate_ext.priority_sample(
+        docs, k=25, weight=F.size(tokens(F.col("text")))
+    ).collect()
+    assert len(out) == 25
+    assert len({r["doc_id"] for r in out}) == 25
+    for r in out:
+        assert r["est_weight"] >= r["weight"] - 1e-9
+
+
+def test_count_min_never_underestimates(spark):
+    from weather4cast_bigdata_spark.operators import aggregates
+    from weather4cast_bigdata_spark.functions.text import tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("item"))
+    est = aggregates.count_min_estimates(toks, "item", width=64, depth=3)
+    tru = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_count"))
+    joined = tru.join(est, on="item").collect()
+    assert joined, "no tokens?"
+    # narrow width forces collisions: estimates only ever overcount
+    assert all(r["est"] >= r["true_count"] for r in joined)
+    assert any(r["est"] > r["true_count"] for r in joined)
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_codes_seed_vectors_encode_to_themselves(spark):
+    """A vector that IS a codebook seed must get its own code with
+    distance 0 in every subspace (no other centroid can beat 0, and
+    ties break to the lowest code — itself or an identical twin)."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 16)
+        .collect()
+    }
+    codes = similarity.pq_codes(emb).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * 8
+    assert all(0 <= r["code"] < 16 for r in codes)
+    for r in codes:
+        if r["vec_id"] in seeds:
+            assert r["dist"] <= 1e-6, (r["vec_id"], r["sub"], r["dist"])
+
+
+def test_pq_adc_ranks_code0_seed_first(spark):
+    """The query IS the code-0 seed: its own ADC distance is 0 (all 8
+    lookups hit its own codes), so it must rank first."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    top = similarity.pq_adc_topk(emb, k=5).collect()
+    assert len(top) == 5
+    assert abs(top[0]["adc_dist"]) <= 1e-6
+    assert top[0]["adc_dist"] <= top[-1]["adc_dist"]

@@ -92,6 +92,10 @@ SHAPES = [
     # exchange linear in corpus size (or in the Zipf-bounded
     # candidate set), NO cartesian/nested loop anywhere
     ("dedup_jaccard_prefix", 6, 0),
+    # PQ encode: posexplode + 8-row broadcast codebook + in-row
+    # argmin — the only exchanges build the tiny codebook side
+    ("embed_pq_codes", 4, 0),
+    ("sim_pq_adc_topk", 8, 0),
 ]
 
 

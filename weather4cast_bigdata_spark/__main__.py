@@ -10,6 +10,8 @@
         --docs-dir /lake/documents.parquet --eval-dir /lake/benchmark.parquet
     python -m weather4cast_bigdata_spark pack \
         --docs-dir /lake/documents.parquet --capacity 2048
+    python -m weather4cast_bigdata_spark sql \
+        --lake-dir /lake --query "SELECT count(*) FROM documents"
 
 The reference dispatches train/evaluate/submit over its NetCDF lake;
 here the same modes run the Spark plans over a frame lake — by
@@ -51,7 +53,7 @@ def main(argv=None) -> int:
         "mode",
         choices=[
             "submit", "evaluate", "evaluate_ensemble", "train",
-            "curate", "audit", "decontaminate", "pack",
+            "curate", "audit", "decontaminate", "pack", "sql",
         ],
     )
     p.add_argument("--frames-dir", default="", help="Parquet frame lake (long layout); default: bundled fixtures")
@@ -63,10 +65,16 @@ def main(argv=None) -> int:
     p.add_argument("--eval-dir", default="", help="decontaminate: held-out benchmark documents parquet")
     p.add_argument("--min-overlap", type=int, default=2, help="decontaminate: shared-shingle threshold")
     p.add_argument("--capacity", type=int, default=2048, help="pack: tokens per training sequence")
+    p.add_argument("--bloom", action="store_true", help="decontaminate: bloom-filter probe (bounded broadcast; false positives only)")
+    p.add_argument("--lake-dir", default="", help="sql: directory of parquet tables to register as views")
+    p.add_argument("--query", default="", help="sql: statement to run (or @file to read it from a file)")
+    p.add_argument("--limit", type=int, default=20, help="sql: max rows to print when no --output-dir")
     args = p.parse_args(argv)
 
     if args.mode in ("curate", "audit", "decontaminate", "pack") and not args.docs_dir:
         p.error(f"{args.mode} requires --docs-dir")
+    if args.mode == "sql" and (not args.lake_dir or not args.query):
+        p.error("sql requires --lake-dir and --query")
     if args.mode == "decontaminate" and not args.eval_dir:
         p.error("decontaminate requires --eval-dir")
     regions = (
@@ -77,6 +85,27 @@ def main(argv=None) -> int:
 
     spark = get_spark("w4c-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "sql":
+        # Generic ad-hoc surface: every parquet table in the lake dir
+        # becomes a temp view (nanos-timestamp defenses included), then
+        # the statement runs through Catalyst like any registry plan.
+        from weather4cast_bigdata_spark.sources.catalog import discover_views
+
+        views = discover_views(spark, args.lake_dir)
+        stmt = args.query
+        if stmt.startswith("@"):
+            with open(stmt[1:]) as fh:
+                stmt = fh.read()
+        out = spark.sql(stmt)
+        if args.output_dir:
+            out.write.mode("overwrite").parquet(args.output_dir)
+            n = spark.read.parquet(args.output_dir).count()
+            print(f"registered views: {', '.join(sorted(views))}")
+            print(f"wrote {n} rows to {args.output_dir}")
+        else:
+            out.show(args.limit, truncate=False)
+        return 0
 
     if args.mode == "curate":
         from weather4cast_bigdata_spark.plans.curation import curate
@@ -98,11 +127,15 @@ def main(argv=None) -> int:
         return 0
 
     if args.mode == "decontaminate":
-        from weather4cast_bigdata_spark.operators.curate_ext import decontaminate
+        from weather4cast_bigdata_spark.operators.curate_ext import (
+            decontaminate,
+            decontaminate_bloom,
+        )
 
         docs = spark.read.parquet(args.docs_dir)
         ev = spark.read.parquet(args.eval_dir)
-        flagged = decontaminate(docs, ev, min_overlap=args.min_overlap)
+        probe = decontaminate_bloom if args.bloom else decontaminate
+        flagged = probe(docs, ev, min_overlap=args.min_overlap)
         if args.output_dir:
             flagged.write.mode("overwrite").parquet(args.output_dir)
             flagged = spark.read.parquet(args.output_dir)

@@ -160,3 +160,54 @@ def winsorized_stats(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def count_min_estimates(
+    items: DataFrame,
+    item_col: str = "item",
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Count–Min sketch frequency estimates: per item occurrence,
+    ``depth`` independent hash rows (disjoint 32-bit slices of the
+    item's md5 digest) each pick a counter ``h_j % width``; an
+    item's estimate is the MIN of its ``depth`` counters.
+
+    Why this is the 100 TB shape: the sketch state is a fixed
+    ``depth × width`` counter table (3 × 1024 here) no matter how
+    large the corpus — the groupBy that builds it shuffles at most
+    ``depth·width`` rows after map-side combine, vs. a full
+    per-item groupBy whose key cardinality grows with the data.
+    Estimates are one-sided (estimate ≥ true count, overestimate
+    bounded by ε·N with ε = e/width at the usual depth ln(1/δ)) —
+    the right direction for heavy-hitter screening: no heavy item
+    is ever missed.
+
+    md5-slice hashing is engine-portable, so a SQL oracle rebuilds
+    the identical sketch, collisions included.
+
+    Returns (item, est) for every distinct item; join back to true
+    counts to expose the overestimate.
+    """
+    h = F.md5(F.col(item_col).cast("string"))
+    buckets = F.array(
+        *[
+            (
+                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("bigint")
+                % F.lit(width)
+            ).alias(f"b{j}")
+            for j in range(depth)
+        ]
+    )
+    exploded = items.select(
+        F.col(item_col), F.posexplode(buckets).alias("j", "bucket")
+    )
+    counters = exploded.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    probes = exploded.distinct()
+    return (
+        probes.join(F.broadcast(counters), on=["j", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("c").alias("est"))
+    )

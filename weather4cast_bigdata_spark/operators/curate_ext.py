@@ -69,6 +69,149 @@ def decontaminate(
     )
 
 
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight: "F.Column",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield–Lund–Thorup): per row, priority ``q = w / u`` with
+    ``u = (md5_32(id) + 0.5) / 2^32``; keep the top-``k`` priorities
+    and attach the Horvitz–Thompson estimator weight
+    ``max(w, τ)`` where τ is the (k+1)-th priority — subset-sum
+    estimates over the sample are unbiased for the population.
+
+    Determinism across engines: every arithmetic step is an IEEE-754
+    correctly-rounded operation (add, divide by a power of two,
+    divide) on identical inputs, so the priorities — and therefore
+    the selected set — are bit-identical in Spark and the DuckDB
+    oracle, with ties broken by id. No RNG state: stable under task
+    retries and cluster resizing, which ``rand()``-based weighted
+    sampling is not.
+
+    Scale: top-(k+1) by priority compiles to TakeOrderedAndProject —
+    per-partition partial top-k then a single k-row reduce at the
+    driver stage, NO global sort, NO full shuffle; the window rank
+    afterwards runs over k+1 rows. Linear scan of the corpus, O(k)
+    state.
+    """
+    u = (md5_hash32(F.col(id_col).cast("string")) + F.lit(0.5)) / F.lit(
+        float(1 << 32)
+    )
+    pri = docs.select(
+        F.col(id_col),
+        weight.cast("double").alias("w"),
+        (weight.cast("double") / u).alias("priority"),
+    )
+    top = pri.orderBy(F.desc("priority"), F.col(id_col)).limit(k + 1)
+    w_rank = Window.orderBy(F.desc("priority"), F.col(id_col))
+    ranked = top.select(
+        "*", F.row_number().over(w_rank).alias("_rk")
+    )
+    # 1-row always (τ = 0 when the population has ≤ k rows, making
+    # est_weight = w — the exhaustive-sample case).
+    tau = ranked.agg(
+        F.coalesce(
+            F.min(F.when(F.col("_rk") == k + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("_tau")
+    )
+    return (
+        ranked.where(F.col("_rk") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col(id_col),
+            F.col("w").alias("weight"),
+            F.round(F.col("priority"), 6).alias("priority"),
+            F.round(F.greatest("w", "_tau"), 6).alias("est_weight"),
+        )
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the scale path for
+    when even the *eval* shingle set is too large to broadcast raw.
+
+    ``decontaminate`` broadcasts the distinct eval shingle hashes;
+    fine for thousands of benchmark docs, but a consortium eval
+    suite (or decontaminating corpus A against corpus B) can carry
+    billions of shingles. This variant folds the eval side into a
+    Bloom filter of ``m_bits`` positions: per shingle, ``k``
+    independent 32-bit slices of its md5 digest, each mod ``m_bits``.
+    The broadcast side is then the distinct SET-BIT positions —
+    bounded by ``m_bits`` (≤ 2^18 rows ≈ 2 MB) **no matter how large
+    the eval corpus grows**. The training side probes with a
+    broadcast-hash join on the 8-byte position (no O(m) membership
+    scan per row, no shuffle of the 100 TB side); a shingle "hits"
+    iff all ``k`` of its positions are set (``count(distinct j) =
+    k``), and a doc is flagged at ≥ ``min_overlap`` hitting
+    shingles.
+
+    One-sided error: Bloom membership has false positives only, so
+    ``contaminated`` here is a superset of the exact operator's flag
+    — the safe direction for decontamination (never ships an eval
+    doc; over-drops at the documented FPR ≈ (1-e^{-kn/m})^k). The
+    md5-slice position derivation is engine-portable, so the DuckDB
+    oracle reproduces the filter bit-exactly, FPs included.
+
+    Returns (id, n_overlap_bloom, contaminated) for every training
+    doc.
+    """
+
+    def shingle_md5(docs: DataFrame) -> DataFrame:
+        sh = word_shingles(tokens(F.col(text_col)), n)
+        return ensure_min_parallelism(docs).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.transform(sh, F.md5))).alias("h"),
+        )
+
+    def bit_positions(df: DataFrame) -> DataFrame:
+        slices = F.array(
+            *[
+                F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("bigint")
+                % F.lit(m_bits)
+                for j in range(k)
+            ]
+        )
+        return df.select("*", F.posexplode(slices).alias("j", "pos"))
+
+    eval_bits = bit_positions(shingle_md5(eval_docs)).select("pos").distinct()
+    train_bits = bit_positions(shingle_md5(train))
+    hits = (
+        train_bits.join(F.broadcast(eval_bits), on="pos")
+        .groupBy(id_col, "h")
+        .agg(F.countDistinct("j").alias("_nj"))
+        .where(F.col("_nj") == F.lit(k))
+    )
+    overlap = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap_bloom")
+    )
+    return (
+        train.select(id_col)
+        .join(overlap, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap_bloom"), F.lit(0)).alias(
+                "n_overlap_bloom"
+            ),
+            (
+                F.coalesce(F.col("n_overlap_bloom"), F.lit(0))
+                >= F.lit(min_overlap)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     rates: dict[str, float],

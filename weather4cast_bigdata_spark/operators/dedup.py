@@ -206,25 +206,17 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 4,
     band_size: int = 2,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH banding: docs sharing any full band of the signature become
-    a candidate pair (id_a < id_b, deduplicated).
-
-    Band self-join is bucket-local: shuffle on (band_idx, band_hash)
-    then pairs form only inside buckets — linear in bucket sizes.
-    ``max_bucket`` drops over-populated buckets (boilerplate/template
-    documents all sharing one band): a b-doc bucket emits b(b−1)/2
-    pairs, so one pathological bucket otherwise dominates the stage —
-    the standard recall-for-boundedness trade at web scale
-    (SCALING.md §3); capped-out docs still pair through their other
-    bands.
-    """
+    """MinHash signatures → the banded LSH key table
+    ``(id, band_idx, band_key)`` — the unit that gets self-joined for
+    in-corpus dedup (``lsh_candidate_pairs``) or PERSISTED as an
+    incremental near-dup index (``sink_lsh_index``: new batches probe
+    stored bands instead of recomputing the corpus)."""
     if n_hashes % band_size != 0:
         raise ValueError(
             f"n_hashes={n_hashes} not divisible by band_size={band_size}: "
@@ -249,9 +241,35 @@ def lsh_candidate_pairs(
     )
     # One explode instead of an n_bands-way union: the union form
     # recomputes the signature subplan once per band.
-    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("_b")).select(
-        F.col(id_col), F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_key").alias("band_key")
+    return signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("_b")
+    ).select(
+        F.col(id_col),
+        F.col("_b.band_idx").alias("band_idx"),
+        F.col("_b.band_key").alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 4,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any full band of the signature become
+    a candidate pair (id_a < id_b, deduplicated).
+
+    Band self-join is bucket-local: shuffle on (band_idx, band_hash)
+    then pairs form only inside buckets — linear in bucket sizes.
+    ``max_bucket`` drops over-populated buckets (boilerplate/template
+    documents all sharing one band): a b-doc bucket emits b(b−1)/2
+    pairs, so one pathological bucket otherwise dominates the stage —
+    the standard recall-for-boundedness trade at web scale
+    (SCALING.md §3); capped-out docs still pair through their other
+    bands.
+    """
+    banded = banded_signatures(signatures, id_col, n_hashes, band_size)
     # One shuffle (groupBy bucket) + JVM-side ordered-pair enumeration
     # beats the band self-join (two shuffles + recomputed signatures).
     grouped = banded.groupBy("band_idx", "band_key").agg(

@@ -556,3 +556,175 @@ def quantize_embeddings_int8(
         F.array_join(codes.cast("array<string>"), ",").alias("codes"),
         F.round(err + F.lit(1e-9), 6).alias("mean_abs_err"),
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def _sq_l2_chain(a: Column, b: Column, d: int) -> Column:
+    """Σ_{i<d} (a[i]-b[i])² as an EXPLICIT left-associated addition
+    chain over double-cast elements. Fixed association order + IEEE
+    correctly-rounded ops (subtract, multiply, add) ⇒ bit-identical
+    doubles in Spark and the DuckDB oracle — which is what makes the
+    PQ argmin/top-k selections portable without tolerance games."""
+    total = None
+    for i in range(d):
+        x = F.element_at(a, i + 1).cast("double")
+        y = F.element_at(b, i + 1).cast("double")
+        term = (x - y) * (x - y)
+        total = term if total is None else total + term
+    return total
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Deterministic PQ codebook: ``n_codes`` seed vectors — the
+    corpus rows ranked first by ``md5(id)`` (a uniform, engine-
+    portable pseudo-random draw; sample-initialized codebooks are the
+    standard PQ baseline) — sliced into ``n_sub`` subvectors each.
+
+    Returns ``n_sub`` rows ``(sub, cands: array<struct<code, cent>>)``
+    ready to broadcast: the whole codebook is ``n_sub × n_codes``
+    subvectors (128 here, ~any n_codes ≤ 2^8 at 100 TB), so the
+    assignment join never shuffles the corpus side.
+    """
+    d_sub = dim // n_sub
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    seeds = (
+        embeddings.orderBy(h, F.col(id_col))
+        .limit(n_codes)
+        .select(
+            (F.row_number().over(w) - 1).alias("code"),
+            to_double_array(F.col(vec_col)).alias("v"),
+        )
+    )
+    slices = F.array(
+        *[F.slice("v", s * d_sub + 1, d_sub) for s in range(n_sub)]
+    )
+    per_sub = seeds.select("code", F.posexplode(slices).alias("sub", "cent"))
+    return per_sub.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cent"))).alias("cands")
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization encoding: each vector compresses to
+    ``n_sub`` one-byte codes — the nearest codebook centroid per
+    subspace (squared-L2, ties to the lowest code). 64 float32 dims
+    → 8 bytes: a 32× memory cut that lets a 100 TB embedding corpus
+    sit in RAM-resident ANN indexes.
+
+    Shape: corpus → ``posexplode`` into (vec, sub) rows (narrow, no
+    shuffle), broadcast-join the 8-row codebook, argmin over the 16
+    in-row candidates via ``array_min`` on (dist, code) structs —
+    all JVM higher-order functions, zero Python, zero exchanges
+    beyond the broadcast. Returns (id, sub, code, dist) with dist
+    rounded at 6 decimals (the argmin key, cross-engine stable).
+    """
+    d_sub = dim // n_sub
+    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    slices = F.array(
+        *[F.slice("v", s * d_sub + 1, d_sub) for s in range(n_sub)]
+    )
+    vs = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+    ).select(F.col(id_col), F.posexplode(slices).alias("sub", "sv"))
+    best = F.array_min(
+        F.transform(
+            "cands",
+            lambda c: F.struct(
+                F.round(
+                    _sq_l2_chain(F.col("sv"), c["cent"], d_sub)
+                    + F.lit(1e-9),
+                    6,
+                ).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    return (
+        vs.join(F.broadcast(cb), on="sub")
+        .select(F.col(id_col), "sub", best.alias("_b"))
+        .select(
+            F.col(id_col),
+            "sub",
+            F.col("_b.code").alias("code"),
+            F.col("_b.dist").alias("dist"),
+        )
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes: the query (the
+    code-0 seed vector) precomputes its distance to every codebook
+    centroid — an ``n_sub × n_codes`` lookup table (128 rows) — and a
+    corpus vector's distance estimate is the sum of 8 table lookups,
+    never a touch of the raw floats. This is the PQ search path: at
+    100 TB the scan reads 8-byte codes + a broadcast table instead of
+    256-byte vectors.
+
+    The per-vector sum pivots the 8 looked-up distances into fixed
+    columns and adds them in a fixed chain (not a groupBy-sum whose
+    float order is nondeterministic), keeping the top-k selection
+    engine-portable. Returns the ``k`` nearest (id, adc_dist).
+    """
+    d_sub = dim // n_sub
+    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    flat = cb.select("sub", F.explode("cands").alias("c")).select(
+        "sub", F.col("c.code").alias("code"), F.col("c.cent").alias("cent")
+    )
+    q = flat.where(F.col("code") == 0).select(
+        "sub", F.col("cent").alias("qcent")
+    )
+    lut = q.join(flat, on="sub").select(
+        "sub",
+        "code",
+        _sq_l2_chain(F.col("qcent"), F.col("cent"), d_sub).alias("qdist"),
+    )
+    pivoted = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("qdist"))).alias(
+                    f"_d{s}"
+                )
+                for s in range(n_sub)
+            ]
+        )
+    )
+    total = None
+    for s in range(n_sub):
+        c = F.col(f"_d{s}")
+        total = c if total is None else total + c
+    return (
+        pivoted.select(
+            F.col(id_col),
+            F.round(total + F.lit(1e-9), 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )

@@ -1591,6 +1591,78 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 @qdef(
+    "sink_lsh_index",
+    oracle=f"""
+    {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               min(({_H32_SQL.format(expr='shingle')} * 1103515245 + 12345) % 2147483647) AS mh_0,
+               min(({_H32_SQL.format(expr='shingle')} * 214013 + 2531011) % 2147483647) AS mh_1,
+               min(({_H32_SQL.format(expr='shingle')} * 69069 + 362437) % 2147483647) AS mh_2,
+               min(({_H32_SQL.format(expr='shingle')} * 1664525 + 1013904223) % 2147483647) AS mh_3
+        FROM shingled GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx,
+               CAST(mh_0 AS VARCHAR) || '_' || CAST(mh_1 AS VARCHAR) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               CAST(mh_2 AS VARCHAR) || '_' || CAST(mh_3 AS VARCHAR) FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+    WHERE l.doc_id < 50 AND r.doc_id >= 50
+    """,
+)
+def q_sink_lsh_index(spark, sf_dir):
+    """Persisted LSH near-dup INDEX lifecycle — the incremental-ingest
+    twin of sink_ivf_index: the existing corpus's banded MinHash keys
+    are WRITTEN partitioned by (band_idx, shard=hash(band_key)%16), a
+    'new batch' (doc_id < 50) probes the STORED index with an equi
+    join on (band_idx, shard, band_key), and candidates are the
+    probe×index band collisions. At 100 TB corpus growth this is the
+    difference between re-deduplicating the whole lake per batch and
+    touching only the shards the new keys hash into (partition
+    pruning asserted inline against the physical plan). The oracle is
+    the declarative form: band collisions between the two doc
+    populations — proving the persisted-index round-trip loses no
+    candidate pair."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures_docs(docs)
+    banded = dedup.banded_signatures(sig).withColumn(
+        "shard", F.pmod(F.xxhash64("band_key"), F.lit(16))
+    )
+    out = tempfile.mkdtemp(prefix="w4c_lsh_")
+    banded.where(F.col("doc_id") >= 50).write.mode("overwrite").partitionBy(
+        "band_idx", "shard"
+    ).parquet(out)
+    lake = spark.read.parquet(out)
+    # partition-pruning proof: a bounded shard probe must plan
+    # PartitionFilters, never a full-index scan
+    plan = (
+        lake.where((F.col("band_idx") == 0) & F.col("shard").isin(0, 1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "shard" in plan, (
+        "index probe did not push band/shard filters to partition pruning"
+    )
+    probe = banded.where(F.col("doc_id") < 50)
+    return (
+        probe.alias("p")
+        .join(lake.alias("i"), on=["band_idx", "shard", "band_key"])
+        .select(
+            F.col("p.doc_id").alias("id_a"), F.col("i.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+@qdef(
     "dedup_minhash_estimate",
     oracle=f"""
     {_SHINGLES_SQL},
@@ -2048,6 +2120,113 @@ def q_sim_hyperplane_lsh(spark, sf_dir):
     return similarity.near_dup_pairs_hyperplane(emb, _HP_SIGNS, threshold=0.2)
 
 
+def _pq_l2_terms_sql(a: str, b: str, d_sub: int = 8) -> str:
+    """Squared-L2 between 8-dim subvectors of two list columns at
+    subspace offset ``s.sub`` — an explicit left-associated addition
+    chain of double-cast terms, matching operators/similarity.py
+    ``_sq_l2_chain`` bit-for-bit (fixed association order + IEEE
+    correctly-rounded ops)."""
+    terms = []
+    for i in range(1, d_sub + 1):
+        x = f"CAST({a}[s.sub*{d_sub} + {i}] AS DOUBLE)"
+        y = f"CAST({b}[s.sub*{d_sub} + {i}] AS DOUBLE)"
+        terms.append(f"(({x}) - ({y})) * (({x}) - ({y}))")
+    return " + ".join(terms)
+
+
+_PQ_SEEDS_SQL = """
+    ord AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS code
+        FROM embeddings
+    ),
+    seeds AS (SELECT code, embedding AS cb FROM ord WHERE code < 16),
+    subs AS (SELECT unnest(range(8)) AS sub)
+"""
+
+_PQ_CODES_SQL = f"""
+    {_PQ_SEEDS_SQL},
+    pairs AS (
+        SELECT e.vec_id, s.sub, c.code,
+               {_pq_l2_terms_sql("e.embedding", "c.cb")} AS dist
+        FROM embeddings e, subs s, seeds c
+    ),
+    best AS (
+        SELECT vec_id, sub, code, round(dist + 1e-9, 6) AS dist,
+               row_number() OVER (
+                   PARTITION BY vec_id, sub
+                   ORDER BY round(dist + 1e-9, 6), code
+               ) AS rk
+        FROM pairs
+    ),
+    codes AS (SELECT vec_id, sub, code, dist FROM best WHERE rk = 1)
+"""
+
+
+@qdef(
+    "embed_pq_codes",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL}
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code, dist
+    FROM codes
+    """,
+)
+def q_embed_pq_codes(spark, sf_dir):
+    """Product quantization: every 64-dim float vector compresses to
+    8 one-byte codes (nearest of 16 sample-seeded centroids per
+    8-dim subspace, squared-L2, ties to the lowest code) — a 32×
+    memory cut that puts a 100 TB embedding corpus into RAM-resident
+    ANN indexes. Narrow posexplode + 8-row broadcast codebook +
+    in-row array_min argmin: zero corpus shuffles, zero Python. The
+    oracle recomputes the identical codebook and assignment (fixed
+    fp association order). See operators/similarity.py:pq_codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.pq_codes(emb)
+    return out.select(
+        "vec_id",
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+        "dist",
+    )
+
+
+@qdef(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    q AS (SELECT cb FROM seeds WHERE code = 0),
+    lut AS (
+        SELECT s.sub, c.code,
+               {_pq_l2_terms_sql("q.cb", "c.cb")} AS qdist
+        FROM q, subs s, seeds c
+    ),
+    per AS (
+        SELECT b.vec_id,
+               {", ".join(f"max(CASE WHEN b.sub = {s} THEN l.qdist END) AS d{s}" for s in range(8))}
+        FROM codes b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+        GROUP BY 1
+    )
+    SELECT vec_id,
+           round({" + ".join(f"d{s}" for s in range(8))} + 1e-9, 6) AS adc_dist
+    FROM per
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance PQ search: the query precomputes an 8×16
+    centroid-distance lookup table (128 rows, broadcast) and each
+    corpus vector's distance estimate is 8 table lookups summed in a
+    FIXED pivot chain (not a float-order-nondeterministic groupBy
+    sum) — at scale the scan touches 8-byte codes, never the raw
+    floats. Top-10 nearest to the code-0 seed vector, ties by id.
+    See operators/similarity.py:pq_adc_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, k=10)
+
+
 _H64_SQL = "CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 _QUALITY_SQL = r"""
@@ -2401,6 +2580,100 @@ def q_text_vocab_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("token"))
     return aggregates.top_frequent(toks, "token", k=100)
+
+
+@qdef(
+    "text_heavy_hitters_cms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+        FROM documents
+    ),
+    bits AS (
+        SELECT item, j,
+               CAST(('0x' || substring(md5(item), 1 + 8 * j, 8)) AS BIGINT) % 1024 AS bucket
+        FROM toks, (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    counters AS (SELECT j, bucket, count(*) AS c FROM bits GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT item, j, bucket FROM bits),
+    est AS (
+        SELECT item, min(c) AS cms_estimate
+        FROM probes JOIN counters USING (j, bucket) GROUP BY 1
+    ),
+    tru AS (SELECT item, count(*) AS true_count FROM toks GROUP BY 1)
+    SELECT item, true_count, cms_estimate
+    FROM tru JOIN est USING (item)
+    ORDER BY true_count DESC, item
+    LIMIT 25
+    """,
+)
+def q_text_heavy_hitters_cms(spark, sf_dir):
+    """Count–Min sketch heavy hitters: 3×1024 counter table from
+    md5-slice hashes, estimate = min of an item's 3 counters — always
+    ≥ the true count (one-sided, no heavy item missed). The sketch
+    state is FIXED SIZE regardless of corpus scale: after map-side
+    combine the counter groupBy shuffles ≤ 3·1024 rows where a full
+    token groupBy shuffles the vocabulary. Output joins the top-25
+    true frequencies against their estimates so the overestimate is
+    visible (and the oracle rebuilds the identical sketch, collisions
+    included). See operators/aggregates.py:count_min_estimates."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("item")
+    )
+    est = aggregates.count_min_estimates(toks, "item", width=1024, depth=3)
+    tru = toks.groupBy("item").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        tru.join(est.withColumnRenamed("est", "cms_estimate"), on="item")
+        .orderBy(F.desc("true_count"), "item")
+        .limit(25)
+    )
+
+
+@qdef(
+    "sample_weighted_priority",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS w
+        FROM documents
+    ),
+    pri AS (
+        SELECT doc_id, w,
+               w / ((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                    / 4294967296.0) AS priority
+        FROM w
+    ),
+    ranked AS (
+        SELECT doc_id, w, priority,
+               row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+        FROM pri
+    ),
+    tau AS (
+        SELECT coalesce(min(CASE WHEN rk = 101 THEN priority END), 0.0) AS t
+        FROM ranked
+    )
+    SELECT doc_id, w AS weight, round(priority, 6) AS priority,
+           round(greatest(w, t), 6) AS est_weight
+    FROM ranked, tau WHERE rk <= 100
+    """,
+)
+def q_sample_weighted_priority(spark, sf_dir):
+    """Weighted sampling without replacement (priority sampling,
+    Duffield–Lund–Thorup): token count as weight, priority = w/u with
+    u derived from md5(doc_id) — every arithmetic step IEEE
+    correctly-rounded, so Spark and DuckDB select the bit-identical
+    top-100 with no RNG state (stable under retries). est_weight =
+    max(w, τ) is the Horvitz–Thompson weight: subset sums over the
+    sample estimate population sums unbiasedly. Plans as
+    TakeOrderedAndProject — per-partition top-k, single k-row reduce,
+    NO global sort. See operators/curate_ext.py:priority_sample."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_ext.priority_sample(
+        docs, k=100, weight=F.size(text.tokens(F.col("text")))
+    )
 
 
 @qdef(
@@ -2780,6 +3053,57 @@ def q_text_decontaminate(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return curate_ext.decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        min_overlap=2,
+    )
+
+
+@qdef(
+    "text_decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
+    pos_ AS (
+        SELECT doc_id, source, w, unnest(range(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+        FROM pos_
+    ),
+    bits AS (
+        SELECT doc_id, source, h, j,
+               CAST(('0x' || substring(h, 1 + 8 * j, 8)) AS BIGINT) % 262144 AS pos
+        FROM sh, (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    ev AS (SELECT DISTINCT pos FROM bits WHERE source = 'src0'),
+    hits AS (
+        SELECT doc_id, h
+        FROM bits JOIN ev USING (pos) WHERE bits.source <> 'src0'
+        GROUP BY doc_id, h HAVING count(DISTINCT j) = 3
+    ),
+    ov AS (SELECT doc_id, count(*) AS n FROM hits GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap_bloom,
+           coalesce(ov.n, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def q_text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (m=2^18 bits, k=3 md5-slice
+    hashes): the eval side folds to its distinct set-bit positions —
+    broadcast bounded by m no matter how large the eval suite — and
+    training shingles probe via broadcast-hash join on the 8-byte
+    position; a doc is flagged at ≥2 shingles whose k positions are
+    all set. One-sided error (false positives only — the safe
+    direction). The oracle reproduces the filter bit-exactly, FPs
+    included. See operators/curate_ext.py:decontaminate_bloom."""
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_ext.decontaminate_bloom(
         docs.where(F.col("source") != "src0"),
         docs.where(F.col("source") == "src0"),
         min_overlap=2,

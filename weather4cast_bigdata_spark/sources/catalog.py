@@ -34,6 +34,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 @lru_cache(maxsize=256)
 def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as TIMESTAMP(NANOS) in the parquet footer."""
+    if os.path.isdir(path):
+        # Spark-written dataset directory: any part file carries the
+        # unified footer schema (Spark writes one schema per job).
+        parts = sorted(
+            p for p in os.listdir(path) if p.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name
@@ -80,4 +89,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    return dfs
+
+
+def discover_views(spark: SparkSession, lake_dir: str) -> dict[str, DataFrame]:
+    """Register every ``<name>.parquet`` under ``lake_dir`` as a temp
+    view — the ad-hoc variant of ``register_views`` for lakes that
+    don't carry the full star schema (used by the ``sql`` CLI mode).
+    Names must be SQL identifiers; anything else is skipped."""
+    dfs: dict[str, DataFrame] = {}
+    for entry in sorted(os.listdir(lake_dir)):
+        if not entry.endswith(".parquet"):
+            continue
+        name = entry[: -len(".parquet")]
+        if not name.isidentifier():
+            continue
+        dfs[name] = load_table(spark, lake_dir, name)
+        dfs[name].createOrReplaceTempView(name)
     return dfs
