@@ -114,6 +114,7 @@ _ROUND3_PRIORITY = [
     "embed_pq_codes",
     "sim_pq_adc_topk",
     "sink_lsh_index",
+    "sim_ivfpq_topk",
     # hash-verified siblings of the rows-only families (added r3;
     # oracle-bearing, strict-local-green — driver window in r4)
     "shuffle_seeded_verified",

@@ -477,3 +477,28 @@ def test_pq_adc_ranks_code0_seed_first(spark):
     assert len(top) == 5
     assert abs(top[0]["adc_dist"]) <= 1e-6
     assert top[0]["adc_dist"] <= top[-1]["adc_dist"]
+
+
+def test_ivfpq_full_probe_matches_adc_and_partial_is_monotone(spark):
+    """nprobe=None must equal exhaustive ADC exactly; a partial probe
+    can only REMOVE candidates, so its rank-i distance is ≥ the full
+    probe's rank-i distance and every returned (vec, dist) pair also
+    appears in the exhaustive per-vector ADC distances."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = similarity.ivfpq_adc_topk(emb, k=10, nprobe=None).collect()
+    adc = similarity.pq_adc_topk(emb, k=10).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in full] == [
+        (r["vec_id"], r["adc_dist"]) for r in adc
+    ]
+    partial = similarity.ivfpq_adc_topk(emb, k=10, nprobe=2).collect()
+    assert 0 < len(partial) <= 10
+    exhaustive = {
+        (r["vec_id"], r["adc_dist"])
+        for r in similarity.pq_adc_topk(emb, k=emb.count()).collect()
+    }
+    for i, r in enumerate(partial):
+        assert (r["vec_id"], r["adc_dist"]) in exhaustive
+        if i < len(full):
+            assert r["adc_dist"] >= full[i]["adc_dist"] - 1e-9

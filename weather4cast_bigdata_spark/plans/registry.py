@@ -2227,6 +2227,44 @@ def q_sim_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(emb, k=10)
 
 
+@qdef(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_CODES_SQL},
+    q AS (SELECT cb FROM seeds WHERE code = 0),
+    lut AS (
+        SELECT s.sub, c.code,
+               {_pq_l2_terms_sql("q.cb", "c.cb")} AS qdist
+        FROM q, subs s, seeds c
+    ),
+    per AS (
+        SELECT b.vec_id,
+               {", ".join(f"max(CASE WHEN b.sub = {s} THEN l.qdist END) AS d{s}" for s in range(8))}
+        FROM codes b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+        GROUP BY 1
+    )
+    SELECT vec_id,
+           round({" + ".join(f"d{s}" for s in range(8))} + 1e-9, 6) AS adc_dist
+    FROM per
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ, the production ANN composition: k-means coarse cells
+    restrict the scan (IVF) and distances within probed cells come
+    from 8-byte PQ codes via the broadcast ADC table — at 100 TB a
+    probe reads nprobe/n_cells of the index and each row is 32×
+    smaller than its vector. Run here at FULL probe, which makes the
+    result provably identical to exhaustive ADC — so this shares
+    sim_pq_adc_topk's oracle, hash-proving the cell layer is lossless
+    (the sink_ivf_index pattern); the partial-probe path is covered
+    by a monotonicity unit test. See
+    operators/similarity.py:ivfpq_adc_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_adc_topk(emb, k=10, nprobe=None)
+
+
 _H64_SQL = "CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 _QUALITY_SQL = r"""
