@@ -375,3 +375,64 @@ def enrich_with_static(
     hint keeps every batch shuffle-free — the stream side never
     exchanges."""
     return stream.join(F.broadcast(static), on=on, how="inner")
+
+
+def lsh_ingest(
+    spark: SparkSession,
+    src: str,
+    schema: StructType,
+    index_dir: str,
+    matches_dir: str,
+    ckpt_dir: str,
+) -> None:
+    """Incremental near-dup ingest as a stream: each arriving
+    micro-batch of documents (a) pairs within itself, (b) probes the
+    PERSISTED band index built from everything ingested before it,
+    then (c) appends its own banded MinHash keys to that index —
+    ``sink_lsh_index``'s lifecycle driven by Structured Streaming
+    ``foreachBatch`` instead of a manual job per corpus drop.
+
+    The emitted pair set is BATCH-INVARIANT: a colliding pair is
+    found within a batch or across the index probe, whichever ingest
+    order produced — so the drained result equals the one-shot batch
+    LSH join no matter how arrivals were chunked (that identity is
+    the oracle). At lake scale the per-batch cost is the batch's own
+    bands plus an equi-probe of matching index keys — never a re-scan
+    of the accumulated corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.operators import dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sig = dedup.minhash_signatures_docs(batch_df)
+        bands = dedup.banded_signatures(sig).persist()
+        matches = dedup.lsh_candidate_pairs(sig)
+        try:
+            idx = sess.read.parquet(index_dir)
+            cross = (
+                bands.alias("n")
+                .join(idx.alias("o"), on=["band_idx", "band_key"])
+                .select(
+                    F.least("n.doc_id", "o.doc_id").alias("id_a"),
+                    F.greatest("n.doc_id", "o.doc_id").alias("id_b"),
+                )
+                .where(F.col("id_a") != F.col("id_b"))
+            )
+            matches = matches.unionByName(cross)
+        except Exception:
+            pass  # first batch: no index yet
+        matches.distinct().write.mode("append").parquet(matches_dir)
+        bands.write.mode("append").parquet(index_dir)
+        bands.unpersist()
+
+    q = (
+        frame_stream(spark, src, schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
