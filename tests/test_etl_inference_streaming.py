@@ -440,3 +440,80 @@ def test_ewma_stream_late_frame_emits_once(spark, tmp_path):
     assert abs(got[t0 + 3 * m] - 3.5 / 1.75) < 1e-9
     # the late t2 scored at its true position over {0,1,2}
     assert abs(got[t0 + 2 * m] - (2 + 0.5 * 1 + 0.25 * 0) / 1.75) < 1e-9
+
+
+# --- incremental LSH ingest (lsh_ingest) ------------------------------------
+
+
+def _lsh_dirs(tmp_path, tag):
+    d = tmp_path / tag
+    return (
+        str(d / "index"),
+        str(d / "matches"),
+        str(d / "ckpt"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents with guaranteed near-dup structure: the sf corpus
+    plus exact copies under shifted ids, so the LSH pair set is
+    non-empty and known to include every (i, i+10000) pair."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    return docs.unionByName(dups)
+
+
+def _pairs(df):
+    return {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in df.select("id_a", "id_b").collect()
+    }
+
+
+def test_lsh_ingest_batch_invariant(spark, tmp_path, dup_docs):
+    """Drained incremental ingest == one-shot batch LSH join, however
+    arrivals were chunked (the documented batch-invariance oracle)."""
+    from weather4cast_bigdata_spark.operators import dedup
+
+    src = str(tmp_path / "src")
+    # >32 files => maxFilesPerTrigger=32 splits the corpus into
+    # multiple micro-batches, exercising the cross-batch index probe
+    dup_docs.repartition(96).write.parquet(src)
+    index_dir, matches_dir, ckpt = _lsh_dirs(tmp_path, "run1")
+    streaming.lsh_ingest(
+        spark, src, dup_docs.schema, index_dir, matches_dir, ckpt
+    )
+    got = _pairs(spark.read.parquet(matches_dir))
+    want = _pairs(
+        dedup.lsh_candidate_pairs(dedup.minhash_signatures_docs(dup_docs))
+    )
+    assert want, "oracle pair set is empty - fixture broken"
+    assert got == want
+
+
+def test_lsh_ingest_replay_idempotent(spark, tmp_path, dup_docs):
+    """A replayed batch (same batch_id, fresh checkpoint) must not
+    duplicate bands in the index or pairs in matches: re-running the
+    whole ingest against the same output dirs leaves the drained
+    result byte-identical (foreachBatch exactly-once pattern)."""
+    src = str(tmp_path / "src2")
+    dup_docs.repartition(64).write.parquet(src)
+    index_dir, matches_dir, ckpt1 = _lsh_dirs(tmp_path, "run2")
+    streaming.lsh_ingest(
+        spark, src, dup_docs.schema, index_dir, matches_dir, ckpt1
+    )
+    before_pairs = spark.read.parquet(matches_dir).count()
+    before_idx = spark.read.parquet(index_dir).count()
+    # fresh checkpoint, same sinks -> every batch replays with the
+    # same batch_id sequence; the _SUCCESS guard must skip them all
+    ckpt2 = str(tmp_path / "run2" / "ckpt_replay")
+    streaming.lsh_ingest(
+        spark, src, dup_docs.schema, index_dir, matches_dir, ckpt2
+    )
+    assert spark.read.parquet(matches_dir).count() == before_pairs
+    assert spark.read.parquet(index_dir).count() == before_idx

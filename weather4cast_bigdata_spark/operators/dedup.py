@@ -337,6 +337,9 @@ def ngram_jaccard_pairs(
     )
 
 
+_PREFIX_BASE_CACHE: list = []
+
+
 def prefix_filtered_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -378,6 +381,13 @@ def prefix_filtered_jaccard_pairs(
     The ceil() guards subtract 1e-9 before rounding so a float
     representation error can only LENGTHEN a prefix or ADMIT an
     extra candidate (verified away later), never drop a true pair.
+
+    The shingle-hash base is persisted (it feeds the df count, the
+    prefix explode, AND both verify sides); because the result is
+    returned lazily the cache cannot be released inside this
+    function, so each new invocation evicts the previous call's
+    cached base — repeated calls hold at most one corpus-sized cache,
+    not an accumulating pile.
     """
     sh = word_shingles(tokens(F.col(text_col)), n)
     base = (
@@ -389,6 +399,12 @@ def prefix_filtered_jaccard_pairs(
         .where(F.size("_hs") > 0)
         .persist()
     )
+    while _PREFIX_BASE_CACHE:
+        try:
+            _PREFIX_BASE_CACHE.pop().unpersist()
+        except Exception:
+            pass  # stale handle from a stopped session
+    _PREFIX_BASE_CACHE.append(base)
     sing = base.select(
         F.col(id_col), F.size("_hs").alias("sz"), F.explode("_hs").alias("h32")
     )

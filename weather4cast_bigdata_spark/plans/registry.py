@@ -84,6 +84,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_SCRATCH_ROOT: list[str] = []
+
+
+def scratch_dir(name: str) -> str:
+    """Per-invocation scratch dir under one process-scoped root that
+    is removed at interpreter exit — sink queries get isolated output
+    paths (a shared path would invalidate the file listing of
+    DataFrames returned by earlier calls) without leaking a /tmp
+    directory per invocation across the session."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="w4c_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=f"{name}_", dir=_SCRATCH_ROOT[0])
+    return d
+
+
 # DuckDB 15-min slot expression (naive timestamp, matches Spark's
 # unix_timestamp floor with session tz = UTC).
 SLOT_SQL = "make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000)"
@@ -1623,43 +1644,46 @@ def q_sink_lsh_index(spark, sf_dir):
     join on (band_idx, shard, band_key), and candidates are the
     probe×index band collisions. At 100 TB corpus growth this is the
     difference between re-deduplicating the whole lake per batch and
-    touching only the shards the new keys hash into (partition
-    pruning asserted inline against the physical plan). The oracle is
-    the declarative form: band collisions between the two doc
-    populations — proving the persisted-index round-trip loses no
+    touching only the shards the new keys hash into: the probe's
+    shard list (≤16 values by construction — the shard space is
+    fixed) is collected and applied as a STATIC partition filter on
+    the stored index, and the plan of the pruned scan feeding the
+    actual returned join is asserted to carry PartitionFilters. The
+    oracle is the declarative form: band collisions between the two
+    doc populations — proving the persisted-index round-trip loses no
     candidate pair."""
-    import tempfile
-
     docs = _t(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures_docs(docs)
     banded = dedup.banded_signatures(sig).withColumn(
         "shard", F.pmod(F.xxhash64("band_key"), F.lit(16))
     )
-    out = tempfile.mkdtemp(prefix="w4c_lsh_")
+    out = scratch_dir("w4c_lsh")
     banded.where(F.col("doc_id") >= 50).write.mode("overwrite").partitionBy(
         "band_idx", "shard"
     ).parquet(out)
     lake = spark.read.parquet(out)
-    # partition-pruning proof: a bounded shard probe must plan
-    # PartitionFilters, never a full-index scan
-    plan = (
-        lake.where((F.col("band_idx") == 0) & F.col("shard").isin(0, 1))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "PartitionFilters" in plan and "shard" in plan, (
-        "index probe did not push band/shard filters to partition pruning"
-    )
     probe = banded.where(F.col("doc_id") < 50)
-    return (
+    # The shard domain is hash(band_key) % 16 — collecting the probe's
+    # distinct shard list is bounded by 16 rows at ANY corpus size.
+    probe_shards = sorted(
+        r[0] for r in probe.select("shard").distinct().collect()
+    )
+    pruned = lake.where(F.col("shard").isin(probe_shards))
+    result = (
         probe.alias("p")
-        .join(lake.alias("i"), on=["band_idx", "shard", "band_key"])
+        .join(pruned.alias("i"), on=["band_idx", "shard", "band_key"])
         .select(
             F.col("p.doc_id").alias("id_a"), F.col("i.doc_id").alias("id_b")
         )
         .distinct()
     )
+    # partition-pruning proof on the plan actually returned: the
+    # stored-index scan must carry the shard PartitionFilters
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan, (
+        "index probe did not push shard filters to partition pruning"
+    )
+    return result
 
 
 @qdef(
@@ -2366,12 +2390,11 @@ def q_scan_jsonl_roundtrip(spark, sf_dir):
     bit-exactly (hash-matched against the original). Proves the
     training-data ingest path (explicit schema — no inferSchema extra
     pass; corrupt lines quarantined, not fatal)."""
-    import tempfile
 
     from weather4cast_bigdata_spark.sources import jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="w4c_jsonl_")
+    out = scratch_dir("w4c_jsonl")
     jsonl.write_jsonl(docs, out)
     schema = docs.schema
     return jsonl.read_jsonl(spark, out, schema).select(
@@ -2392,10 +2415,9 @@ def q_scan_orc_roundtrip(spark, sf_dir):
     interchange); the read path gets the same predicate-pushdown /
     column-pruning treatment as parquet, so supporting it is a
     format flag, not an architecture change."""
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="w4c_orc_")
+    out = scratch_dir("w4c_orc")
     docs.write.mode("overwrite").option("compression", "zstd").orc(out)
     return spark.read.orc(out).select("doc_id", "text", "lang", "source", "n_chars")
 
@@ -2438,12 +2460,11 @@ def q_scan_csv_roundtrip(spark, sf_dir):
     """CSV interchange round-trip with the same discipline as JSONL
     (explicit schema, header, PERMISSIVE quarantine): write → read
     must reproduce the documents table bit-exactly."""
-    import tempfile
 
     from weather4cast_bigdata_spark.sources import jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="w4c_csv_")
+    out = scratch_dir("w4c_csv")
     jsonl.write_csv(docs, out)
     return jsonl.read_csv(spark, out, docs.schema).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -2815,12 +2836,11 @@ def q_sink_compacted(spark, sf_dir):
     content-identical to the source by reading it back against the
     oracle. File-count bounds are asserted inline: the range
     partitioning fixes the floor, the record cap bounds rotation."""
-    import tempfile
 
     from weather4cast_bigdata_spark.sources import compact
 
     li = _t(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="w4c_compact_")
+    out = scratch_dir("w4c_compact")
     compact.write_compacted(
         li, out, cluster_by=["l_orderkey"], n_files=8, max_records_per_file=50_000
     )
@@ -4415,14 +4435,13 @@ def q_sink_zorder(spark, sf_dir):
     files (asserted in tests/test_scale_infra.py) — then prove the
     rewritten lake content-identical by reading it back against the
     oracle."""
-    import tempfile
 
     from weather4cast_bigdata_spark.sources import compact
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    out = tempfile.mkdtemp(prefix="w4c_zorder_")
+    out = scratch_dir("w4c_zorder")
     compact.write_zordered(li, out, "l_partkey", "l_suppkey", n_files=8)
     return spark.read.parquet(out)
 

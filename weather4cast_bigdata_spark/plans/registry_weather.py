@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from weather4cast_bigdata_spark.functions import strings
 from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
 from weather4cast_bigdata_spark.plans import weather
-from weather4cast_bigdata_spark.plans.registry import SLOT_SQL, _COSINE_SQL, _t, qdef, r6
+from weather4cast_bigdata_spark.plans.registry import SLOT_SQL, _COSINE_SQL, _t, qdef, r6, scratch_dir
 from weather4cast_bigdata_spark.sources import netcdf, weather_fixtures
 
 # =====================================================================
@@ -112,7 +112,7 @@ def q_sink_quantized_partitioned(spark, sf_dir):
     q = weather.quantize_for_submission(dec, fx["variable_meta"])
     # Fresh dir per call: overwriting a shared path would invalidate
     # the file listing of DataFrames returned by earlier calls.
-    out = tempfile.mkdtemp(prefix="w4c_submission_sink_")
+    out = scratch_dir("w4c_submission_sink")
     weather.write_submission(q.select("region", "day", "variable", "ts", "y", "x", "qv"), out)
     return spark.read.parquet(out)
 
@@ -827,11 +827,9 @@ def q_sink_ivf_index(spark, sf_dir):
     probe is asserted inline to plan with parquet PartitionFilters
     (cell directories outside the probe list are never scanned —
     at 100 TB a probe touches nprobe/k of the index bytes)."""
-    import tempfile
-
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
-    out = tempfile.mkdtemp(prefix="w4c_ivf_")
+    out = scratch_dir("w4c_ivf")
     similarity.assign_ivf_buckets(emb, cents, nprobe=1).write.mode(
         "overwrite"
     ).partitionBy("ivf_bucket").parquet(out)
@@ -977,7 +975,7 @@ def q_join_bucketed_colocated(spark, sf_dir):
     from weather4cast_bigdata_spark.sources import bucketed
 
     tag = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="w4c_bucketed_")
+    base = scratch_dir("w4c_bucketed")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     bucketed.write_bucketed(li, f"li_bkt_{tag}", ["l_orderkey"], 8,
@@ -1264,7 +1262,7 @@ def q_streaming_checkpoint_resume(spark, sf_dir):
     mid = full.agg(
         F.expr("percentile(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE), 0.5)")
     ).collect()[0][0]
-    root = tempfile.mkdtemp(prefix="w4c_ckpt_resume_")
+    root = scratch_dir("w4c_ckpt_resume")
     src = os.path.join(root, "src")
     sink = os.path.join(root, "sink")
     ckpt = os.path.join(root, "ckpt")

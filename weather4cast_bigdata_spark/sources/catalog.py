@@ -31,24 +31,46 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _first_part_file(path: str) -> str | None:
+    """First part file of a parquet dataset dir, recursing into
+    partitionBy subdirectories (e.g. ``band_idx=0/shard=3/…``) — a
+    top-level-only scan would return nothing for hive-layout lakes
+    and silently skip the TIMESTAMP(NANOS) defense."""
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return None
+
+
 @lru_cache(maxsize=256)
-def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as TIMESTAMP(NANOS) in the parquet footer."""
+def _ns_cols_cached(path: str, mtime_ns: int) -> tuple[str, ...]:
     if os.path.isdir(path):
         # Spark-written dataset directory: any part file carries the
         # unified footer schema (Spark writes one schema per job).
-        parts = sorted(
-            p for p in os.listdir(path) if p.endswith(".parquet")
-        )
-        if not parts:
+        part = _first_part_file(path)
+        if part is None:
             return ()
-        path = os.path.join(path, parts[0])
+        path = part
     schema = pq.read_schema(path)
     return tuple(
         f.name
         for f in schema
         if str(f.type).startswith("timestamp[ns")
     )
+
+
+def _ns_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
+    Cache is keyed on the path's mtime so an in-process rewrite of a
+    dataset directory with a new schema is picked up, not served
+    stale."""
+    try:
+        mtime_ns = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime_ns = -1
+    return _ns_cols_cached(path, mtime_ns)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

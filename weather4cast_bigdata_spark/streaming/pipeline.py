@@ -399,18 +399,54 @@ def lsh_ingest(
     the oracle). At lake scale the per-batch cost is the batch's own
     bands plus an equi-probe of matching index keys — never a re-scan
     of the accumulated corpus.
+
+    Exactly-once under at-least-once replay: each batch writes to
+    ``batch_id=N`` hive subdirs with overwrite — a replayed batch
+    (Structured Streaming re-runs foreachBatch after a failure)
+    either skips (both outputs already committed) or rewrites its own
+    subpaths, never duplicating bands or pairs. The index read checks
+    path existence explicitly instead of swallowing exceptions, so a
+    corrupt or half-written index FAILS the batch (and the retry
+    re-resolves it) rather than silently dropping cross-batch pairs.
     """
+    import os
+
     from pyspark.sql import functions as F
 
     from weather4cast_bigdata_spark.operators import dedup
 
+    def _hadoop_exists(sess: SparkSession, path: str) -> bool:
+        jvm = sess._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(sess._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        out_matches = os.path.join(matches_dir, f"batch_id={batch_id}")
+        out_index = os.path.join(index_dir, f"batch_id={batch_id}")
+        done_m = os.path.join(out_matches, "_SUCCESS")
+        done_i = os.path.join(out_index, "_SUCCESS")
+        if _hadoop_exists(sess, done_m) and _hadoop_exists(sess, done_i):
+            return  # replayed batch: both outputs already committed
         sig = dedup.minhash_signatures_docs(batch_df)
         bands = dedup.banded_signatures(sig).persist()
         matches = dedup.lsh_candidate_pairs(sig)
-        try:
-            idx = sess.read.parquet(index_dir)
+        # Prior-batch index shards are batch_id=K siblings of this
+        # batch's own (possibly half-written, pre-_SUCCESS) subdir —
+        # exclude self so a replay never probes its own partial bands.
+        jvm = sess._jvm
+        glob = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(index_dir, "batch_id=*")
+        )
+        fs = glob.getFileSystem(sess._jsc.hadoopConfiguration())
+        prior = [
+            st.getPath().toString()
+            for st in fs.globStatus(glob) or []
+            if st.getPath().getName() != f"batch_id={batch_id}"
+        ]
+        if prior:
+            idx = sess.read.parquet(*prior)
             cross = (
                 bands.alias("n")
                 .join(idx.alias("o"), on=["band_idx", "band_key"])
@@ -421,10 +457,8 @@ def lsh_ingest(
                 .where(F.col("id_a") != F.col("id_b"))
             )
             matches = matches.unionByName(cross)
-        except Exception:
-            pass  # first batch: no index yet
-        matches.distinct().write.mode("append").parquet(matches_dir)
-        bands.write.mode("append").parquet(index_dir)
+        matches.distinct().write.mode("overwrite").parquet(out_matches)
+        bands.write.mode("overwrite").parquet(out_index)
         bands.unpersist()
 
     q = (
