@@ -64,10 +64,22 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def _fake_pixels(content: bytes, h: int, w: int) -> np.ndarray:
-    """Deterministic stand-in decode: uint8 HxW luma seeded by content
-    hash — the no-codec fallback for :func:`_image_pixels`."""
-    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "little")
-    return np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    """Deterministic stand-in decode, SQL-RESTATABLE: pixel (y, x) is
+    ``md5(md5hex(content)|y|x) % 256`` — a DuckDB oracle recomputes
+    every pixel from the same text bytes, which is what lets the
+    codec-gated image query carry a driver hash row. The no-codec
+    fallback for :func:`_image_pixels`."""
+    key = hashlib.md5(content).hexdigest()
+    flat = np.fromiter(
+        (
+            int(hashlib.md5(f"{key}|{y}|{x}".encode()).hexdigest()[:8], 16) % 256
+            for y in range(h)
+            for x in range(w)
+        ),
+        dtype=np.int64,
+        count=h * w,
+    )
+    return flat.astype(np.uint8).reshape(h, w)
 
 
 def _image_pixels(content: bytes, h: int, w: int) -> np.ndarray | None:
@@ -160,11 +172,20 @@ except ImportError:
 
 
 def _fake_waveform(content: bytes, n_samples: int) -> np.ndarray:
-    """Deterministic stand-in decode: float32 waveform in [-1, 1]
-    seeded by content hash — the no-codec fallback for
+    """Deterministic stand-in decode, SQL-RESTATABLE: sample i is
+    byte (i % 16) of ``md5(md5hex(content)|i//16)``, mapped to the
+    integers −3..3 (``% 7 − 3``) — one md5 per 16 samples, and a
+    DuckDB oracle recomputes every sample, so the codec-gated audio
+    features carry a driver hash row. The no-codec fallback for
     :func:`_audio_waveform`."""
-    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "little")
-    return np.random.default_rng(seed).uniform(-1, 1, size=n_samples).astype(np.float32)
+    key = hashlib.md5(content).hexdigest()
+    out = np.empty(n_samples, dtype=np.int64)
+    for b in range((n_samples + 15) // 16):
+        block = hashlib.md5(f"{key}|{b}".encode()).hexdigest()
+        lo = b * 16
+        for j in range(min(16, n_samples - lo)):
+            out[lo + j] = int(block[2 * j : 2 * j + 2], 16) % 7 - 3
+    return out.astype(np.float32)
 
 
 def _audio_waveform(content: bytes, n_fallback: int) -> np.ndarray | None:

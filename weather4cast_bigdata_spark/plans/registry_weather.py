@@ -37,7 +37,7 @@ def _fixture_lake() -> str:
     comp_dir/region/subset/dayofyear/product/file layout
     (datasets.py:256-269) plus per-region nav files (lat/lon "NetCDF"
     and REAL float32 elevation binary, datasets.py:129-162)."""
-    root = os.path.join(tempfile.gettempdir(), "w4c_fixture_lake_v1")
+    root = os.path.join(tempfile.gettempdir(), "w4c_fixture_lake_v2")
     marker = os.path.join(root, "_SUCCESS")
     if os.path.exists(marker):
         return root
@@ -55,9 +55,20 @@ def _fixture_lake() -> str:
         os.makedirs(nav, exist_ok=True)
         with open(os.path.join(nav, f"{region}_latlon.nc"), "wb") as f:
             f.write(hashlib.sha256(f"nav/{region}".encode()).digest() * 8)
-        seed = int.from_bytes(hashlib.md5(region.encode()).digest()[:4], "little")
-        elev = np.random.default_rng(seed).uniform(-200, 3000, h * w).astype(np.float32)
-        with open(os.path.join(nav, f"{region}_elevation.dat"), "wb") as f:
+        # SQL-restatable float32 payload: cell i of {region}_elevation.dat
+        # is md5(name|i) % 3200 - 200 — integer-valued (negative
+        # elevations kept for the clamp semantics), so the REAL
+        # np.frombuffer decode path can carry a DuckDB-hash oracle.
+        ename = f"{region}_elevation.dat"
+        elev = np.array(
+            [
+                int(hashlib.md5(f"{ename}|{i}".encode()).hexdigest()[:8], 16) % 3200
+                - 200
+                for i in range(h * w)
+            ],
+            dtype=np.float32,
+        )
+        with open(os.path.join(nav, ename), "wb") as f:
             f.write(elev.tobytes())
     with open(marker, "w") as f:
         f.write("ok")
@@ -75,29 +86,93 @@ def _decoded_fixture_frames(spark):
 # =====================================================================
 
 
-@qdef("scan_netcdf_decode")
+# Frame-lake decode restated in SQL: the fake decoder's per-cell
+# md5 arithmetic over the deterministic fixture layout (2 regions ×
+# 2 products × 4 times × 8×8 cells). Shared by scan_netcdf_decode
+# and cache_decoded (same output, the latter adds the persist).
+_FRAME_DECODE_ORACLE = """
+    WITH regions AS (SELECT unnest(['R1', 'R2']) AS region),
+    prods AS (SELECT * FROM (VALUES ('CTTH', 'temperature'),
+                                    ('CRR', 'crr_intensity')) p(product, variable)),
+    times AS (SELECT unnest(['060000', '061500', '063000', '064500']) AS hhmm),
+    cells AS (SELECT y, x FROM (SELECT unnest(range(0, 8)) AS y),
+                               (SELECT unnest(range(0, 8)) AS x)),
+    base AS (
+        SELECT region, product, variable,
+               'S_NWC_' || product || '_MSG4_' || region
+                 || '-VISIR_20190723T' || hhmm || 'Z.nc' AS fname,
+               strptime('20190723T' || hhmm, '%Y%m%dT%H%M%S') AS ts,
+               y, x
+        FROM regions, prods, times, cells
+    )
+    SELECT region, 'training' AS subset, product, variable, ts,
+           CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           CAST(('0x' || substring(md5(fname || '|' || variable
+                                        || '|' || y || '|' || x), 1, 8))::BIGINT
+                % 1000 AS REAL) AS value
+    FROM base
+"""
+
+
+@qdef("scan_netcdf_decode", oracle=_FRAME_DECODE_ORACLE)
 def q_scan_netcdf_decode(spark, sf_dir):
     """binaryFile scan of the frame lake + Arrow-batched NetCDF decode
     to the long layout (datasets.py:55-57,75-110). Import-gated real
-    decoder; deterministic fake in this container (sources/netcdf)."""
+    decoder; the container's deterministic fake decoder
+    (sources/netcdf) emits md5-derived integer float32s, so the WHOLE
+    path — binaryFile scan, path parse, Arrow batching, long-layout
+    explode — is driver-hash-checked against a SQL restatement of the
+    per-cell arithmetic."""
     return _decoded_fixture_frames(spark)
 
 
-@qdef("scan_static_netcdf")
+@qdef(
+    "scan_static_netcdf",
+    oracle="""
+    WITH regions AS (SELECT unnest(['R1', 'R2']) AS region),
+    cells AS (SELECT y, x FROM (SELECT unnest(range(0, 8)) AS y),
+                               (SELECT unnest(range(0, 8)) AS x))
+    SELECT region, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           CAST(23.0 + (('0x' || substring(md5(region || '_latlon.nc|latitude|'
+                                               || y || '|' || x), 1, 8))::BIGINT
+                        % 1000) / 32.0 AS REAL) AS latitude,
+           CAST(-76.0 + (('0x' || substring(md5(region || '_latlon.nc|longitude|'
+                                                || y || '|' || x), 1, 8))::BIGINT
+                         % 1000) / 8.0 AS REAL) AS longitude
+    FROM regions, cells
+    """,
+)
 def q_scan_static_netcdf(spark, sf_dir):
     """Navigation-NetCDF lat/lon grid decode (datasets.py:137-141) —
-    small dim table meant for cache + broadcast."""
+    small dim table meant for cache + broadcast. Fake-decoder values
+    are dyadic-exact (md5 cell value / 32 or / 8 plus an offset), so
+    the float32 lat/lon grid hash-matches the SQL restatement."""
     lake = _fixture_lake()
     return netcdf.scan_static_navigation(
         spark, f"{lake}/nav/*_latlon.nc", grid=_LAKE_GRID
     )
 
 
-@qdef("scan_static_raw")
+@qdef(
+    "scan_static_raw",
+    oracle="""
+    WITH regions AS (SELECT unnest(['R1', 'R2']) AS region),
+    cells AS (SELECT y, x FROM (SELECT unnest(range(0, 8)) AS y),
+                               (SELECT unnest(range(0, 8)) AS x))
+    SELECT region, CAST(y AS INT) AS y, CAST(x AS INT) AS x,
+           CAST(('0x' || substring(md5(region || '_elevation.dat|'
+                                       || (y * 8 + x)), 1, 8))::BIGINT
+                % 3200 - 200 AS REAL) AS elevation
+    FROM regions, cells
+    """,
+)
 def q_scan_static_raw(spark, sf_dir):
     """Raw float32 elevation binary decode (np.fromfile analog,
-    datasets.py:145-147). Decode is fully real: np.frombuffer over
-    binaryFile content."""
+    datasets.py:145-147). Decode is fully REAL — np.frombuffer over
+    binaryFile content — and the fixture payload is md5-derived
+    integers, so the byte-level decode round-trip carries a driver
+    hash row (the oracle recomputes each cell from the writer's
+    formula)."""
     lake = _fixture_lake()
     return netcdf.scan_static_raw(spark, f"{lake}/nav/*_elevation.dat", grid=_LAKE_GRID)
 
@@ -120,11 +195,13 @@ def q_sink_quantized_partitioned(spark, sf_dir):
 _CACHE_DECODED_PREV: list = []
 
 
-@qdef("cache_decoded")
+@qdef("cache_decoded", oracle=_FRAME_DECODE_ORACLE)
 def q_cache_decoded(spark, sf_dir):
     """Decode-once memoization (datasets.py:51-53,83-100) as
     persist(): the second traversal hits the InMemoryRelation, not the
-    Python decoder."""
+    Python decoder — asserted in-plan — and the cached rows
+    hash-match the same SQL restatement as ``scan_netcdf_decode``
+    (proving the cache serves exactly what the decoder produced)."""
     if _CACHE_DECODED_PREV:
         try:
             _CACHE_DECODED_PREV.pop().unpersist()
@@ -133,6 +210,10 @@ def q_cache_decoded(spark, sf_dir):
     dec = _decoded_fixture_frames(spark).persist()
     _CACHE_DECODED_PREV.append(dec)
     dec.count()  # warm the cache; plan below reads the materialized form
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "second traversal did not read the materialized cache"
+    )
     return dec
 
 
@@ -189,11 +270,40 @@ def q_array_transpose(spark, sf_dir):
     ).select("vec_id", "ti", "tj", F.col("valf").cast("double").alias("val"))
 
 
-@qdef("udf_vectorized_kernel")
+@qdef(
+    "udf_vectorized_kernel",
+    oracle="""
+    WITH regions AS (SELECT unnest(['R1', 'R2']) AS region),
+    prods AS (SELECT * FROM (VALUES ('CTTH', 'temperature'),
+                                    ('CRR', 'crr_intensity')) p(product, variable)),
+    times AS (SELECT unnest(['060000', '061500', '063000', '064500']) AS hhmm),
+    cells AS (SELECT y, x FROM (SELECT unnest(range(0, 8)) AS y),
+                               (SELECT unnest(range(0, 8)) AS x)),
+    px AS (
+        SELECT region, product, variable,
+               strptime('20190723T' || hhmm, '%Y%m%dT%H%M%S') AS ts,
+               ('0x' || substring(md5('S_NWC_' || product || '_MSG4_' || region
+                                      || '-VISIR_20190723T' || hhmm || 'Z.nc'
+                                      || '|' || variable
+                                      || '|' || y || '|' || x), 1, 8))::BIGINT
+                 % 1000 AS v
+        FROM regions, prods, times, cells
+    )
+    SELECT region, product, variable, ts,
+           8 AS h, 8 AS w,
+           CAST(count(*) AS INT) AS n_px,
+           CAST(sum(v) AS DOUBLE) AS checksum
+    FROM px GROUP BY region, product, variable, ts
+    """,
+)
 def q_udf_vectorized_kernel(spark, sf_dir):
     """Batch-tensor scatter assembly (the numba kernel,
     datasets.py:350-356): applyInPandas dense H×W scatter per
-    (region, product, variable, ts) group."""
+    (region, product, variable, ts) group. With the md5-derived
+    integer decode values the per-tile float32 scatter checksum is
+    exact (64 ints < 1000 sum < 2^24), so the whole
+    binaryFile→decode→shuffle→Arrow-scatter chain hash-matches the
+    SQL restatement."""
     dec = _decoded_fixture_frames(spark)
     return inference.assemble_frame_tensors(
         dec, keys=["region", "product", "variable", "ts"], val_col="value", grid=_LAKE_GRID
@@ -350,11 +460,42 @@ def q_multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@qdef("multimodal_image_features")
+@qdef(
+    "multimodal_image_features",
+    oracle="""
+    WITH d AS (SELECT doc_id AS media_id, md5(text) AS key FROM documents),
+    px AS (
+        SELECT media_id, yy.y, xx.x,
+               ('0x' || substring(md5(key || '|' || yy.y || '|' || xx.x),
+                                  1, 8))::BIGINT % 256 AS v
+        FROM d, (SELECT unnest(range(0, 16)) AS y) yy,
+                (SELECT unnest(range(0, 16)) AS x) xx
+    ),
+    luma AS (
+        SELECT media_id,
+               CAST((CAST(sum(v) AS REAL) / CAST(256 AS REAL)) / 255.0
+                    AS REAL) AS mean_luma
+        FROM px GROUP BY media_id
+    ),
+    feat AS (
+        SELECT media_id, CAST(y AS INT) AS fi,
+               CAST(CAST(sum(v) AS REAL) / CAST(16 AS REAL) AS REAL)
+                 / CAST(255 AS REAL) AS f
+        FROM px WHERE y < 8 GROUP BY media_id, y
+    )
+    SELECT l.media_id, 16 AS width, 16 AS height, l.mean_luma,
+           f.fi, CAST(f.f AS REAL) AS feat
+    FROM luma l JOIN feat f USING (media_id)
+    """,
+)
 def q_multimodal_image_features(spark, sf_dir):
     """decode → resize → feature-extract in one Arrow stage over
-    opaque binary media columns (codec import-gated; deterministic
-    fake decode here — the schema/batch contract is real)."""
+    opaque binary media columns (codec import-gated). The container's
+    fake decoder emits md5-derived uint8 pixels, so the mean-luma and
+    row-mean features — float32 arithmetic DuckDB reproduces
+    bit-exactly (FLOAT division = IEEE single rounding on both
+    engines) — are driver-hash-checked; the feature array explodes to
+    (fi, feat) rows per the registry's array-column convention."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -365,7 +506,14 @@ def q_multimodal_image_features(spark, sf_dir):
         F.lit(64).alias("height"),
         F.lit(0).alias("duration_ms"),
     )
-    return multimodal.decode_image_features(media, resize_to=(16, 16), n_features=8)
+    feats = multimodal.decode_image_features(media, resize_to=(16, 16), n_features=8)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "mean_luma",
+        F.posexplode("features").alias("fi", "feat"),
+    )
 
 
 @qdef(
@@ -561,11 +709,46 @@ def q_agg_percentile(spark, sf_dir):
     )
 
 
-@qdef("multimodal_audio_features")
+@qdef(
+    "multimodal_audio_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS media_id, md5(text) AS key,
+               greatest(CAST(n_chars * 2 AS BIGINT) * 16, 1) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, n, unnest(range(0, n)) AS i FROM d
+    ),
+    w AS (
+        SELECT media_id, n, i,
+               ('0x' || substring(md5(key || '|' || (i // 16)),
+                                  CAST((i % 16) * 2 + 1 AS INT), 2))::BIGINT
+                 % 7 - 3 AS v
+        FROM s JOIN d USING (media_id, n)
+    ),
+    tr AS (
+        SELECT media_id, n, v,
+               lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+        FROM w
+    )
+    SELECT media_id,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sqrt(CAST(CAST(sum(v * v) AS REAL) / CAST(count(*) AS REAL)
+                          AS REAL)) AS REAL) AS rms,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                         THEN 1 ELSE 0 END) / (count(*) - 1) AS REAL)
+               AS zero_crossing_rate
+    FROM tr GROUP BY media_id
+    """,
+)
 def q_multimodal_audio_features(spark, sf_dir):
     """Audio decode → RMS / zero-crossing features in one Arrow stage
-    (codec import-gated; deterministic fake waveform — schema and
-    batch contract are real)."""
+    (codec import-gated). The container's fake waveform is md5-block
+    integers in −3..3, so RMS (float32 mean of exact integer squares,
+    then sqrt — double-then-single rounding equals single-precision
+    sqrt by the 2p+2 theorem) and ZCR (exact count ratio) are
+    driver-hash-checked against the DuckDB restatement."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -755,20 +938,105 @@ def q_sim_ivf_topk(spark, sf_dir):
     )
 
 
-@qdef("sim_ivf_recall")
+_IVF_RECALL_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    r AS (SELECT unnest(range(1, 129)) AS i),
+    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+    csims AS (
+        SELECT e.vec_id, c.cid,
+               sum(e.v[r.i] * c.v[r.i])
+                 / (greatest(sqrt(sum(e.v[r.i] * e.v[r.i])), 1e-12)
+                    * greatest(sqrt(sum(c.v[r.i] * c.v[r.i])), 1e-12)) AS sim
+        FROM e, cent c, r
+        WHERE r.i <= len(e.v)
+        GROUP BY e.vec_id, c.cid
+    ),
+    cranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rnk
+        FROM csims
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM cranked WHERE rnk = 1),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS item_id,
+               round(sum(a.v[r.i] * b.v[r.i])
+                     / (greatest(sqrt(sum(a.v[r.i] * a.v[r.i])), 1e-300)
+                        * greatest(sqrt(sum(b.v[r.i] * b.v[r.i])), 1e-300))
+                     + 1e-9, 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < 8 AND a.vec_id != b.vec_id, r
+        WHERE r.i <= len(a.v)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    truth AS (
+        SELECT query_id, item_id FROM (
+            SELECT query_id, item_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, item_id) AS rnk
+            FROM dots
+        ) WHERE rnk <= 5
+    ),
+    np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    probes AS (
+        SELECT np.nprobe, cr.vec_id AS query_id, cr.cid AS cell
+        FROM np JOIN cranked cr ON cr.rnk <= np.nprobe
+        WHERE cr.vec_id < 8
+    ),
+    cand AS (
+        SELECT p.nprobe, d.query_id, d.item_id, d.cos_sim
+        FROM dots d
+        JOIN assign a ON a.vec_id = d.item_id
+        JOIN probes p ON p.query_id = d.query_id AND p.cell = a.cell
+    ),
+    ivf AS (
+        SELECT nprobe, query_id, item_id FROM (
+            SELECT nprobe, query_id, item_id,
+                   row_number() OVER (PARTITION BY nprobe, query_id
+                                      ORDER BY cos_sim DESC, item_id) AS rnk
+            FROM cand
+        ) WHERE rnk <= 5
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    hits AS (
+        SELECT np.nprobe, count(i.item_id) AS n_hits
+        FROM np LEFT JOIN (
+            SELECT ivf.nprobe, ivf.item_id
+            FROM ivf JOIN truth t
+              ON t.query_id = ivf.query_id AND t.item_id = ivf.item_id
+        ) i ON i.nprobe = np.nprobe
+        GROUP BY np.nprobe
+    )
+    SELECT h.nprobe, nt.n_truth, h.n_hits,
+           round(h.n_hits / nt.n_truth + 1e-9, 6) AS recall_at_5
+    FROM hits h, nt
+"""
+
+
+@qdef("sim_ivf_recall", oracle=_IVF_RECALL_ORACLE)
 def q_sim_ivf_recall(spark, sf_dir):
-    """ANN quality evidence as a first-class query: recall@5 of the
-    IVF path vs the brute-force cosine ground truth, swept over
-    nprobe ∈ {1, 2, 4, 8} of 8 cells — the recall/cost dial every
-    approximate index is tuned on; at nprobe = n_cells the search is
-    exhaustive, so recall must hit exactly 1.0 (a built-in
-    self-check). Deterministic (seeded k-means, id tie-breaks);
-    rows-only because centroid training is not SQL-expressible. At
-    scale this runs over a sampled query panel — recall is a
-    statistic, never a full-corpus pass."""
+    """ANN quality evidence as a first-class HASH-VERIFIED query:
+    recall@5 of the IVF search path vs the brute-force cosine ground
+    truth, swept over nprobe ∈ {1, 2, 4, 8} of 8 cells — the
+    recall/cost dial every approximate index is tuned on; at
+    nprobe = n_cells the search is exhaustive, so recall must hit
+    exactly 1.0 (a built-in self-check). Centroids are FIXED (the
+    unit-normalized embeddings of vec_id < 8, the
+    ``dedup_semantic_verified`` pattern) so the full sweep — argmax
+    cell assignment, multi-probe candidate union, per-query ranking,
+    the recall arithmetic — is SQL-restatable and driver-hash-checked;
+    the k-means trainer itself stays exercised by ``sim_ivf_topk`` /
+    ``dedup_semantic`` / ``sink_ivf_index``. At scale this runs over
+    a sampled query panel — recall is a statistic, never a
+    full-corpus pass."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
-    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    rows = (
+        q.orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     truth = similarity.cosine_topk(q, emb, k=5).select("query_id", "item_id")
     out = None
     for nprobe in (1, 2, 4, 8):

@@ -17,6 +17,7 @@ explode, fill handling, parquet sink — real and testable.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 from collections.abc import Iterator
 
@@ -80,14 +81,30 @@ def scan_frame_files(spark: SparkSession, path_glob: str) -> DataFrame:
 
 
 def _fake_decode(path: str, variable: str, h: int, w: int) -> np.ndarray:
-    """Deterministic stand-in decoder: values in [0, 1000] seeded by
-    (path, variable). Clearly marked — replace with the netCDF4 branch
+    """Deterministic stand-in decoder, SQL-RESTATABLE: cell (y, x) of
+    (file, variable) is ``md5(basename|variable|y|x) % 1000`` as
+    float32 — integers < 2^10, exactly representable, so a DuckDB
+    oracle recomputes every pixel bit-identically (this is what lets
+    the fixture-lake scan queries carry a driver hash row instead of
+    a rows-only check). Keyed on the file BASENAME (unique across the
+    lake layout) so the values are independent of the temp-dir the
+    lake landed in. Clearly marked — replace with the netCDF4 branch
     in a real deployment."""
-    seed = int.from_bytes(
-        hashlib.md5(f"{path}|{variable}".encode()).digest()[:8], "little"
+    base = os.path.basename(path)
+    flat = np.fromiter(
+        (
+            int(
+                hashlib.md5(f"{base}|{variable}|{y}|{x}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 1000
+            for y in range(h)
+            for x in range(w)
+        ),
+        dtype=np.int64,
+        count=h * w,
     )
-    rng = np.random.default_rng(seed)
-    return rng.uniform(0, 1000, size=(h, w)).astype(np.float32)
+    return flat.astype(np.float32).reshape(h, w)
 
 
 def _real_decode(content: bytes, variable: str) -> np.ndarray:  # pragma: no cover
@@ -232,8 +249,10 @@ def scan_static_navigation(
                     lat = _real_decode(bytes(row.content), "latitude")
                     lon = _real_decode(bytes(row.content), "longitude")
                 else:
-                    lat = _fake_decode(row.path, "latitude", h, w) * 0.063 + 23.0
-                    lon = _fake_decode(row.path, "longitude", h, w) * 0.152 - 76.0
+                    # dyadic scales (÷32, ÷8) keep every value exactly
+                    # representable → the oracle restates them bit-exactly
+                    lat = 23.0 + _fake_decode(row.path, "latitude", h, w) / 32.0
+                    lon = -76.0 + _fake_decode(row.path, "longitude", h, w) / 8.0
                 out.append(
                     pd.DataFrame(
                         {
