@@ -75,6 +75,12 @@ HEADLINE = [
     # round-3 scale-path additions with nontrivial plans).
     "text_decontaminate_bloom",
     "embed_pq_codes",
+    # r4: the rest of the r3 wave's perf surface — their plans claim
+    # broadcast-bounded shapes; the wall-time must track it.
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "sink_lsh_index",
+    "text_heavy_hitters_cms",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Optional-dependency lane: exercises the REAL codec branches
+(netCDF4 / PIL / soundfile) that are import-gated in the build
+container. Each test skips when its library is absent, so this file
+is a no-op here but turns the zero-coverage real-decode paths green
+in any environment that has the codecs installed
+(``pip install netCDF4 Pillow soundfile`` — VERDICT r3 item 4).
+
+The fake-branch twins (deterministic md5 decode) are covered in
+tests/test_etl_inference_streaming.py; these tests pin the real
+branches to the same contracts: reference scaling semantics for
+NetCDF (datasets.py:91-97 — set_auto_scale(False), _FillValue → NaN
+→ NULL), grayscale-resize for images, mono-downmix for audio.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- netCDF4: real in-memory decode ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nc_lake(tmp_path_factory):
+    netCDF4 = pytest.importorskip("netCDF4")
+    root = tmp_path_factory.mktemp("real_nc_lake")
+    h = w = 8
+    for region in ("R1", "R2"):
+        d = root / "w4c" / region / "training" / "2019204" / "CTTH"
+        d.mkdir(parents=True, exist_ok=True)
+        for i, hhmm in enumerate(("060000", "061500")):
+            path = d / f"S_NWC_CTTH_MSG4_{region}-VISIR_20190723T{hhmm}Z.nc"
+            ds = netCDF4.Dataset(str(path), "w", format="NETCDF4")
+            ds.createDimension("ny", h)
+            ds.createDimension("nx", w)
+            var = ds.createVariable(
+                "temperature", "i2", ("ny", "nx"), fill_value=np.int16(-1)
+            )
+            # raw int16 codes with scale metadata the decoder must NOT
+            # auto-apply (set_auto_scale(False) semantics)
+            var.scale_factor = np.float32(0.5)
+            var.add_offset = np.float32(100.0)
+            data = (np.arange(h * w, dtype=np.int16) + 10 * i).reshape(h, w)
+            data[0, 0] = -1  # fill pixel
+            var[:] = data
+            ds.close()
+    return str(root)
+
+
+def test_real_netcdf_decode_manual_scaling(spark, nc_lake):
+    """The real branch reads RAW codes (no auto scale/offset) and maps
+    _FillValue to NaN -> NULL — reference datasets.py:91-97."""
+    from weather4cast_bigdata_spark.sources import netcdf
+
+    assert netcdf.HAVE_NETCDF4
+    scanned = netcdf.scan_frame_files(spark, f"{nc_lake}/w4c/*/*/*/*/*.nc")
+    decoded = netcdf.decode_frames(
+        scanned, {"CTTH": ["temperature"]}, grid=(8, 8)
+    )
+    rows = decoded.where(
+        (F.col("region") == "R1")
+        & (F.col("ts") == F.lit("2019-07-23 06:00:00").cast("timestamp"))
+    ).collect()
+    assert len(rows) == 64
+    by_yx = {(r["y"], r["x"]): r["value"] for r in rows}
+    assert by_yx[(0, 0)] is None or np.isnan(by_yx[(0, 0)])  # fill -> NULL
+    # raw code, NOT 0.5 * code + 100
+    assert by_yx[(0, 1)] == pytest.approx(1.0)
+    assert by_yx[(7, 7)] == pytest.approx(63.0)
+
+
+def test_real_netcdf_static_navigation(spark, tmp_path):
+    netCDF4 = pytest.importorskip("netCDF4")
+    from weather4cast_bigdata_spark.sources import netcdf
+
+    nav = tmp_path / "nav"
+    nav.mkdir()
+    h = w = 8
+    path = nav / "R9_latlon.nc"
+    ds = netCDF4.Dataset(str(path), "w", format="NETCDF4")
+    ds.createDimension("ny", h)
+    ds.createDimension("nx", w)
+    lat = ds.createVariable("latitude", "f4", ("ny", "nx"))
+    lon = ds.createVariable("longitude", "f4", ("ny", "nx"))
+    lat[:] = np.linspace(30, 60, h * w, dtype=np.float32).reshape(h, w)
+    lon[:] = np.linspace(-10, 40, h * w, dtype=np.float32).reshape(h, w)
+    ds.close()
+    out = netcdf.scan_static_navigation(
+        spark, f"{tmp_path}/nav/*_latlon.nc", grid=(8, 8)
+    ).collect()
+    assert len(out) == 64
+    assert {r["region"] for r in out} == {"R9"}
+    got = {(r["y"], r["x"]): (r["latitude"], r["longitude"]) for r in out}
+    assert got[(0, 0)][0] == pytest.approx(30.0)
+    assert got[(7, 7)][1] == pytest.approx(40.0)
+
+
+# --- PIL: real image decode ---------------------------------------------------
+
+
+def test_real_image_decode_grayscale_resize(spark):
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from weather4cast_bigdata_spark.operators import multimodal
+
+    assert multimodal.HAVE_PIL
+    # a 32x32 half-black/half-white PNG: after L-convert + 16x16
+    # resize, mean luma must sit near 0.5 and features must be real
+    # pixel statistics, not hash noise
+    arr = np.zeros((32, 32), dtype=np.uint8)
+    arr[:, 16:] = 255
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    rows = [(1, "image", buf.getvalue(), "image/png", 32, 32, 0)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_image_features(media, resize_to=(16, 16), n_features=8).collect()
+    assert len(out) == 1
+    assert out[0]["mean_luma"] == pytest.approx(0.5, abs=0.02)
+    # every row of the image is half black / half white
+    for f in out[0]["features"]:
+        assert f == pytest.approx(0.5, abs=0.02)
+    # corrupt bytes skip, never raise
+    bad = spark.createDataFrame(
+        [(2, "image", b"not an image", "image/png", 1, 1, 0)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    assert multimodal.decode_image_features(bad).count() == 0
+
+
+# --- soundfile: real audio decode ----------------------------------------------
+
+
+def test_real_audio_decode_mono_downmix(spark):
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    from weather4cast_bigdata_spark.operators import multimodal
+
+    assert multimodal.HAVE_SOUNDFILE
+    # stereo square wave; mono downmix preserves RMS of the mean track
+    n = 1600
+    t = np.arange(n)
+    left = np.where((t // 100) % 2 == 0, 0.5, -0.5).astype(np.float32)
+    stereo = np.stack([left, left], axis=1)
+    buf = io.BytesIO()
+    sf.write(buf, stereo, samplerate=16000, format="WAV", subtype="FLOAT")
+    rows = [(1, "audio", buf.getvalue(), "audio/wav", 0, 0, 100)]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_audio_features(media).collect()
+    assert len(out) == 1
+    assert out[0]["n_samples"] == n
+    assert out[0]["rms"] == pytest.approx(0.5, abs=1e-3)

@@ -472,3 +472,113 @@ def test_salted_join_row_identical_under_skew(spark):
         .count()
     )
     assert n_salts_used > 1
+
+
+# --- dedup skew caps (VERDICT r3 item 7) -------------------------------------
+
+
+def test_ngram_jaccard_max_df_caps_pathological_bucket(spark):
+    """The max_df stop-list is the 100x-scale safety valve for the
+    single-shuffle pair enumerator: a boilerplate shingle shared by d
+    docs yields d(d-1)/2 pair rows, so one hot shingle in a 3k-doc
+    corpus is a ~4.5M-row bucket. The cap must (a) drop that bucket
+    entirely — bounded pair output — and (b) leave the plan shape
+    unchanged (the cap is a filter on the grouped bucket table, never
+    a new exchange)."""
+    from weather4cast_bigdata_spark.operators import dedup
+
+    n = 3000
+    # every doc shares exactly ONE shingle ("all rights reserved");
+    # the remaining trigrams are doc-unique
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("all rights reserved u"),
+            F.col("id"),
+            F.lit("x v"),
+            F.col("id"),
+            F.lit("y w"),
+            F.col("id"),
+            F.lit("z"),
+        ).alias("text"),
+    )
+    # threshold=0 surfaces every candidate pair the buckets enumerate
+    capped = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.0)
+    uncapped = dedup.ngram_jaccard_pairs_docs(docs, threshold=0.0, max_df=None)
+    assert capped.count() == 0  # hot bucket stop-listed, nothing else collides
+    assert uncapped.count() == n * (n - 1) // 2  # the blowup the cap prevents
+    # same exchange count with and without the cap, and same as a
+    # benign corpus — the valve costs no extra shuffle
+    benign = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body number "), F.col("id"), F.lit(" end")).alias("text"),
+    )
+    n_ex = _plan(dedup.ngram_jaccard_pairs_docs(benign, threshold=0.0)).count("Exchange")
+    assert _plan(capped).count("Exchange") == n_ex
+    assert _plan(uncapped).count("Exchange") == n_ex
+
+
+def test_lsh_max_bucket_cap_bounds_candidates(spark):
+    """Same valve on the LSH banding path: identical docs all land in
+    one band bucket; max_bucket drops the over-populated bucket so the
+    candidate-pair volume is bounded instead of quadratic."""
+    from weather4cast_bigdata_spark.operators import dedup
+
+    n = 500
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("exact same boilerplate text everywhere forever and ever").alias("text"),
+    )
+    sig = dedup.minhash_signatures_docs(docs)
+    uncapped = dedup.lsh_candidate_pairs(sig)
+    capped = dedup.lsh_candidate_pairs(sig, max_bucket=64)
+    assert uncapped.count() == n * (n - 1) // 2
+    assert capped.count() == 0
+
+
+# --- driver-boundary contracts (VERDICT r3 item 8) ---------------------------
+
+
+def test_cosine_topk_blas_oversize_guard_fires(spark):
+    """The broadcast-index budget is a hard contract: an oversized
+    corpus must fail fast with the actionable error, never reach the
+    driver collect."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    emb = spark.range(101).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=7) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="broadcast-index budget"):
+        similarity.cosine_topk_blas(emb, emb, k=3, max_index_rows=100)
+
+
+def test_kmeans_centroids_sample_cap_bounds_driver_rows(spark, monkeypatch):
+    """Centroid training must never materialize more than sample_limit
+    rows at the driver, whatever the corpus size — spied via
+    DataFrame.collect."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 17).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 3).cast("double"),
+        ).alias("embedding"),
+    )
+    sizes: list[int] = []
+    # patch the session's concrete DataFrame class (pyspark 4 routes
+    # `pyspark.sql.DataFrame` to a base the classic class overrides)
+    DataFrame = type(emb)
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=3, sample_limit=50)
+    assert cents.shape == (4, 3)
+    assert sizes and max(sizes) <= 50

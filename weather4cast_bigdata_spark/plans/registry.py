@@ -1658,9 +1658,17 @@ def q_sink_lsh_index(spark, sf_dir):
         "shard", F.pmod(F.xxhash64("band_key"), F.lit(16))
     )
     out = scratch_dir("w4c_lsh")
-    banded.where(F.col("doc_id") >= 50).write.mode("overwrite").partitionBy(
-        "band_idx", "shard"
-    ).parquet(out)
+    # repartition on the partition axes before the partitioned write:
+    # without it every input partition opens a file in every
+    # (band_idx, shard) directory — P×32 small files and P×32 file
+    # commits; with it each directory gets exactly one writer task
+    (
+        banded.where(F.col("doc_id") >= 50)
+        .repartition("band_idx", "shard")
+        .write.mode("overwrite")
+        .partitionBy("band_idx", "shard")
+        .parquet(out)
+    )
     lake = spark.read.parquet(out)
     probe = banded.where(F.col("doc_id") < 50)
     # The shard domain is hash(band_key) % 16 — collecting the probe's

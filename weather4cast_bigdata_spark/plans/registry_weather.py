@@ -1098,9 +1098,10 @@ def q_sink_ivf_index(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
     out = scratch_dir("w4c_ivf")
-    similarity.assign_ivf_buckets(emb, cents, nprobe=1).write.mode(
-        "overwrite"
-    ).partitionBy("ivf_bucket").parquet(out)
+    # one writer task per cell dir (not input-partitions × cells files)
+    similarity.assign_ivf_buckets(emb, cents, nprobe=1).repartition(
+        "ivf_bucket"
+    ).write.mode("overwrite").partitionBy("ivf_bucket").parquet(out)
     lake = spark.read.parquet(out)
     # partition-pruning proof on a 2-cell probe
     probe_plan = (

@@ -180,9 +180,13 @@ def quantize_for_submission(
 
 def write_submission(df: DataFrame, path: str) -> None:
     """Partitioned compressed sink — the HDF5-per-(region,day) writer
-    re-read as a parquet lake (datasets.py:444-459; gzip-9 → zstd)."""
+    re-read as a parquet lake (datasets.py:444-459; gzip-9 → zstd).
+    Repartitioned on the partition axes first: one writer task per
+    (region, day) directory instead of every input partition opening
+    a file in every directory."""
     (
-        df.write.partitionBy("region", "day")
+        df.repartition("region", "day")
+        .write.partitionBy("region", "day")
         .option("compression", "zstd")
         .mode("overwrite")
         .parquet(path)

@@ -187,6 +187,9 @@ def etl_to_parquet(decoded: DataFrame, out_path: str) -> None:
     day = F.date_format("ts", "yyyyDDD").alias("day")
     (
         decoded.withColumn("day", day)
+        # one writer task per hive directory — without this every
+        # decode partition opens a file in every directory
+        .repartition("region", "subset", "day", "product")
         .write.partitionBy("region", "subset", "day", "product")
         .option("compression", "zstd")
         .mode("overwrite")
