@@ -576,6 +576,48 @@ def _sq_l2_chain(a: Column, b: Column, d: int) -> Column:
     return total
 
 
+def pq_codebook_rows(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+) -> list[tuple[int, list[tuple[int, list[float]]]]]:
+    """Deterministic PQ codebook, materialized at the DRIVER: the
+    ``n_codes`` seed vectors (corpus rows ranked by ``md5(id)`` — a
+    uniform, engine-portable pseudo-random draw; sample-initialized
+    codebooks are the standard PQ baseline) are collected with ONE
+    bounded TakeOrdered job (n_codes rows — same driver contract as
+    the k-means sample cap) and sliced locally.
+
+    Returns ``[(sub, [(code, cent), ...]), ...]`` — the whole
+    codebook is ``n_sub × n_codes`` subvectors (128 here). Collecting
+    it once is what keeps the ADC search a single corpus scan: built
+    lazily, every broadcast of the codebook (assignment join, lookup
+    table) re-ran the corpus TakeOrdered subplan.
+    """
+    d_sub = dim // n_sub
+    h = F.md5(F.col(id_col).cast("string"))
+    rows = (
+        embeddings.orderBy(h, F.col(id_col))
+        .limit(n_codes)
+        .select(h.alias("_h"), F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: (r[0], r[1]))  # (md5, id) — row_number order
+    return [
+        (
+            s,
+            [
+                (code, list(r[2][s * d_sub : (s + 1) * d_sub]))
+                for code, r in enumerate(rows)
+            ],
+        )
+        for s in range(n_sub)
+    ]
+
+
 def pq_codebook(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -583,35 +625,41 @@ def pq_codebook(
     dim: int = 64,
     n_sub: int = 8,
     n_codes: int = 16,
+    rows: list | None = None,
 ) -> DataFrame:
-    """Deterministic PQ codebook: ``n_codes`` seed vectors — the
-    corpus rows ranked first by ``md5(id)`` (a uniform, engine-
-    portable pseudo-random draw; sample-initialized codebooks are the
-    standard PQ baseline) — sliced into ``n_sub`` subvectors each.
+    """The :func:`pq_codebook_rows` codebook as an ``n_sub``-row
+    DataFrame ``(sub, cands: array<struct<code, cent>>)`` ready to
+    broadcast into the assignment join (corpus side never shuffles).
+    Built from literal driver rows — broadcasting it does not re-scan
+    the corpus."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    Returns ``n_sub`` rows ``(sub, cands: array<struct<code, cent>>)``
-    ready to broadcast: the whole codebook is ``n_sub × n_codes``
-    subvectors (128 here, ~any n_codes ≤ 2^8 at 100 TB), so the
-    assignment join never shuffles the corpus side.
-    """
-    d_sub = dim // n_sub
-    h = F.md5(F.col(id_col).cast("string"))
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    seeds = (
-        embeddings.orderBy(h, F.col(id_col))
-        .limit(n_codes)
-        .select(
-            (F.row_number().over(w) - 1).alias("code"),
-            to_double_array(F.col(vec_col)).alias("v"),
-        )
+    if rows is None:
+        rows = pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField(
+                "cands",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("code", IntegerType(), False),
+                            StructField("cent", ArrayType(DoubleType()), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
     )
-    slices = F.array(
-        *[F.slice("v", s * d_sub + 1, d_sub) for s in range(n_sub)]
-    )
-    per_sub = seeds.select("code", F.posexplode(slices).alias("sub", "cent"))
-    return per_sub.groupBy("sub").agg(
-        F.array_sort(F.collect_list(F.struct("code", "cent"))).alias("cands")
-    )
+    return embeddings.sparkSession.createDataFrame(rows, schema)
 
 
 def pq_codes(
@@ -621,6 +669,7 @@ def pq_codes(
     dim: int = 64,
     n_sub: int = 8,
     n_codes: int = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: each vector compresses to
     ``n_sub`` one-byte codes — the nearest codebook centroid per
@@ -629,14 +678,18 @@ def pq_codes(
     sit in RAM-resident ANN indexes.
 
     Shape: corpus → ``posexplode`` into (vec, sub) rows (narrow, no
-    shuffle), broadcast-join the 8-row codebook, argmin over the 16
-    in-row candidates via ``array_min`` on (dist, code) structs —
-    all JVM higher-order functions, zero Python, zero exchanges
-    beyond the broadcast. Returns (id, sub, code, dist) with dist
-    rounded at 6 decimals (the argmin key, cross-engine stable).
+    shuffle), broadcast-join the 8-row literal codebook, argmin over
+    the 16 in-row candidates via ``array_min`` on (dist, code)
+    structs — all JVM higher-order functions, zero Python, ONE corpus
+    scan and zero exchanges beyond the broadcast. Returns (id, sub,
+    code, dist) with dist rounded at 6 decimals (the argmin key,
+    cross-engine stable). Pass ``codebook`` to share one collected
+    codebook across the encode and search stages.
     """
     d_sub = dim // n_sub
-    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    cb = codebook if codebook is not None else pq_codebook(
+        embeddings, id_col, vec_col, dim, n_sub, n_codes
+    )
     slices = F.array(
         *[F.slice("v", s * d_sub + 1, d_sub) for s in range(n_sub)]
     )
@@ -668,6 +721,43 @@ def pq_codes(
     )
 
 
+def _pq_l2_chain_py(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`_sq_l2_chain`: the same
+    left-associated (x−y)·(x−y) addition chain over IEEE doubles —
+    python floats ARE doubles, so the result is bit-identical to the
+    JVM/DuckDB evaluation of the same chain."""
+    total = 0.0
+    for x, y in zip(a, b):
+        total += (x - y) * (x - y)
+    return total
+
+
+def _pq_adc_lut(spark, cb_rows) -> DataFrame:
+    """The query-to-centroid ADC lookup table (n_sub × n_codes rows)
+    as literal driver rows: query = the code-0 seed subvector per
+    subspace. Broadcasting it costs nothing — no corpus subplan."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    data = []
+    for sub, cands in cb_rows:
+        qcent = cands[0][1]  # code 0 = the query seed
+        for code, cent in cands:
+            data.append((sub, code, _pq_l2_chain_py(qcent, cent)))
+    schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("qdist", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     k: int = 10,
@@ -689,21 +779,18 @@ def pq_adc_topk(
     columns and adds them in a fixed chain (not a groupBy-sum whose
     float order is nondeterministic), keeping the top-k selection
     engine-portable. Returns the ``k`` nearest (id, adc_dist).
+
+    The codebook is collected ONCE (n_codes rows) and the 128-row
+    lookup table is computed at the driver with the identical
+    left-associated IEEE chain as :func:`_sq_l2_chain` — bit-equal
+    doubles, so the oracle identity is unchanged while the corpus is
+    scanned exactly once (lazily-built broadcasts re-ran the seed
+    TakeOrdered scan per broadcast).
     """
-    d_sub = dim // n_sub
-    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes)
-    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes)
-    flat = cb.select("sub", F.explode("cands").alias("c")).select(
-        "sub", F.col("c.code").alias("code"), F.col("c.cent").alias("cent")
-    )
-    q = flat.where(F.col("code") == 0).select(
-        "sub", F.col("cent").alias("qcent")
-    )
-    lut = q.join(flat, on="sub").select(
-        "sub",
-        "code",
-        _sq_l2_chain(F.col("qcent"), F.col("cent"), d_sub).alias("qdist"),
-    )
+    cb_rows = pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes, rows=cb_rows)
+    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes, codebook=cb)
+    lut = _pq_adc_lut(embeddings.sparkSession, cb_rows)
     pivoted = (
         codes.join(F.broadcast(lut), on=["sub", "code"])
         .groupBy(id_col)
@@ -754,13 +841,18 @@ def ivfpq_adc_topk(
     IVF round-trip against brute force. A partial probe trades that
     guarantee for scan fraction, monotonically: fewer cells can only
     remove candidates, never reorder survivors (asserted in tests).
+
+    Codebook and ADC table are collected/computed once at the driver
+    (see :func:`pq_adc_topk`) — the corpus is scanned once for the
+    cell+code index, plus the bounded k-means sample.
     """
-    d_sub = dim // n_sub
     cents = kmeans_centroids(
         embeddings, k=n_cells, iters=5, seed=42, vec_col=vec_col
     )
     cells = assign_ivf_buckets(embeddings, cents, vec_col=vec_col, nprobe=1)
-    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    cb_rows = pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes, rows=cb_rows)
+    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes, codebook=cb)
     indexed = codes.join(
         cells.select(F.col(id_col), "ivf_bucket"), on=id_col
     )
@@ -776,18 +868,7 @@ def ivfpq_adc_topk(
             .distinct()
         )
         scan = indexed.join(F.broadcast(probe_cells), on="ivf_bucket")
-    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes)
-    flat = cb.select("sub", F.explode("cands").alias("c")).select(
-        "sub", F.col("c.code").alias("code"), F.col("c.cent").alias("cent")
-    )
-    q = flat.where(F.col("code") == 0).select(
-        "sub", F.col("cent").alias("qcent")
-    )
-    lut = q.join(flat, on="sub").select(
-        "sub",
-        "code",
-        _sq_l2_chain(F.col("qcent"), F.col("cent"), d_sub).alias("qdist"),
-    )
+    lut = _pq_adc_lut(embeddings.sparkSession, cb_rows)
     pivoted = (
         scan.join(F.broadcast(lut), on=["sub", "code"])
         .groupBy(id_col)
