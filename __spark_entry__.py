@@ -65,6 +65,8 @@ _ROUND4_PRIORITY = [
     "sample_random_crop",
     "scan_orc_roundtrip",
     "project_pivot_wide",
+    # -- r4 additions -----------------------------------------------------
+    "streaming_lsh_ingest",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -96,7 +98,6 @@ _ROUND4_PRIORITY = [
     "day_boundary_correct",
     "sort_time",
     "set_intersect",
-    "udf_ensemble_blend",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r1 backlog, then r2/r3-verified queries (newest last),
     # then the 9 rows-only entries dead last (never in a window).

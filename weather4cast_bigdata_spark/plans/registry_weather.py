@@ -21,7 +21,16 @@ from pyspark.sql import functions as F
 from weather4cast_bigdata_spark.functions import strings
 from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
 from weather4cast_bigdata_spark.plans import weather
-from weather4cast_bigdata_spark.plans.registry import SLOT_SQL, _COSINE_SQL, _t, qdef, r6, scratch_dir
+from weather4cast_bigdata_spark.plans.registry import (
+    SLOT_SQL,
+    _COSINE_SQL,
+    _t,
+    qdef,
+    r6,
+    scratch_dir,
+)
+from weather4cast_bigdata_spark.plans.registry import _H32_SQL as _DOC_H32_SQL
+from weather4cast_bigdata_spark.plans.registry import _SHINGLES_SQL as _DOC_SHINGLES_SQL
 from weather4cast_bigdata_spark.sources import netcdf, weather_fixtures
 
 # =====================================================================
@@ -1565,3 +1574,65 @@ def q_streaming_checkpoint_resume(spark, sf_dir):
     out = spark.read.parquet(sink).select("region", "ts", "value")
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+@qdef(
+    "streaming_lsh_ingest",
+    oracle=f"""
+    {_DOC_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               min(({_DOC_H32_SQL.format(expr='shingle')} * 1103515245 + 12345) % 2147483647) AS mh_0,
+               min(({_DOC_H32_SQL.format(expr='shingle')} * 214013 + 2531011) % 2147483647) AS mh_1,
+               min(({_DOC_H32_SQL.format(expr='shingle')} * 69069 + 362437) % 2147483647) AS mh_2,
+               min(({_DOC_H32_SQL.format(expr='shingle')} * 1664525 + 1013904223) % 2147483647) AS mh_3
+        FROM shingled GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx,
+               CAST(mh_0 AS VARCHAR) || '_' || CAST(mh_1 AS VARCHAR) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1,
+               CAST(mh_2 AS VARCHAR) || '_' || CAST(mh_3 AS VARCHAR) FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+     AND l.doc_id < r.doc_id
+    """,
+)
+def q_streaming_lsh_ingest(spark, sf_dir):
+    """Incremental near-dup ingest driven by Structured Streaming
+    (streaming/pipeline.lsh_ingest): documents arrive in micro-batches
+    (maxFilesPerTrigger over a many-file lake), each batch pairs
+    within itself, probes the PERSISTED band index of everything
+    ingested before it, then appends its own bands — exactly-once per
+    batch via batch_id-subdir writes. The drained pair set is
+    BATCH-INVARIANT, so the oracle is the one-shot batch LSH
+    band-collision SQL — the same identity
+    tests/test_etl_inference_streaming.py pins against chunking and
+    replay. At lake scale each batch costs its own bands plus an
+    equi-probe of matching index keys, never a re-scan of the
+    accumulated corpus."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    lake = os.path.join(tempfile.gettempdir(), f"w4c_stream_docs_{fp}")
+    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+        # 64 files -> the 32-files-per-trigger source drains in 2+
+        # batches, exercising the cross-batch index probe
+        docs.repartition(64).write.mode("overwrite").parquet(lake)
+    root = scratch_dir("w4c_stream_lsh")
+    index_dir = os.path.join(root, "index")
+    matches_dir = os.path.join(root, "matches")
+    ckpt = os.path.join(root, "ckpt")
+    streaming.lsh_ingest(spark, lake, docs.schema, index_dir, matches_dir, ckpt)
+    return (
+        spark.read.parquet(matches_dir)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
