@@ -67,6 +67,10 @@ _ROUND4_PRIORITY = [
     "project_pivot_wide",
     # -- r4 additions -----------------------------------------------------
     "streaming_lsh_ingest",
+    "text_gopher_rules",
+    "text_dup_line_fraction",
+    "text_top_ngram_char_frac",
+    "text_url_dedup",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -94,10 +98,6 @@ _ROUND4_PRIORITY = [
     "agg_correlation_matrix",
     "window_past_sequence",
     "window_future_horizon",
-    "window_prev_day_fallback",
-    "day_boundary_correct",
-    "sort_time",
-    "set_intersect",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r1 backlog, then r2/r3-verified queries (newest last),
     # then the 9 rows-only entries dead last (never in a window).

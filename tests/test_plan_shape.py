@@ -96,6 +96,14 @@ SHAPES = [
     # argmin — the only exchanges build the tiny codebook side
     ("embed_pq_codes", 4, 0),
     ("sim_pq_adc_topk", 8, 0),
+    # r4 curation-quality battery — the three per-doc scorers are
+    # run-length folds / narrow projections (the 1 allowed exchange
+    # is ensure_min_parallelism's small-input repartition); URL dedup
+    # is exactly one canonical-key shuffle on top of it
+    ("text_gopher_rules", 1, 0),
+    ("text_dup_line_fraction", 1, 0),
+    ("text_top_ngram_char_frac", 1, 0),
+    ("text_url_dedup", 2, 0),
 ]
 
 

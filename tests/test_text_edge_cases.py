@@ -252,3 +252,80 @@ def test_tfidf_topk_edges(spark):
     # doc 1: z is unique (idf ln 3), x/y shared by 2 docs (idf ln 1.5):
     # z must rank first
     assert sorted(by_doc[1], key=lambda r: r.rank)[0].term == "z"
+
+
+# --- r4 curation-quality battery -------------------------------------------
+
+
+def test_gopher_features_edge_docs(docs):
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    out = {r.doc_id: r for r in curate_ext.gopher_features(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # empty doc tokenizes to [""] → 1 word of length 0, no alpha, fails
+    assert out[1].n_words == 1 and out[1].keep is False
+    assert out[1].mean_word_len == 0.0
+    # degenerate repetition: 5 short words, all alphabetic
+    assert out[7].alpha_frac == 1.0 and out[7].keep is False
+
+
+def test_dup_line_features_repeated_lines(spark):
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    line = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{line} {line} x1 x2 x3 x4 x5 x6 x7 x8"),  # 2 dup + 1 unique
+            (2, "a b c"),  # single line, no dups
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in curate_ext.dup_line_features(docs).collect()}
+    assert out[1].n_lines == 3 and out[1].dup_lines == 2
+    assert out[1].dup_line_frac == pytest.approx(2 / 3)
+    # duplicated chars = 2 copies × len(line); total = 2*23 + 23
+    assert out[1].dup_line_char_frac == pytest.approx(2 * 23 / (3 * 23))
+    assert out[2].dup_lines == 0 and out[2].dup_line_char_frac == 0.0
+
+
+def test_top_ngram_char_frac_tiebreak_and_subshingle(spark):
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b c a a b c"),  # bigrams: "b c"×2, others ×1 → top = "b c"
+            (2, "one"),          # sub-shingle: no bigram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in curate_ext.top_ngram_char_frac(docs, n=2).collect()}
+    assert out[1].top_ngram == "b c" and out[1].top_tf == 2
+    assert out[1].top_ngram_char_frac == pytest.approx(2 * 3 / 11)
+    assert out[2].top_tf == 0 and out[2].top_ngram is None
+    assert out[2].top_ngram_char_frac == 0.0
+
+
+def test_url_canonicalize_rules(spark):
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    cases = [
+        # www + case + fragment + tracking params interleaved
+        (1, "https://WWW.Example.COM/a/b?utm_source=x&id=3&ref=rss#frag"),
+        # same canonical target from a different surface form
+        (2, "https://example.com/a/b?utm_campaign=z&id=3"),
+        # trailing slash + query that empties entirely
+        (3, "http://Crawl.NET/path/?utm_medium=m"),
+        (4, "http://crawl.net/path"),
+        # path case is significant; host case is not
+        (5, "https://example.com/A/B?id=3"),
+    ]
+    docs = spark.createDataFrame(cases, ["doc_id", "url"])
+    out = {
+        r.canonical_url: r
+        for r in curate_ext.url_dedup(docs).collect()
+    }
+    assert out["https://example.com/a/b?id=3"].n_docs == 2
+    assert out["https://example.com/a/b?id=3"].keeper_doc_id == 1
+    assert out["http://crawl.net/path"].n_docs == 2
+    assert "https://example.com/A/B?id=3" in out
+    assert all(r.domain in {"example.com", "crawl.net"} for r in out.values())

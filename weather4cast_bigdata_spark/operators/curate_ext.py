@@ -451,3 +451,226 @@ def inverted_index(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
     )
     return keep.join(postings, "shingle").select("shingle", "df", "tf_total", "postings")
+
+
+# Gopher rule battery (Rae et al. 2021, "Scaling Language Models",
+# table A1 quality heuristics). Thresholds are the published ones
+# except the word-count floor, lowered to fit the fixture's 30-80
+# token documents while keeping both branches of every flag live.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 35,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-rule battery: per-document features + per-rule
+    boolean flags + the conjunctive keep decision.
+
+    Signals (all JVM-side, zero-shuffle narrow projection — at 100 TB
+    this is a pure codegen map over the corpus scan):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and ellipsis) <= 0.1
+    - fraction of words containing an alphabetic char >= 0.80
+    - >= 2 distinct required stopwords present (the "harmful noise"
+      screen from the paper)
+
+    Ratios of exact integers are emitted raw (numeric policy #1: both
+    engines divide the same ints to the same double).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = sum_len.cast("double") / n_tok
+    n_symbol = F.length(F.regexp_replace(F.col(text_col), r"[^#]", "")) + F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), F.lit(0))
+    )
+    symbol_ratio = n_symbol.cast("double") / n_tok
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = n_alpha.cast("double") / n_tok
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_mean_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_symbol = symbol_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.80
+    ok_stop = stop_hits >= 2
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbol.alias("ok_symbol"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mean_len & ok_symbol & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def dup_line_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+) -> DataFrame:
+    """Gopher repetition signals at line granularity: fraction of
+    duplicated lines and fraction of characters inside duplicated
+    lines (counting every copy, per the paper).
+
+    The fixture corpus has no newlines, so "lines" are synthesized
+    deterministically as consecutive ``line_tokens``-token windows —
+    the same expression on both engines (precedent:
+    ``text_pii_redact``'s synthesized PII). Real corpora would split
+    on newline at the same call site.
+
+    ZERO shuffles: the per-doc line array is sorted and folded in one
+    ``aggregate`` run-length scan (the ``repetition_features``
+    pattern) — a duplicated line's chars enter the accumulator at
+    run-length 2 with double weight (first copy retroactively
+    counted), then once per further copy.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n_lines = F.floor((n + line_tokens - 1) / line_tokens).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * line_tokens + 1, line_tokens), " "),
+    )
+    srt = F.array_sort(lines)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("dup_lines"),
+        F.lit(0).alias("dup_chars"),
+    )
+
+    def step(acc, x):
+        is_rep = x.eqNullSafe(acc["prev"])
+        run = F.when(is_rep, acc["run"] + 1).otherwise(F.lit(1))
+        add_lines = F.when(is_rep & (acc["run"] == 1), 2).when(is_rep, 1).otherwise(0)
+        add_chars = add_lines * F.length(x)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["dup_lines"] + add_lines).alias("dup_lines"),
+            (acc["dup_chars"] + add_chars).alias("dup_chars"),
+        )
+
+    st = F.aggregate(srt, init, step)
+    total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        n_lines.cast("bigint").alias("n_lines"),
+        st["dup_lines"].cast("bigint").alias("dup_lines"),
+        (st["dup_lines"].cast("double") / n_lines).alias("dup_line_frac"),
+        F.try_divide(st["dup_chars"].cast("double"), total_chars).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+
+def top_ngram_char_frac(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher repetition signal: fraction of characters contained in
+    the document's most frequent word n-gram (count × n-gram length /
+    total chars).
+
+    ZERO shuffles — sorted-shingle run-length scan per row; the
+    argmax shingle is tracked alongside the max run with ties broken
+    toward the lexicographically smallest shingle (strict ``>`` on a
+    sorted array), which the SQL oracle reproduces with
+    ``ORDER BY tf DESC, shingle``.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    sh = word_shingles(toks, n)
+    srt = F.array_sort(sh)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(None).cast("string").alias("argmax"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["maxrun"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["maxrun"]).alias("maxrun"),
+            F.when(better, x).otherwise(acc["argmax"]).alias("argmax"),
+        )
+
+    st = F.aggregate(srt, init, step)
+    n_chars = F.length(F.trim(F.lower(F.col(text_col))))
+    frac = F.when(
+        st["maxrun"] > 0,
+        st["maxrun"] * F.length(st["argmax"]) / n_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        st["argmax"].alias("top_ngram"),
+        st["maxrun"].cast("bigint").alias("top_tf"),
+        frac.alias("top_ngram_char_frac"),
+    )
+
+
+def canonicalize_url(url):
+    """URL canonicalization as a pure column expression: lowercase
+    scheme+host, strip ``www.``, drop the fragment, drop tracking
+    query params (``utm_*``/``ref``; the whole query string if
+    nothing else remains), strip one trailing slash. Regexp-only so
+    the DuckDB oracle states the identical transform."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme://host (authority = everything before first /?
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(head, rest)
+    u = F.regexp_replace(u, r"://www\.", "://")
+    # drop utm_*/ref params wherever they sit in the query string
+    u = F.regexp_replace(u, r"([?&])(utm_[A-Za-z0-9_]*|ref)=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL dedup: canonicalize, group, keep the minimum
+    doc_id per canonical URL (the CommonCrawl-style URL-level screen
+    that runs before any content hashing).
+
+    One shuffle on the canonical URL (near-uniform key); domain comes
+    out of the canonical form with a regexp.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .withColumn(
+            "domain",
+            F.regexp_extract(F.col("canonical_url"), r"^[a-z0-9+.-]+://([^/?#]*)", 1),
+        )
+    )

@@ -4616,3 +4616,7 @@ from weather4cast_bigdata_spark.plans import registry_weather  # noqa: E402,F401
 # Hash-verified siblings of the rows-only families (round 3) — same
 # side-effect import pattern.
 from weather4cast_bigdata_spark.plans import registry_verified  # noqa: E402,F401
+
+# Round-4 curation-quality battery (Gopher rules, repetition
+# fractions, canonical-URL dedup) — same side-effect import pattern.
+from weather4cast_bigdata_spark.plans import registry_quality  # noqa: E402,F401

@@ -1,0 +1,220 @@
+"""Round-4 curation-quality registry entries: the Gopher rule
+battery, line/n-gram repetition fractions, and canonical-URL dedup.
+
+These complete the published quality-filter set next to
+``text_quality_score`` / ``text_repetition_score`` (Rae et al. 2021
+appendix A1; CommonCrawl URL screening). Not in the reference (raster
+pipeline); first-class extensions per SURVEY.md §2's extension
+families. Every query is a zero- or single-shuffle JVM-side plan with
+a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from weather4cast_bigdata_spark.operators import curate_ext
+from weather4cast_bigdata_spark.plans.registry import _t, qdef
+
+_W = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@qdef(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH f AS (
+        SELECT doc_id, {_W} AS w,
+               length(regexp_replace(text, '[^#]', '', 'g'))
+                 + len(regexp_extract_all(text, '\.\.\.')) AS n_symbol
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)
+                   AS mean_word_len,
+               n_symbol::DOUBLE / len(w) AS symbol_ratio,
+               len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                   / len(w) AS alpha_frac,
+               len(list_intersect(w, ['the','be','to','of','and','that',
+                                      'have','with'])) AS stop_hits
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, symbol_ratio, alpha_frac,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN 35 AND 100000) AS ok_words,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+           (symbol_ratio <= 0.1) AS ok_symbol,
+           (alpha_frac >= 0.80) AS ok_alpha,
+           (stop_hits >= 2) AS ok_stop,
+           ((n_words BETWEEN 35 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (alpha_frac >= 0.80)
+            AND (stop_hits >= 2)) AS keep
+    FROM g
+    """,
+)
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021 A1): word-count /
+    mean-word-length / symbol-ratio / alphabetic-word / stopword
+    screens as per-rule flags + conjunctive keep. Zero-shuffle narrow
+    projection; ratios of exact ints emitted raw (policy #1)."""
+    return curate_ext.gopher_features(_t(spark, sf_dir, "documents"))
+
+
+@qdef(
+    "text_dup_line_fraction",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, {_W} AS w,
+               CAST(ceil(len({_W}) / 8.0) AS INT) AS n_lines
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, n_lines,
+               array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line
+        FROM (SELECT doc_id, w, n_lines,
+                     unnest(range(0, n_lines)) AS i
+              FROM t)
+    ),
+    cnt AS (
+        SELECT doc_id, max(n_lines) AS n_lines, line, count(*) AS c
+        FROM lines GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           CAST(max(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / max(n_lines)
+               AS dup_line_frac,
+           sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::DOUBLE
+               / sum(c * length(line)) AS dup_line_char_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_dup_line_fraction(spark, sf_dir):
+    """Gopher duplicate-line fraction + duplicate-line character
+    fraction over deterministically synthesized 8-token lines (the
+    fixture has no newlines; precedent: text_pii_redact's synthesized
+    PII). Zero shuffles in Spark — sorted-line run-length fold; the
+    oracle states the same numbers with explode + GROUP BY."""
+    return curate_ext.dup_line_features(_t(spark, sf_dir, "documents"))
+
+
+@qdef(
+    "text_top_ngram_char_frac",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, {_W} AS w,
+               length(trim(lower(text))) AS n_chars
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, n_chars,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS shingle
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, max(n_chars) AS n_chars, shingle, count(*) AS tf
+        FROM sh GROUP BY doc_id, shingle
+    ),
+    top AS (
+        SELECT doc_id, shingle, tf, n_chars,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, shingle) AS rn
+        FROM tf
+    )
+    SELECT b.doc_id,
+           t.shingle AS top_ngram,
+           CAST(coalesce(t.tf, 0) AS BIGINT) AS top_tf,
+           coalesce(t.tf * length(t.shingle) / b.n_chars::DOUBLE, 0.0)
+               AS top_ngram_char_frac
+    FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    """,
+)
+def q_text_top_ngram_char_frac(spark, sf_dir):
+    """Gopher top-bigram character fraction: count × n-gram length /
+    doc chars for the most frequent word bigram, ties to the
+    lexicographically smallest. Zero shuffles — per-row sorted-shingle
+    run-length argmax; the oracle's window-rank states the same
+    tie-break with ORDER BY tf DESC, shingle."""
+    return curate_ext.top_ngram_char_frac(_t(spark, sf_dir, "documents"), n=2)
+
+
+# Deterministic synthetic URL per doc (the fixture has none): mixed
+# case + www + tracking params + fragment so every canonicalization
+# rule fires; path/query moduli make canonical collisions appear at
+# scale (period lcm(2,3,50,7) = 1050 docs).
+def _synth_url_spark():
+    m3 = F.col("doc_id") % 3
+    host = (
+        F.when(m3 == 0, F.lit("Example.COM"))
+        .when(m3 == 1, F.lit("data.example.org"))
+        .otherwise(F.lit("crawl.net"))
+    )
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        host,
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=rss#frag"),
+    )
+
+
+_SYNTH_URL_SQL = """
+    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+    || CASE doc_id % 3 WHEN 0 THEN 'Example.COM'
+                       WHEN 1 THEN 'data.example.org'
+                       ELSE 'crawl.net' END
+    || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+    || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+    || '&ref=rss#frag'
+"""
+
+
+@qdef(
+    "text_url_dedup",
+    oracle=rf"""
+    WITH synth AS (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM synth),
+    s2 AS (
+        SELECT doc_id,
+               lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                 || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+                 AS u
+        FROM s1
+    ),
+    s3 AS (SELECT doc_id, regexp_replace(u, '://www\.', '://') AS u FROM s2),
+    s4 AS (SELECT doc_id,
+                  regexp_replace(u, '([?&])(utm_[A-Za-z0-9_]*|ref)=[^&#]*',
+                                 '\1', 'g') AS u
+           FROM s3),
+    s5 AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      u, '[?&]+$', ''), '\?&+', '?'), '&&+', '&', 'g'),
+                      '/$', '') AS u
+           FROM s4)
+    SELECT u AS canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_docs,
+           regexp_extract(u, '^([a-z0-9+.-]+)://([^/?#]*)', 2) AS domain
+    FROM s5 GROUP BY u
+    """,
+)
+def q_text_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (the CommonCrawl-style URL screen that
+    runs before content hashing): lowercase authority, strip www.,
+    drop fragment + utm_*/ref tracking params, strip trailing slash;
+    keep min doc_id per canonical URL. One shuffle on the canonical
+    URL (near-uniform key). URL is synthesized deterministically —
+    the fixture has no URL column."""
+    docs = _t(spark, sf_dir, "documents")
+    return curate_ext.url_dedup(
+        docs.select("doc_id", _synth_url_spark().alias("url"))
+    )
