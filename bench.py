@@ -81,6 +81,11 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "sink_lsh_index",
     "text_heavy_hitters_cms",
+    # r4 curation-quality battery: three zero-shuffle per-doc scorers
+    # represented by the rule battery, plus the canonical-URL dedup's
+    # one-key shuffle.
+    "text_gopher_rules",
+    "text_url_dedup",
 ]
 
 

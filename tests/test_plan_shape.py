@@ -92,10 +92,11 @@ SHAPES = [
     # exchange linear in corpus size (or in the Zipf-bounded
     # candidate set), NO cartesian/nested loop anywhere
     ("dedup_jaccard_prefix", 6, 0),
-    # PQ encode: posexplode + 8-row broadcast codebook + in-row
-    # argmin — the only exchanges build the tiny codebook side
-    ("embed_pq_codes", 4, 0),
-    ("sim_pq_adc_topk", 8, 0),
+    # PQ family: codebook + ADC lookup folded into the projection as
+    # constant-folded literals — pure narrow scan→project(→TakeOrdered)
+    ("embed_pq_codes", 0, 0),
+    ("sim_pq_adc_topk", 0, 0),
+    ("sim_ivfpq_topk", 0, 0),
     # r4 curation-quality battery — the three per-doc scorers are
     # run-length folds / narrow projections (the 1 allowed exchange
     # is ensure_min_parallelism's small-input repartition); URL dedup

@@ -561,20 +561,6 @@ def quantize_embeddings_int8(
 # --- product quantization (PQ) ----------------------------------------------
 
 
-def _sq_l2_chain(a: Column, b: Column, d: int) -> Column:
-    """Σ_{i<d} (a[i]-b[i])² as an EXPLICIT left-associated addition
-    chain over double-cast elements. Fixed association order + IEEE
-    correctly-rounded ops (subtract, multiply, add) ⇒ bit-identical
-    doubles in Spark and the DuckDB oracle — which is what makes the
-    PQ argmin/top-k selections portable without tolerance games."""
-    total = None
-    for i in range(d):
-        x = F.element_at(a, i + 1).cast("double")
-        y = F.element_at(b, i + 1).cast("double")
-        term = (x - y) * (x - y)
-        total = term if total is None else total + term
-    return total
-
 
 def pq_codebook_rows(
     embeddings: DataFrame,
@@ -618,48 +604,41 @@ def pq_codebook_rows(
     ]
 
 
-def pq_codebook(
-    embeddings: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    n_sub: int = 8,
-    n_codes: int = 16,
-    rows: list | None = None,
-) -> DataFrame:
-    """The :func:`pq_codebook_rows` codebook as an ``n_sub``-row
-    DataFrame ``(sub, cands: array<struct<code, cent>>)`` ready to
-    broadcast into the assignment join (corpus side never shuffles).
-    Built from literal driver rows — broadcasting it does not re-scan
-    the corpus."""
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
 
-    if rows is None:
-        rows = pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
-    schema = StructType(
-        [
-            StructField("sub", IntegerType(), False),
-            StructField(
-                "cands",
-                ArrayType(
-                    StructType(
-                        [
-                            StructField("code", IntegerType(), False),
-                            StructField("cent", ArrayType(DoubleType()), False),
-                        ]
-                    )
-                ),
-                False,
-            ),
-        ]
+def _d(x: float) -> str:
+    """Shortest-repr double SQL literal — round-trips to the exact
+    same IEEE double when Spark's parser reads it back."""
+    return repr(float(x)) + "D"
+
+
+def _pq_best_sql(v_sql: str, sub: int, cands, d_sub: int) -> str:
+    """SQL for the (dist, code) struct of the nearest centroid in
+    subspace ``sub``: ``array_min`` over ``transform`` of the literal
+    candidate array, distance via ``zip_with``+``aggregate`` — the
+    same left-associated IEEE chain and (rounded dist, code)
+    tie-break as the joined form this replaces.
+
+    Emitted as ONE SQL string (parsed JVM-side in a single call)
+    because building the equivalent unrolled Column tree in Python
+    costs ~10 s of py4j round trips per query and overflows codegen
+    into slow interpreted eval; the HOF form stays compact and its
+    lambdas touch only attributes and the constant-folded candidate
+    literal. The raw float element is cast to double per element
+    (exact) — no whole-array cast that CollapseProject would inline
+    into every reference."""
+    items = ", ".join(
+        f"named_struct('code', {code}, 'cent', "
+        f"array({', '.join(_d(x) for x in cent)}))"
+        for code, cent in cands
     )
-    return embeddings.sparkSession.createDataFrame(rows, schema)
+    sv = f"slice({v_sql}, {sub * d_sub + 1}, {d_sub})"
+    return (
+        f"array_min(transform(array({items}), c -> named_struct("
+        f"'dist', round(aggregate(zip_with({sv}, c.cent, "
+        f"(a, b) -> (cast(a AS double) - b) * (cast(a AS double) - b)), "
+        f"0.0D, (acc, x) -> acc + x) + 1e-9, 6), "
+        f"'code', c.code)))"
+    )
 
 
 def pq_codes(
@@ -669,7 +648,7 @@ def pq_codes(
     dim: int = 64,
     n_sub: int = 8,
     n_codes: int = 16,
-    codebook: DataFrame | None = None,
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: each vector compresses to
     ``n_sub`` one-byte codes — the nearest codebook centroid per
@@ -677,52 +656,40 @@ def pq_codes(
     → 8 bytes: a 32× memory cut that lets a 100 TB embedding corpus
     sit in RAM-resident ANN indexes.
 
-    Shape: corpus → ``posexplode`` into (vec, sub) rows (narrow, no
-    shuffle), broadcast-join the 8-row literal codebook, argmin over
-    the 16 in-row candidates via ``array_min`` on (dist, code)
-    structs — all JVM higher-order functions, zero Python, ONE corpus
-    scan and zero exchanges beyond the broadcast. Returns (id, sub,
-    code, dist) with dist rounded at 6 decimals (the argmin key,
-    cross-engine stable). Pass ``codebook`` to share one collected
-    codebook across the encode and search stages.
+    Shape: the driver-literal codebook is folded INTO the projection
+    (constant-folded candidate arrays — see :func:`_pq_best_sql`), so
+    each row computes its 8 (code, dist) structs in one pass and
+    ``posexplode`` emits them: ONE corpus scan, zero joins, zero
+    exchanges, zero Python. (The previous
+    posexplode→broadcast-join→array_min form produced identical
+    values but shipped every sub-row through a join.)
+    Returns (id, sub, code, dist) with dist rounded at 6 decimals
+    (the argmin key, cross-engine stable). Pass ``codebook_rows`` to
+    share one collected codebook across encode and search stages.
     """
     d_sub = dim // n_sub
-    cb = codebook if codebook is not None else pq_codebook(
-        embeddings, id_col, vec_col, dim, n_sub, n_codes
+    rows = (
+        codebook_rows
+        if codebook_rows is not None
+        else pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
     )
-    slices = F.array(
-        *[F.slice("v", s * d_sub + 1, d_sub) for s in range(n_sub)]
+    per_sub = F.expr(
+        "array("
+        + ", ".join(_pq_best_sql(f"`{vec_col}`", s, cands, d_sub) for s, cands in rows)
+        + ")"
     )
-    vs = embeddings.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
-    ).select(F.col(id_col), F.posexplode(slices).alias("sub", "sv"))
-    best = F.array_min(
-        F.transform(
-            "cands",
-            lambda c: F.struct(
-                F.round(
-                    _sq_l2_chain(F.col("sv"), c["cent"], d_sub)
-                    + F.lit(1e-9),
-                    6,
-                ).alias("dist"),
-                c["code"].alias("code"),
-            ),
-        )
-    )
-    return (
-        vs.join(F.broadcast(cb), on="sub")
-        .select(F.col(id_col), "sub", best.alias("_b"))
-        .select(
-            F.col(id_col),
-            "sub",
-            F.col("_b.code").alias("code"),
-            F.col("_b.dist").alias("dist"),
-        )
+    return embeddings.select(
+        F.col(id_col), F.posexplode(per_sub).alias("sub", "_b")
+    ).select(
+        F.col(id_col),
+        "sub",
+        F.col("_b.code").alias("code"),
+        F.col("_b.dist").alias("dist"),
     )
 
 
 def _pq_l2_chain_py(a: list[float], b: list[float]) -> float:
-    """Driver-side twin of :func:`_sq_l2_chain`: the same
+    """Driver-side twin of :func:`_sq_l2_lit_chain`: the same
     left-associated (x−y)·(x−y) addition chain over IEEE doubles —
     python floats ARE doubles, so the result is bit-identical to the
     JVM/DuckDB evaluation of the same chain."""
@@ -731,31 +698,6 @@ def _pq_l2_chain_py(a: list[float], b: list[float]) -> float:
         total += (x - y) * (x - y)
     return total
 
-
-def _pq_adc_lut(spark, cb_rows) -> DataFrame:
-    """The query-to-centroid ADC lookup table (n_sub × n_codes rows)
-    as literal driver rows: query = the code-0 seed subvector per
-    subspace. Broadcasting it costs nothing — no corpus subplan."""
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    data = []
-    for sub, cands in cb_rows:
-        qcent = cands[0][1]  # code 0 = the query seed
-        for code, cent in cands:
-            data.append((sub, code, _pq_l2_chain_py(qcent, cent)))
-    schema = StructType(
-        [
-            StructField("sub", IntegerType(), False),
-            StructField("code", IntegerType(), False),
-            StructField("qdist", DoubleType(), False),
-        ]
-    )
-    return spark.createDataFrame(data, schema)
 
 
 def pq_adc_topk(
@@ -775,46 +717,48 @@ def pq_adc_topk(
     100 TB the scan reads 8-byte codes + a broadcast table instead of
     256-byte vectors.
 
-    The per-vector sum pivots the 8 looked-up distances into fixed
-    columns and adds them in a fixed chain (not a groupBy-sum whose
-    float order is nondeterministic), keeping the top-k selection
-    engine-portable. Returns the ``k`` nearest (id, adc_dist).
+    The per-vector sum adds the 8 looked-up distances in a fixed
+    chain (not a groupBy-sum whose float order is nondeterministic),
+    keeping the top-k selection engine-portable. Returns the ``k``
+    nearest (id, adc_dist).
 
-    The codebook is collected ONCE (n_codes rows) and the 128-row
-    lookup table is computed at the driver with the identical
-    left-associated IEEE chain as :func:`_sq_l2_chain` — bit-equal
-    doubles, so the oracle identity is unchanged while the corpus is
-    scanned exactly once (lazily-built broadcasts re-ran the seed
-    TakeOrdered scan per broadcast).
+    The codebook is collected ONCE (n_codes rows); both the per-sub
+    code argmin and the LUT lookup are folded into ONE narrow
+    projection as literals (``element_at`` on a 16-double literal
+    array indexed by the in-row code), so the whole search plans as
+    scan → project → TakeOrdered: zero joins, zero shuffles. The LUT
+    is computed at the driver with the identical left-associated IEEE
+    chain as :func:`_sq_l2_lit_chain` — bit-equal doubles, so the oracle
+    identity is unchanged.
     """
+    d_sub = dim // n_sub
     cb_rows = pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
-    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes, rows=cb_rows)
-    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes, codebook=cb)
-    lut = _pq_adc_lut(embeddings.sparkSession, cb_rows)
-    pivoted = (
-        codes.join(F.broadcast(lut), on=["sub", "code"])
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == s, F.col("qdist"))).alias(
-                    f"_d{s}"
-                )
-                for s in range(n_sub)
-            ]
-        )
-    )
-    total = None
-    for s in range(n_sub):
-        c = F.col(f"_d{s}")
-        total = c if total is None else total + c
     return (
-        pivoted.select(
-            F.col(id_col),
-            F.round(total + F.lit(1e-9), 6).alias("adc_dist"),
+        embeddings.select(
+            F.col(id_col), _adc_dist_inrow(cb_rows, d_sub, vec_col)
         )
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def _adc_dist_inrow(cb_rows, d_sub: int, vec_col: str) -> Column:
+    """The ADC distance of the raw vector column as one in-row
+    expression: per subspace, argmin code against the literal
+    codebook (:func:`_pq_best_sql`), then a literal-array LUT lookup
+    of the query→centroid distance; the 8 lookups summed in a fixed
+    left-associated chain and rounded like the joined/pivoted form
+    this replaces. One ``F.expr`` parse — see :func:`_pq_best_sql`
+    for why the SQL-string form."""
+    terms = []
+    for s, cands in cb_rows:
+        qcent = cands[0][1]  # code 0 = the query seed subvector
+        lut = "array(" + ", ".join(
+            _d(_pq_l2_chain_py(qcent, cent)) for _code, cent in cands
+        ) + ")"
+        best = _pq_best_sql(f"`{vec_col}`", s, cands, d_sub)
+        terms.append(f"element_at({lut}, {best}.code + 1)")
+    return F.expr(f"round({' + '.join(terms)} + 1e-9, 6)").alias("adc_dist")
 
 
 def ivfpq_adc_topk(
@@ -843,22 +787,19 @@ def ivfpq_adc_topk(
     remove candidates, never reorder survivors (asserted in tests).
 
     Codebook and ADC table are collected/computed once at the driver
-    (see :func:`pq_adc_topk`) — the corpus is scanned once for the
-    cell+code index, plus the bounded k-means sample.
+    (see :func:`pq_adc_topk`); the cell id comes from the same
+    Arrow-batched assignment pass the IVF index build uses, attached
+    IN the scan row — so the whole search is scan → assign (narrow
+    Arrow) → project → optional broadcast probe-filter →
+    TakeOrdered, with no corpus self-join and no pivot shuffle.
     """
+    d_sub = dim // n_sub
     cents = kmeans_centroids(
         embeddings, k=n_cells, iters=5, seed=42, vec_col=vec_col
     )
-    cells = assign_ivf_buckets(embeddings, cents, vec_col=vec_col, nprobe=1)
+    bucketed = assign_ivf_buckets(embeddings, cents, vec_col=vec_col, nprobe=1)
     cb_rows = pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
-    cb = pq_codebook(embeddings, id_col, vec_col, dim, n_sub, n_codes, rows=cb_rows)
-    codes = pq_codes(embeddings, id_col, vec_col, dim, n_sub, n_codes, codebook=cb)
-    indexed = codes.join(
-        cells.select(F.col(id_col), "ivf_bucket"), on=id_col
-    )
-    if nprobe is None:
-        scan = indexed  # full probe: provably identical to pq_adc_topk
-    else:
+    if nprobe is not None:
         # probe the nprobe cells nearest the QUERY (the code-0 seed)
         h = F.md5(F.col(id_col).cast("string"))
         seed1 = embeddings.orderBy(h, F.col(id_col)).limit(1)
@@ -867,28 +808,10 @@ def ivfpq_adc_topk(
             .select("ivf_bucket")
             .distinct()
         )
-        scan = indexed.join(F.broadcast(probe_cells), on="ivf_bucket")
-    lut = _pq_adc_lut(embeddings.sparkSession, cb_rows)
-    pivoted = (
-        scan.join(F.broadcast(lut), on=["sub", "code"])
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == s, F.col("qdist"))).alias(
-                    f"_d{s}"
-                )
-                for s in range(n_sub)
-            ]
-        )
-    )
-    total = None
-    for s in range(n_sub):
-        c = F.col(f"_d{s}")
-        total = c if total is None else total + c
+        bucketed = bucketed.join(F.broadcast(probe_cells), on="ivf_bucket")
     return (
-        pivoted.select(
-            F.col(id_col),
-            F.round(total + F.lit(1e-9), 6).alias("adc_dist"),
+        bucketed.select(
+            F.col(id_col), _adc_dist_inrow(cb_rows, d_sub, vec_col)
         )
         .orderBy("adc_dist", id_col)
         .limit(k)
