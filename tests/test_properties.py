@@ -124,3 +124,116 @@ def test_ewma_bounded_by_window_extremes(spark, values):
     for t in range(len(values)):
         window = values[max(0, t - 7) : t + 1]
         assert min(window) - 1e-5 <= out[t] <= max(window) + 1e-5
+
+
+_QWORDS = ["a", "bb", "ccc", "the", "of", "with", "x#y", "....", "Mix", "zz9"]
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QWORDS), min_size=1, max_size=40),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_dup_line_features_match_python(spark, docs_toks):
+    """For ANY token stream the zero-shuffle run-length fold equals
+    the obvious Counter-based line accounting (every copy of a
+    duplicated line counted, chars weighted by line length)."""
+    from collections import Counter
+
+    from weather4cast_bigdata_spark.operators.curate_ext import dup_line_features
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_line_features(df, line_tokens=3).collect()}
+    for i, toks in enumerate(docs_toks):
+        tl = [t.lower() for t in toks]
+        lines = [" ".join(tl[j : j + 3]) for j in range(0, len(tl), 3)]
+        c = Counter(lines)
+        dup_lines = sum(v for v in c.values() if v > 1)
+        dup_chars = sum(v * len(ln) for ln, v in c.items() if v > 1)
+        total_chars = sum(len(ln) for ln in lines)
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.dup_lines == dup_lines
+        assert r.dup_line_frac == dup_lines / len(lines)
+        assert r.dup_line_char_frac == dup_chars / total_chars
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QWORDS), min_size=1, max_size=40),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_top_ngram_char_frac_matches_python(spark, docs_toks):
+    """The sorted-shingle argmax fold equals the Counter argmax with
+    (count desc, shingle asc) tie-break for ANY token stream."""
+    from collections import Counter
+
+    from weather4cast_bigdata_spark.operators.curate_ext import top_ngram_char_frac
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in top_ngram_char_frac(df, n=2).collect()}
+    for i, toks in enumerate(docs_toks):
+        tl = [t.lower() for t in toks]
+        r = got[i]
+        if len(tl) < 2:
+            assert r.top_ngram is None and r.top_tf == 0
+            assert r.top_ngram_char_frac == 0.0
+            continue
+        c = Counter(tl[j] + " " + tl[j + 1] for j in range(len(tl) - 1))
+        top, tf = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        n_chars = len(" ".join(tl))
+        assert (r.top_ngram, r.top_tf) == (top, tf)
+        assert r.top_ngram_char_frac == tf * len(top) / n_chars
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_QWORDS), min_size=1, max_size=60),
+        min_size=1, max_size=12,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_gopher_features_match_python(spark, docs_toks):
+    """Every Gopher feature column equals the direct Python
+    computation for ANY token stream (ratios are exact-int IEEE
+    divisions, so equality is exact, not approximate)."""
+    import re as _re
+
+    from weather4cast_bigdata_spark.operators.curate_ext import (
+        GOPHER_STOPWORDS,
+        gopher_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_features(df).collect()}
+    for i, toks in enumerate(docs_toks):
+        text = " ".join(toks)
+        tl = [t.lower() for t in toks]
+        n = len(tl)
+        r = got[i]
+        assert r.n_words == n
+        assert r.mean_word_len == sum(len(t) for t in tl) / n
+        n_symbol = text.count("#") + len(_re.findall(r"\.\.\.", text))
+        assert r.symbol_ratio == n_symbol / n
+        assert r.alpha_frac == sum(1 for t in tl if _re.search("[a-z]", t)) / n
+        assert r.stop_hits == len(set(tl) & set(GOPHER_STOPWORDS))
+        assert r.keep == (
+            35 <= n <= 100_000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.symbol_ratio <= 0.1
+            and r.alpha_frac >= 0.80
+            and r.stop_hits >= 2
+        )
