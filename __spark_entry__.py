@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # they exist to convert the rows-only families into hash evidence —
 # then the r3 PQ/Bloom/CMS/LSH-sink wave, then the 8 new
 # conversions) + the 22 stalest r1-verified queries for
-# re-verification.  The 9 genuinely rows-only entries (RNG order /
+# re-verification.  The 8 genuinely rows-only entries (RNG order /
 # sketch estimates / k-means training / RNG fixtures) are pinned to
 # the END of the ordering so they never burn a window slot — each is
 # covered by a hash-verified sibling or invariant tests
@@ -68,6 +68,7 @@ _ROUND4_PRIORITY = [
     # -- r4 additions -----------------------------------------------------
     "streaming_lsh_ingest",
     "text_gopher_rules",
+    "text_c4_rules",
     "text_dup_line_fraction",
     "text_top_ngram_char_frac",
     "text_url_dedup",
@@ -80,6 +81,7 @@ _ROUND4_PRIORITY = [
     "udf_vectorized_kernel",
     "multimodal_image_features",
     "multimodal_audio_features",
+    "sink_quantized_partitioned",
     # -- re-verification: stalest r1-verified backlog (22 slots) ---------
     "flagship_evaluate",
     "scan_file_index",
@@ -96,8 +98,6 @@ _ROUND4_PRIORITY = [
     "agg_gram_matrix",
     "agg_weighted_multiloss",
     "agg_correlation_matrix",
-    "window_past_sequence",
-    "window_future_horizon",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r1 backlog, then r2/r3-verified queries (newest last),
     # then the 9 rows-only entries dead last (never in a window).
@@ -110,7 +110,6 @@ _ROWS_ONLY_LAST = [
     "quality_model_filter",
     "shuffle_seeded",
     "sim_ivf_topk",
-    "sink_quantized_partitioned",
     "solve_ridge",
     "solve_ridge_sum1",
 ]

@@ -102,6 +102,7 @@ SHAPES = [
     # is ensure_min_parallelism's small-input repartition); URL dedup
     # is exactly one canonical-key shuffle on top of it
     ("text_gopher_rules", 1, 0),
+    ("text_c4_rules", 1, 0),
     ("text_dup_line_fraction", 1, 0),
     ("text_top_ngram_char_frac", 1, 0),
     ("text_url_dedup", 2, 0),

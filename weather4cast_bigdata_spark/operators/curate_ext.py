@@ -674,3 +674,34 @@ def url_dedup(
             F.regexp_extract(F.col("canonical_url"), r"^[a-z0-9+.-]+://([^/?#]*)", 1),
         )
     )
+
+
+def c4_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 cleanup-rule battery (Raffel et al. 2020 §2.2): per-doc
+    sentence count (segments between terminal punctuation),
+    terminal-punctuation ending, and the lorem-ipsum / curly-brace /
+    javascript blocklist flags, with the conjunctive keep decision.
+    Zero-shuffle narrow projection — pure codegen over the corpus
+    scan at any scale."""
+    t = F.col(text_col)
+    sentences = F.filter(
+        F.split(t, r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.size(sentences)
+    has_lorem = t.contains("lorem ipsum")
+    has_brace = t.contains("{")
+    has_js = F.lower(t).contains("javascript")
+    ends_terminal = F.trim(t).rlike(r"[.!?]$")
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        n_sent.cast("bigint").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_js"),
+        ends_terminal.alias("ends_terminal"),
+        (
+            (n_sent >= 3) & ~has_lorem & ~has_brace & ~has_js & ends_terminal
+        ).alias("keep"),
+    )

@@ -1,5 +1,5 @@
-"""Round-4 curation-quality registry entries: the Gopher rule
-battery, line/n-gram repetition fractions, and canonical-URL dedup.
+"""Round-4 curation-quality registry entries: the Gopher and C4 rule
+batteries, line/n-gram repetition fractions, and canonical-URL dedup.
 
 These complete the published quality-filter set next to
 ``text_quality_score`` / ``text_repetition_score`` (Rae et al. 2021
@@ -218,3 +218,66 @@ def q_text_url_dedup(spark, sf_dir):
     return curate_ext.url_dedup(
         docs.select("doc_id", _synth_url_spark().alias("url"))
     )
+
+
+# C4 rule battery (Raffel et al. 2020 §2.2 heuristics). The fixture
+# text is punctuation-free word soup, so a deterministic sentence
+# suffix per doc exercises both branches of every flag (precedent:
+# text_pii_redact's synthesized PII): doc_id % 3 controls terminal
+# punctuation, doc_id % 5 injects the blocklist tokens.
+_C4_SYNTH_SQL = """
+    text || CASE doc_id % 3
+        WHEN 0 THEN '. Second sentence here. And a third one.'
+        WHEN 1 THEN '. Short tail'
+        ELSE ' no terminal punct' END
+    || CASE doc_id % 5
+        WHEN 0 THEN ' lorem ipsum filler'
+        WHEN 1 THEN ' curly { brace'
+        WHEN 2 THEN ' enable javascript now'
+        ELSE '' END
+"""
+
+
+@qdef(
+    "text_c4_rules",
+    oracle=rf"""
+    WITH synth AS (SELECT doc_id, {_C4_SYNTH_SQL} AS t FROM documents),
+    f AS (
+        SELECT doc_id, t,
+               len(list_filter(string_split_regex(t, '[.!?]+'),
+                               s -> trim(s) <> '')) AS n_sentences,
+               (t LIKE '%lorem ipsum%') AS has_lorem,
+               (t LIKE '%{{%') AS has_brace,
+               contains(lower(t), 'javascript') AS has_js,
+               (regexp_matches(trim(t), '[.!?]$')) AS ends_terminal
+        FROM synth
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           has_lorem, has_brace, has_js, ends_terminal,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+            AND NOT has_js AND ends_terminal) AS keep
+    FROM f
+    """,
+)
+def q_text_c4_rules(spark, sf_dir):
+    """C4 cleanup-rule battery (Raffel et al. 2020 §2.2): sentence
+    count >= 3, terminal-punctuation ending, and the lorem-ipsum /
+    curly-brace / javascript blocklist screens, as per-rule flags +
+    conjunctive keep. Zero-shuffle narrow projection over the
+    synthesized-suffix text (both branches of every flag live)."""
+    docs = _t(spark, sf_dir, "documents")
+    m3, m5 = F.col("doc_id") % 3, F.col("doc_id") % 5
+    t = F.concat(
+        F.col("text"),
+        F.when(m3 == 0, F.lit(". Second sentence here. And a third one."))
+        .when(m3 == 1, F.lit(". Short tail"))
+        .otherwise(F.lit(" no terminal punct")),
+        F.when(m5 == 0, F.lit(" lorem ipsum filler"))
+        .when(m5 == 1, F.lit(" curly { brace"))
+        .when(m5 == 2, F.lit(" enable javascript now"))
+        .otherwise(F.lit("")),
+    )
+    from weather4cast_bigdata_spark.operators import curate_ext
+
+    return curate_ext.c4_rules(docs.select("doc_id", t.alias("t")), text_col="t")

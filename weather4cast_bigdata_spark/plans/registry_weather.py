@@ -186,13 +186,44 @@ def q_scan_static_raw(spark, sf_dir):
     return netcdf.scan_static_raw(spark, f"{lake}/nav/*_elevation.dat", grid=_LAKE_GRID)
 
 
-@qdef("sink_quantized_partitioned")
+@qdef(
+    "sink_quantized_partitioned",
+    oracle=f"""
+    WITH decoded AS (SELECT * FROM ({_FRAME_DECODE_ORACLE})),
+    meta(variable, valid_lo, valid_hi, quant_hi) AS (
+        VALUES ('temperature', 0.0, 22000.0, 65535),
+               ('crr_intensity', 0.0, 500.0, 65535)),
+    n AS (
+        SELECT d.region, d.variable, d.ts, d.y, d.x,
+               least((CAST(d.value AS DOUBLE) - m.valid_lo)
+                     / (m.valid_hi - m.valid_lo), 1.0) AS norm,
+               m.quant_hi
+        FROM decoded d JOIN meta m USING (variable)
+    )
+    SELECT region, variable, ts, y, x,
+           CAST(floor(norm * quant_hi + 0.5) AS INT) AS qv,
+           CAST(strftime(CASE WHEN hour(ts) = 0 AND minute(ts) = 0
+                              THEN ts - INTERVAL 1 DAY ELSE ts END,
+                         '%Y%j') AS INT) AS day
+    FROM n
+    """,
+)
 def q_sink_quantized_partitioned(spark, sf_dir):
-    """Quantize + per-(region, day) partitioned compressed sink, read
-    back (datasets.py:379-394,444-459; HDF5/gzip-9 → parquet/zstd,
-    uint16 stored as int32 per SURVEY.md §4)."""
+    """Quantize + per-(region, day) partitioned compressed sink, READ
+    BACK and driver-hash-checked (datasets.py:379-394,444-459;
+    HDF5/gzip-9 → parquet/zstd, uint16 stored as int32 per SURVEY.md
+    §4). Sources the md5-derived decoded frame lake (the
+    ``scan_netcdf_decode`` fixture) so the whole chain — decode,
+    normalize (clamped into the decode contract's [0,1]), impute,
+    half-up quantize, day-boundary stamp, partitioned write, parquet
+    read-back with partition-column recovery — is restated in SQL:
+    the oracle proves the SINK round-trip, not just the arithmetic
+    (the half-even quirk is pinned separately by
+    ``quantize_halfeven_parity``)."""
+    frames = _decoded_fixture_frames(spark)
     fx = weather_fixtures.load_fixtures(spark)
-    dec = weather.impute(weather.decode_normalize(fx["frames"], fx["variable_meta"]))
+    dec = weather.impute(weather.decode_normalize(frames, fx["variable_meta"]))
+    dec = dec.withColumn("norm", F.least(F.col("norm"), F.lit(1.0)))
     q = weather.quantize_for_submission(dec, fx["variable_meta"])
     # Fresh dir per call: overwriting a shared path would invalidate
     # the file listing of DataFrames returned by earlier calls.
