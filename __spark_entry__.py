@@ -67,6 +67,7 @@ _ROUND4_PRIORITY = [
     "project_pivot_wide",
     # -- r4 additions -----------------------------------------------------
     "streaming_lsh_ingest",
+    "sink_ivfpq_index",
     "text_gopher_rules",
     "text_c4_rules",
     "text_dup_line_fraction",
@@ -97,10 +98,9 @@ _ROUND4_PRIORITY = [
     "agg_mean_nonfill",
     "agg_gram_matrix",
     "agg_weighted_multiloss",
-    "agg_correlation_matrix",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r1 backlog, then r2/r3-verified queries (newest last),
-    # then the 9 rows-only entries dead last (never in a window).
+    # then the 8 rows-only entries dead last (never in a window).
 ]
 
 _ROWS_ONLY_LAST = [

@@ -80,6 +80,7 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "sink_lsh_index",
+    "sink_ivfpq_index",
     "text_heavy_hitters_cms",
     # r4 curation-quality battery: three zero-shuffle per-doc scorers
     # represented by the rule battery, plus the canonical-URL dedup's

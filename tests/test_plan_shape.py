@@ -97,6 +97,8 @@ SHAPES = [
     ("embed_pq_codes", 0, 0),
     ("sim_pq_adc_topk", 0, 0),
     ("sim_ivfpq_topk", 0, 0),
+    # stored-index search: scan of the persisted code lake -> project -> TakeOrdered
+    ("sink_ivfpq_index", 0, 0),
     # r4 curation-quality battery — the three per-doc scorers are
     # run-length folds / narrow projections (the 1 allowed exchange
     # is ensure_min_parallelism's small-input repartition); URL dedup

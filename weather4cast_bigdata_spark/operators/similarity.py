@@ -816,3 +816,54 @@ def ivfpq_adc_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def pq_codes_wide(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    codebook_rows: list | None = None,
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """PQ encode in the WIDE storage layout — one ``code_{s}`` int
+    column per subspace instead of exploded (sub, code) rows. This is
+    what a persisted PQ index actually stores (8 bytes per vector, no
+    row-count blowup) and what lets ADC search over STORED codes stay
+    a narrow projection. Same in-row literal-codebook argmin as
+    :func:`pq_codes` (shared ``_pq_best_sql``), zero joins/exchanges.
+    """
+    d_sub = dim // n_sub
+    rows = (
+        codebook_rows
+        if codebook_rows is not None
+        else pq_codebook_rows(embeddings, id_col, vec_col, dim, n_sub, n_codes)
+    )
+    return embeddings.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[
+            F.expr(f"{_pq_best_sql(f'`{vec_col}`', s, cands, d_sub)}.code").alias(
+                f"code_{s}"
+            )
+            for s, cands in rows
+        ],
+    )
+
+
+def adc_from_stored_codes(cb_rows) -> Column:
+    """ADC distance recomputed from STORED wide PQ codes (``code_{s}``
+    columns) — the search-over-persisted-index path: 8 literal-array
+    lookups summed in the same fixed chain (and rounding) as
+    :func:`_adc_dist_inrow`, so full-probe search over the stored
+    index is bit-identical to in-memory exhaustive ADC."""
+    terms = []
+    for s, cands in cb_rows:
+        qcent = cands[0][1]
+        lut = "array(" + ", ".join(
+            _d(_pq_l2_chain_py(qcent, cent)) for _code, cent in cands
+        ) + ")"
+        terms.append(f"element_at({lut}, code_{s} + 1)")
+    return F.expr(f"round({' + '.join(terms)} + 1e-9, 6)").alias("adc_dist")

@@ -2297,6 +2297,66 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     return similarity.ivfpq_adc_topk(emb, k=10, nprobe=None)
 
 
+@qdef(
+    "sink_ivfpq_index",
+    # full-probe search over the STORED index is provably identical to
+    # exhaustive ADC, so the round-trip shares sim_pq_adc_topk's oracle
+    oracle=None,  # bound below once sim_pq_adc_topk is registered
+)
+def q_sink_ivfpq_index(spark, sf_dir):
+    """Persisted IVF-PQ index lifecycle — the production ANN storage
+    path end-to-end: every corpus vector gets its k-means cell and
+    its 8 WIDE PQ code columns (8 bytes/vector — what the index
+    actually stores), the codes are WRITTEN
+    ``partitionBy("ivf_bucket")`` (the cell layout IS the index),
+    read back, and searched from the STORED codes alone via the
+    constant-folded ADC table — the raw vectors are never touched at
+    search time. Full probe ⇒ hash-identical to exhaustive ADC
+    (shares sim_pq_adc_topk's oracle — the lossless-round-trip proof,
+    sink_ivf_index pattern); a 2-cell partial probe is asserted
+    inline to plan with parquet PartitionFilters, so at 100 TB a
+    probe reads nprobe/n_cells of 8-byte rows. See
+    operators/similarity.py:pq_codes_wide / adc_from_stored_codes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5, seed=42)
+    cb_rows = similarity.pq_codebook_rows(emb)
+    bucketed = similarity.assign_ivf_buckets(emb, cents, nprobe=1)
+    wide = similarity.pq_codes_wide(
+        bucketed, codebook_rows=cb_rows, keep_cols=("ivf_bucket",)
+    )
+    out = scratch_dir("w4c_ivfpq")
+    # one writer task per cell dir (not input-partitions × cells files)
+    wide.repartition("ivf_bucket").write.mode("overwrite").partitionBy(
+        "ivf_bucket"
+    ).parquet(out)
+    lake = spark.read.parquet(out)
+    # partition-pruning proof on a 2-cell probe of the stored index
+    probe_plan = (
+        lake.where(F.col("ivf_bucket").isin(0, 1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in probe_plan and "ivf_bucket" in probe_plan, (
+        "stored IVF-PQ probe did not plan with partition pruning"
+    )
+    return (
+        lake.select("vec_id", similarity.adc_from_stored_codes(cb_rows))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+# bind the shared oracle now that both entries exist (dataclass is
+# frozen — rebuild the entry rather than mutating it)
+REGISTRY["sink_ivfpq_index"] = QueryDef(
+    "sink_ivfpq_index",
+    REGISTRY["sink_ivfpq_index"].fn,
+    REGISTRY["sim_pq_adc_topk"].oracle,
+    REGISTRY["sink_ivfpq_index"].doc,
+)
+
+
 _H64_SQL = "CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 _QUALITY_SQL = r"""
