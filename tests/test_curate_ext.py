@@ -502,3 +502,44 @@ def test_ivfpq_full_probe_matches_adc_and_partial_is_monotone(spark):
         assert (r["vec_id"], r["adc_dist"]) in exhaustive
         if i < len(full):
             assert r["adc_dist"] >= full[i]["adc_dist"] - 1e-9
+
+
+def test_pq_codes_wide_matches_exploded_and_stored_adc(spark, tmp_path):
+    """The wide (code_0..code_7) encode must agree column-for-column
+    with the exploded pq_codes layout, and ADC recomputed from codes
+    STORED through a partitioned parquet round trip must equal the
+    in-memory in-row ADC for every vector — the sink_ivfpq_index
+    lossless-round-trip invariant at unit scale."""
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb_rows = similarity.pq_codebook_rows(emb)
+    wide = similarity.pq_codes_wide(emb, codebook_rows=cb_rows)
+    exploded = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in similarity.pq_codes(emb, codebook_rows=cb_rows).collect()
+    }
+    for r in wide.collect():
+        for s in range(8):
+            assert r[f"code_{s}"] == exploded[(r["vec_id"], s)]
+
+    cents = similarity.kmeans_centroids(emb, k=4, iters=3, seed=42)
+    bucketed = similarity.assign_ivf_buckets(emb, cents, nprobe=1)
+    idx = similarity.pq_codes_wide(
+        bucketed, codebook_rows=cb_rows, keep_cols=("ivf_bucket",)
+    )
+    out = str(tmp_path / "ivfpq")
+    idx.repartition("ivf_bucket").write.partitionBy("ivf_bucket").parquet(out)
+    stored = {
+        r["vec_id"]: r["adc_dist"]
+        for r in spark.read.parquet(out)
+        .select("vec_id", similarity.adc_from_stored_codes(cb_rows))
+        .collect()
+    }
+    in_memory = {
+        r["vec_id"]: r["adc_dist"]
+        for r in similarity.pq_adc_topk(emb, k=emb.count()).collect()
+    }
+    assert stored == in_memory
