@@ -30,11 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the registry's oracle-bearing queries, 0 value failures.  Round 3
 # converted 8 more rows-only entries to oracle rows (md5-restatable
 # fixtures / fixed-centroid IVF recall), leaving 28 oracle-bearing
-# queries with no driver row.  This round's first-50 window = all 28
-# never-verified (the 9 registry_verified.py hash-siblings first —
-# they exist to convert the rows-only families into hash evidence —
-# then the r3 PQ/Bloom/CMS/LSH-sink wave, then the 8 new
-# conversions) + the 22 stalest r1-verified queries for
+# queries with no driver row.  This round's first-50 window = all
+# never-verified queries (the 9 registry_verified.py hash-siblings
+# first — they exist to convert the rows-only families into hash
+# evidence — then the r3 PQ/Bloom/CMS/LSH-sink wave, then the round-4
+# additions and rows-only→oracle conversions) + the stalest
+# r1-verified queries filling the remaining slots for
 # re-verification.  The 8 genuinely rows-only entries (RNG order /
 # sketch estimates / k-means training / RNG fixtures) are pinned to
 # the END of the ordering so they never burn a window slot — each is
