@@ -74,6 +74,7 @@ _ROUND4_PRIORITY = [
     "text_dup_line_fraction",
     "text_top_ngram_char_frac",
     "text_url_dedup",
+    "curation_quality_gate",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -84,7 +85,7 @@ _ROUND4_PRIORITY = [
     "multimodal_image_features",
     "multimodal_audio_features",
     "sink_quantized_partitioned",
-    # -- re-verification: stalest r1-verified backlog (22 slots) ---------
+    # -- re-verification: stalest r1-verified backlog fills the rest -----
     "flagship_evaluate",
     "scan_file_index",
     "scan_fallback_source",
@@ -98,7 +99,6 @@ _ROUND4_PRIORITY = [
     "join_fallback_day",
     "agg_mean_nonfill",
     "agg_gram_matrix",
-    "agg_weighted_multiloss",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r1 backlog, then r2/r3-verified queries (newest last),
     # then the 8 rows-only entries dead last (never in a window).

@@ -87,6 +87,7 @@ HEADLINE = [
     # one-key shuffle.
     "text_gopher_rules",
     "text_url_dedup",
+    "curation_quality_gate",
 ]
 
 

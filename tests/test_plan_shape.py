@@ -108,6 +108,8 @@ SHAPES = [
     ("text_dup_line_fraction", 1, 0),
     ("text_top_ngram_char_frac", 1, 0),
     ("text_url_dedup", 2, 0),
+    # composed gate = ONE projection (no joins between battery outputs)
+    ("curation_quality_gate", 1, 0),
 ]
 
 

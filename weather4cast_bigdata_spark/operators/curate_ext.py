@@ -460,6 +460,45 @@ def inverted_index(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _gopher_exprs(
+    text_col: str, min_words: int, max_words: int
+) -> list:
+    """The Gopher battery's aliased output columns (shared by
+    :func:`gopher_features` and :func:`curation_quality_gate` so the
+    composed gate is the same single-pass projection)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = sum_len.cast("double") / n_tok
+    n_symbol = F.length(F.regexp_replace(F.col(text_col), r"[^#]", "")) + F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), F.lit(0))
+    )
+    symbol_ratio = n_symbol.cast("double") / n_tok
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = n_alpha.cast("double") / n_tok
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_mean_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_symbol = symbol_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.80
+    ok_stop = stop_hits >= 2
+    return [
+        n_tok.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbol.alias("ok_symbol"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mean_len & ok_symbol & ok_alpha & ok_stop).alias("keep"),
+    ]
+
+
 def gopher_features(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -483,37 +522,8 @@ def gopher_features(
     Ratios of exact integers are emitted raw (numeric policy #1: both
     engines divide the same ints to the same double).
     """
-    toks = tokens(F.lower(F.col(text_col)))
-    n_tok = F.size(toks)
-    sum_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
-    mean_len = sum_len.cast("double") / n_tok
-    n_symbol = F.length(F.regexp_replace(F.col(text_col), r"[^#]", "")) + F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"\.\.\."), F.lit(0))
-    )
-    symbol_ratio = n_symbol.cast("double") / n_tok
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    alpha_frac = n_alpha.cast("double") / n_tok
-    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
-    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
-    ok_mean_len = (mean_len >= 3.0) & (mean_len <= 10.0)
-    ok_symbol = symbol_ratio <= 0.1
-    ok_alpha = alpha_frac >= 0.80
-    ok_stop = stop_hits >= 2
     return ensure_min_parallelism(docs).select(
-        F.col(id_col),
-        n_tok.cast("bigint").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_frac"),
-        stop_hits.cast("bigint").alias("stop_hits"),
-        ok_words.alias("ok_words"),
-        ok_mean_len.alias("ok_mean_len"),
-        ok_symbol.alias("ok_symbol"),
-        ok_alpha.alias("ok_alpha"),
-        ok_stop.alias("ok_stop"),
-        (ok_words & ok_mean_len & ok_symbol & ok_alpha & ok_stop).alias("keep"),
+        F.col(id_col), *_gopher_exprs(text_col, min_words, max_words)
     )
 
 
@@ -539,6 +549,14 @@ def dup_line_features(
     run-length 2 with double weight (first copy retroactively
     counted), then once per further copy.
     """
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col), *_dup_line_exprs(text_col, line_tokens)
+    )
+
+
+def _dup_line_exprs(text_col: str, line_tokens: int) -> list:
+    """:func:`dup_line_features`'s aliased output columns (shared
+    with :func:`curation_quality_gate`)."""
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     n_lines = F.floor((n + line_tokens - 1) / line_tokens).cast("int")
@@ -568,15 +586,14 @@ def dup_line_features(
 
     st = F.aggregate(srt, init, step)
     total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
-    return ensure_min_parallelism(docs).select(
-        F.col(id_col),
+    return [
         n_lines.cast("bigint").alias("n_lines"),
         st["dup_lines"].cast("bigint").alias("dup_lines"),
         (st["dup_lines"].cast("double") / n_lines).alias("dup_line_frac"),
         F.try_divide(st["dup_chars"].cast("double"), total_chars).alias(
             "dup_line_char_frac"
         ),
-    )
+    ]
 
 
 def top_ngram_char_frac(
@@ -595,6 +612,14 @@ def top_ngram_char_frac(
     sorted array), which the SQL oracle reproduces with
     ``ORDER BY tf DESC, shingle``.
     """
+    return ensure_min_parallelism(docs).select(
+        F.col(id_col), *_top_ngram_exprs(text_col, n)
+    )
+
+
+def _top_ngram_exprs(text_col: str, n: int) -> list:
+    """:func:`top_ngram_char_frac`'s aliased output columns (shared
+    with :func:`curation_quality_gate`)."""
     toks = tokens(F.lower(F.col(text_col)))
     sh = word_shingles(toks, n)
     srt = F.array_sort(sh)
@@ -621,12 +646,11 @@ def top_ngram_char_frac(
         st["maxrun"] > 0,
         st["maxrun"] * F.length(st["argmax"]) / n_chars.cast("double"),
     ).otherwise(F.lit(0.0))
-    return ensure_min_parallelism(docs).select(
-        F.col(id_col),
+    return [
         st["argmax"].alias("top_ngram"),
         st["maxrun"].cast("bigint").alias("top_tf"),
         frac.alias("top_ngram_char_frac"),
-    )
+    ]
 
 
 def canonicalize_url(url):
@@ -704,4 +728,66 @@ def c4_rules(
         (
             (n_sent >= 3) & ~has_lorem & ~has_brace & ~has_js & ends_terminal
         ).alias("keep"),
+    )
+
+
+def curation_quality_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 35,
+    max_words: int = 100_000,
+    line_tokens: int = 8,
+    ngram_n: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_top_ngram_char_frac: float = 0.20,
+) -> DataFrame:
+    """The composed production quality gate: the full Gopher rule
+    battery PLUS the paper's repetition thresholds (duplicate-line
+    fraction <= 0.30, top-bigram character fraction <= 0.20) in ONE
+    zero-shuffle projection — every signal is a pure function of the
+    text column, so the whole published filter stack costs a single
+    codegen pass over the corpus scan at any scale (no joins between
+    per-battery outputs, which is what naively composing the three
+    operators would cost).
+
+    Emits per-rule flags, the conjunctive ``keep``, and
+    ``drop_reason`` — the FIRST failing rule in a fixed audit order
+    (word_count, mean_word_len, symbol_ratio, alpha_frac, stopwords,
+    dup_lines, top_ngram) — the column a curation dashboard actually
+    aggregates on.
+    """
+    feats = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        *_gopher_exprs(text_col, min_words, max_words)[:10],
+        *_dup_line_exprs(text_col, line_tokens),
+        *_top_ngram_exprs(text_col, ngram_n),
+    )
+    ok_dup = F.col("dup_line_frac") <= max_dup_line_frac
+    ok_top = F.col("top_ngram_char_frac") <= max_top_ngram_char_frac
+    rules = [
+        ("word_count", F.col("ok_words")),
+        ("mean_word_len", F.col("ok_mean_len")),
+        ("symbol_ratio", F.col("ok_symbol")),
+        ("alpha_frac", F.col("ok_alpha")),
+        ("stopwords", F.col("ok_stop")),
+        ("dup_lines", ok_dup),
+        ("top_ngram", ok_top),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(rules):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    keep = None
+    for _name, ok in rules:
+        keep = ok if keep is None else (keep & ok)
+    return feats.select(
+        F.col(id_col),
+        "n_words",
+        "dup_line_frac",
+        "top_ngram_char_frac",
+        ok_dup.alias("ok_dup_lines"),
+        ok_top.alias("ok_top_ngram"),
+        *[F.col(c) for c in ("ok_words", "ok_mean_len", "ok_symbol", "ok_alpha", "ok_stop")],
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
     )

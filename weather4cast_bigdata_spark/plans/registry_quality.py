@@ -281,3 +281,113 @@ def q_text_c4_rules(spark, sf_dir):
     from weather4cast_bigdata_spark.operators import curate_ext
 
     return curate_ext.c4_rules(docs.select("doc_id", t.alias("t")), text_col="t")
+
+
+@qdef(
+    "curation_quality_gate",
+    oracle=rf"""
+    WITH f AS (
+        SELECT doc_id, {_W} AS w,
+               length(regexp_replace(text, '[^#]', '', 'g'))
+                 + len(regexp_extract_all(text, '\.\.\.')) AS n_symbol
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)
+                   AS mean_word_len,
+               n_symbol::DOUBLE / len(w) AS symbol_ratio,
+               len(list_filter(w, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+                   / len(w) AS alpha_frac,
+               len(list_intersect(w, ['the','be','to','of','and','that',
+                                      'have','with'])) AS stop_hits
+        FROM f
+    ),
+    lt AS (
+        SELECT doc_id, {_W} AS w,
+               CAST(ceil(len({_W}) / 8.0) AS INT) AS n_lines
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, n_lines,
+               array_to_string(w[(i*8+1):(i*8+8)], ' ') AS line
+        FROM (SELECT doc_id, w, n_lines,
+                     unnest(range(0, n_lines)) AS i
+              FROM lt)
+    ),
+    cnt AS (
+        SELECT doc_id, max(n_lines) AS n_lines, line, count(*) AS c
+        FROM lines GROUP BY doc_id, line
+    ),
+    dl AS (
+        SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / max(n_lines)
+                   AS dup_line_frac
+        FROM cnt GROUP BY doc_id
+    ),
+    nb AS (
+        SELECT doc_id, {_W} AS w,
+               length(trim(lower(text))) AS n_chars
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, n_chars,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS shingle
+        FROM nb
+    ),
+    tf AS (
+        SELECT doc_id, max(n_chars) AS n_chars, shingle, count(*) AS tf
+        FROM sh GROUP BY doc_id, shingle
+    ),
+    top AS (
+        SELECT doc_id, shingle, tf, n_chars,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf DESC, shingle) AS rn
+        FROM tf
+    ),
+    tn AS (
+        SELECT b.doc_id,
+               coalesce(t.tf * length(t.shingle) / b.n_chars::DOUBLE, 0.0)
+                   AS top_ngram_char_frac
+        FROM nb b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+    ),
+    flags AS (
+        SELECT g.doc_id,
+               CAST(g.n_words AS BIGINT) AS n_words,
+               dl.dup_line_frac, tn.top_ngram_char_frac,
+               (dl.dup_line_frac <= 0.30) AS ok_dup_lines,
+               (tn.top_ngram_char_frac <= 0.20) AS ok_top_ngram,
+               (g.n_words BETWEEN 35 AND 100000) AS ok_words,
+               (g.mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+               (g.symbol_ratio <= 0.1) AS ok_symbol,
+               (g.alpha_frac >= 0.80) AS ok_alpha,
+               (g.stop_hits >= 2) AS ok_stop
+        FROM g JOIN dl USING (doc_id) JOIN tn USING (doc_id)
+    )
+    SELECT doc_id, n_words, dup_line_frac, top_ngram_char_frac,
+           ok_dup_lines, ok_top_ngram, ok_words, ok_mean_len, ok_symbol,
+           ok_alpha, ok_stop,
+           (ok_words AND ok_mean_len AND ok_symbol AND ok_alpha AND ok_stop
+            AND ok_dup_lines AND ok_top_ngram) AS keep,
+           CASE WHEN NOT ok_words THEN 'word_count'
+                WHEN NOT ok_mean_len THEN 'mean_word_len'
+                WHEN NOT ok_symbol THEN 'symbol_ratio'
+                WHEN NOT ok_alpha THEN 'alpha_frac'
+                WHEN NOT ok_stop THEN 'stopwords'
+                WHEN NOT ok_dup_lines THEN 'dup_lines'
+                WHEN NOT ok_top_ngram THEN 'top_ngram'
+                ELSE NULL END AS drop_reason
+    FROM flags
+    """,
+)
+def q_curation_quality_gate(spark, sf_dir):
+    """The composed production quality gate: the full Gopher battery
+    plus the paper's repetition thresholds (dup-line frac <= 0.30,
+    top-bigram char frac <= 0.20) with per-rule flags, conjunctive
+    keep, and the first-failing-rule drop_reason — all in ONE
+    zero-shuffle projection (no joins between battery outputs; the
+    oracle joins its CTEs because SQL has no run-length fold, which
+    is exactly the shape the operator avoids)."""
+    return curate_ext.curation_quality_gate(_t(spark, sf_dir, "documents"))
