@@ -75,6 +75,8 @@ _ROUND4_PRIORITY = [
     "text_top_ngram_char_frac",
     "text_url_dedup",
     "curation_quality_gate",
+    "text_dsir_weights",
+    "sample_dsir_resample",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -97,8 +99,6 @@ _ROUND4_PRIORITY = [
     "join_static_broadcast",
     "join_asof_offset",
     "join_fallback_day",
-    "agg_mean_nonfill",
-    "agg_gram_matrix",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r1 backlog, then r2/r3-verified queries (newest last),
     # then the 8 rows-only entries dead last (never in a window).

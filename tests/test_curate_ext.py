@@ -543,3 +543,46 @@ def test_pq_codes_wide_matches_exploded_and_stored_adc(spark, tmp_path):
         for r in similarity.pq_adc_topk(emb, k=emb.count()).collect()
     }
     assert stored == in_memory
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    """Docs drawn from the target vocabulary must score a strictly
+    higher log importance weight than docs from a disjoint raw-only
+    vocabulary, and the weights must be identical whether a doc is in
+    the target subset or not (the model conditions on CONTENT, the
+    target flag only fits p)."""
+    tgt_text = "alpha beta gamma delta epsilon"
+    raw_text = "zeta eta theta iota kappa"
+    rows = [(i, tgt_text, True) for i in range(20)]
+    rows += [(100 + i, raw_text, False) for i in range(20)]
+    # two probe docs NOT in the target subset, one of each vocabulary
+    rows += [(900, tgt_text, False), (901, raw_text, False)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    w = {
+        r["doc_id"]: r["log_w"]
+        for r in curate_ext.dsir_log_weights(docs, F.col("is_t")).collect()
+    }
+    assert w[900] > w[901]
+    # content-identical docs get bit-identical weights regardless of flag
+    assert w[900] == pytest.approx(w[0], abs=0.0)
+    assert w[901] == pytest.approx(w[100], abs=0.0)
+
+
+def test_dsir_resample_prefers_target_like_docs_and_is_deterministic(spark):
+    """Gumbel-top-k over a corpus where half the docs are target-like:
+    the selected set must be dominated by target-like docs and must be
+    identical run-to-run (md5-derived noise, no RNG state)."""
+    rows = [(i, "alpha beta gamma delta epsilon alpha beta", i < 30) for i in range(30)]
+    rows += [(100 + i, "zeta eta theta iota kappa zeta eta", False) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    pick = lambda: sorted(
+        r["doc_id"]
+        for r in curate_ext.dsir_resample(docs, F.col("is_t"), k=20).collect()
+    )
+    first = pick()
+    assert len(first) == 20
+    assert sum(1 for d in first if d < 100) >= 15
+    assert pick() == first

@@ -791,3 +791,98 @@ def curation_quality_gate(
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-n-gram distribution is.
+
+    Two bag-of-tokens models share ONE feature space of ``buckets``
+    md5-hashed slots: p = the target subset (rows where ``target`` is
+    true), q = the whole raw corpus. A document's log importance
+    weight is ``sum_tokens ln p(b(tok)) - ln q(b(tok))`` with
+    add-``alpha`` smoothing.
+
+    Scale shape: the model state is exactly ``buckets`` rows no matter
+    the corpus size — the bucket-stats aggregation map-side-combines
+    down to <= ``buckets`` rows per partition, the log-ratio dim then
+    BROADCASTS back onto the token stream, and the only full shuffle
+    is the final per-doc sum. Refreshing p against a new target set
+    never touches the raw corpus pass.
+    """
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        target.alias("is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    bucketed = toks.select(
+        id_col,
+        "is_target",
+        F.pmod(md5_hash32(F.col("tok")), F.lit(buckets)).alias("b"),
+    )
+    stats = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    # Totals via an unpartitioned window over the <=buckets-row stats
+    # frame (single-partition exchange of ~1 KB) — NOT a separate
+    # aggregate, which would re-derive stats and re-scan the corpus a
+    # third time (Catalyst does not dedupe common subtrees).
+    w_all = Window.partitionBy()
+    denom = F.lit(float(alpha * buckets))
+    ratio = stats.select(
+        "b",
+        (
+            F.log(
+                (F.col("tgt_n") + F.lit(float(alpha)))
+                / (F.sum("tgt_n").over(w_all) + denom)
+            )
+            - F.log(
+                (F.col("raw_n") + F.lit(float(alpha)))
+                / (F.sum("raw_n").over(w_all) + denom)
+            )
+        ).alias("lr"),
+    )
+    return (
+        bucketed.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("log_w"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The DSIR selection step: Gumbel-top-k resampling over the
+    importance weights — sampling k docs WITHOUT replacement with
+    probability proportional to their (soft-maxed) importance.
+
+    The Gumbel noise is derived, not drawn: ``g = -ln(-ln(u))`` with
+    ``u = (md5_32('g_' || id) + 0.5) / 2^32`` — every step IEEE
+    correctly-rounded, so the selected set is bit-identical across
+    engines, retries, and partitionings (no RNG state to checkpoint).
+    Plans as TakeOrderedAndProject: per-partition top-k then a k-row
+    reduce, never a global sort.
+    """
+    w = dsir_log_weights(
+        docs, target, id_col=id_col, text_col=text_col, buckets=buckets, alpha=alpha
+    )
+    u = (md5_hash32(F.concat(F.lit("g_"), F.col(id_col).cast("string"))) + F.lit(0.5)) / F.lit(
+        float(2**32)
+    )
+    scored = w.withColumn("score", F.col("log_w") - F.log(-F.log(u)))
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

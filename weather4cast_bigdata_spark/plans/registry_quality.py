@@ -391,3 +391,92 @@ def q_curation_quality_gate(spark, sf_dir):
     oracle joins its CTEs because SQL has no run-length fold, which
     is exactly the shape the operator avoids)."""
     return curate_ext.curation_quality_gate(_t(spark, sf_dir, "documents"))
+
+
+_DSIR_CTE = rf"""
+    toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+               unnest({_W}) AS tok
+        FROM documents
+    ),
+    bk AS (
+        SELECT doc_id, is_t,
+               CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM toks
+    ),
+    stats AS (
+        SELECT b, count(*) AS raw_n,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_n
+        FROM bk GROUP BY 1
+    ),
+    tot AS (SELECT sum(raw_n) AS raw_tot, sum(tgt_n) AS tgt_tot FROM stats),
+    r AS (
+        SELECT b, ln((tgt_n + 1.0) / (tgt_tot + 1024.0))
+                 - ln((raw_n + 1.0) / (raw_tot + 1024.0)) AS lr
+        FROM stats, tot
+    ),
+    w AS (
+        SELECT t.doc_id, sum(r.lr) AS log_w, count(*) AS n_tokens
+        FROM bk t JOIN r USING (b)
+        GROUP BY 1
+    )
+"""
+
+
+@qdef(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, round(log_w + 1e-9, 6) AS log_w, n_tokens
+    FROM w
+    """,
+)
+def q_text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio of
+    a hashed-token target model (lang='en' subset) over the raw-corpus
+    model, add-1 smoothing over 1024 md5 buckets. Model state is 1024
+    rows at ANY corpus size — bucket stats map-side-combine, the
+    log-ratio dim broadcasts back, and the only full shuffle is the
+    per-doc sum. See operators/curate_ext.py:dsir_log_weights."""
+    from weather4cast_bigdata_spark.plans.registry import r6
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_ext.dsir_log_weights(docs, F.col("lang") == "en")
+    return out.select("doc_id", r6(F.col("log_w")).alias("log_w"), "n_tokens")
+
+
+@qdef(
+    "sample_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTE},
+    s AS (
+        SELECT doc_id, log_w, n_tokens,
+               log_w - ln(-ln(
+                   (CAST(('0x' || substring(md5('g_' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0)) AS score
+        FROM w
+    )
+    SELECT doc_id, round(log_w + 1e-9, 6) AS log_w, n_tokens,
+           round(score + 1e-9, 6) AS score
+    FROM s
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_dsir_resample(spark, sf_dir):
+    """The DSIR selection step: Gumbel-top-k resampling = k draws
+    without replacement proportional to soft-maxed importance. Gumbel
+    noise is md5-derived (no RNG state), so the selected set is
+    identical across engines, retries, and partitionings. Plans as
+    TakeOrderedAndProject — per-partition top-k, k-row reduce, no
+    global sort. See operators/curate_ext.py:dsir_resample."""
+    from weather4cast_bigdata_spark.plans.registry import r6
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_ext.dsir_resample(docs, F.col("lang") == "en", k=100)
+    return out.select(
+        "doc_id",
+        r6(F.col("log_w")).alias("log_w"),
+        "n_tokens",
+        r6(F.col("score")).alias("score"),
+    )
