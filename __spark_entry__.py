@@ -77,6 +77,8 @@ _ROUND4_PRIORITY = [
     "curation_quality_gate",
     "text_dsir_weights",
     "sample_dsir_resample",
+    "sample_unimax",
+    "text_line_dedup_global",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -93,8 +95,6 @@ _ROUND4_PRIORITY = [
     "scan_fallback_source",
     "partition_subset_select",
     "project_minmax_normalize",
-    "predicate_fill_detect",
-    "impute_mean_nonfill",
     "join_time_intersect",
     "join_static_broadcast",
     "join_asof_offset",

@@ -88,6 +88,9 @@ HEADLINE = [
     "text_gopher_rules",
     "text_url_dedup",
     "curation_quality_gate",
+    # r4: DSIR importance resampling — two corpus passes through a
+    # 1024-bucket hashed-token model (the fit/score floor).
+    "text_dsir_weights",
 ]
 
 

@@ -586,3 +586,76 @@ def test_dsir_resample_prefers_target_like_docs_and_is_deterministic(spark):
     assert len(first) == 20
     assert sum(1 for d in first if d < 100) >= 15
     assert pick() == first
+
+
+def test_unimax_closed_form_matches_sequential_loop(spark):
+    """The windowed water-filling closed form must reproduce the
+    paper's sequential allocation loop on skewed language mixes,
+    including the all-capped (budget exceeds capacity) edge."""
+    mixes = [
+        {"en": 1000, "fr": 100, "de": 10},          # one dominant lang
+        {"a": 5, "b": 5, "c": 5},                   # uniform
+        {"x": 1, "y": 2, "z": 1000000},             # extreme skew
+        {"solo": 42},                               # single language
+    ]
+    for budget_frac, max_epochs in [(0.4, 2.0), (0.9, 1.0), (5.0, 2.0)]:
+        for mix in mixes:
+            rows = []
+            i = 0
+            for lang, toks in mix.items():
+                # split each lang's tokens across a few docs
+                per = max(1, toks // 3)
+                left = toks
+                while left > 0:
+                    t = min(per, left)
+                    rows.append((i, lang, " ".join(["w"] * t)))
+                    left -= t
+                    i += 1
+            docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+            got = {
+                r["lang"]: r["epochs"]
+                for r in curate_ext.unimax_sample(
+                    docs, budget_frac=budget_frac, max_epochs=max_epochs
+                )
+                .select("lang", "epochs")
+                .distinct()
+                .collect()
+            }
+            # reference: the published sequential loop
+            L = dict(mix)
+            budget = sum(L.values()) * budget_frac
+            remaining, alloc = budget, {}
+            order = sorted(L, key=lambda l: (L[l] * max_epochs, l))
+            for j, lang in enumerate(order):
+                fair = remaining / (len(order) - j)
+                alloc[lang] = min(max_epochs * L[lang], fair)
+                remaining -= alloc[lang]
+            for lang in L:
+                want = alloc[lang] / L[lang]
+                assert got[lang] == pytest.approx(want, rel=1e-12), (
+                    mix, budget_frac, max_epochs, lang, got[lang], want,
+                )
+
+
+def test_line_dedup_global_removes_shared_lines_preserves_order(spark):
+    """A footer line shared by two docs must vanish from both; unique
+    lines survive in original order; a fully-duplicated doc reassembles
+    to the empty string."""
+    footer = " ".join(f"f{i}" for i in range(8))
+    a_body = " ".join(f"a{i}" for i in range(16))
+    b_body = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, a_body + " " + footer),
+            (2, b_body + " " + footer),
+            (3, footer),  # nothing unique -> empty after dedup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean"])
+        for r in curate_ext.line_dedup_global(docs, line_tokens=8).collect()
+    }
+    assert got[1] == (3, 2, a_body)
+    assert got[2] == (2, 1, b_body)
+    assert got[3] == (1, 0, "")

@@ -886,3 +886,168 @@ def dsir_resample(
     )
     scored = w.withColumn("score", F.col("log_w") - F.log(-F.log(u)))
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def unimax_sample(
+    docs: DataFrame,
+    budget_frac: float = 0.4,
+    max_epochs: float = 2.0,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): allocate a total
+    token budget across languages so every language is repeated at
+    most ``max_epochs`` times, with the budget freed by small
+    languages redistributed UNIFORMLY over the rest — the fairness fix
+    for temperature sampling's low-resource over-repetition.
+
+    The published algorithm is a sequential loop over languages
+    (ascending by size); that loop IS water-filling, so it folds into
+    a closed form over one window pass: with caps ``c_l = E * L_l``
+    sorted ascending, language ``l`` is budget-capped iff
+    ``c_l < (B - cumsum_before(c)) / n_remaining``, capped languages
+    take their cap, and every uncapped language takes the shared
+    water level ``(B - sum(capped caps)) / n_uncapped``.
+
+    Scale shape: model state is one row per LANGUAGE — the token
+    totals map-side-combine, the whole allocation runs as windows
+    over that languages-sized frame, and the per-language epoch rate
+    broadcasts back. The keep decision is an md5-threshold pure
+    function of the doc id (no RNG state): reproducible across
+    engines, retries, and cluster sizes.
+    """
+    d = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tok"),
+    )
+    stats = d.groupBy(lang_col).agg(F.sum("n_tok").alias("lang_toks"))
+    w_ord = Window.orderBy("cap", lang_col)
+    w_all = Window.partitionBy()
+    s = (
+        stats.withColumn(
+            "cap", F.col("lang_toks").cast("double") * F.lit(float(max_epochs))
+        )
+        .withColumn(
+            "budget",
+            F.sum("lang_toks").over(w_all).cast("double") * F.lit(float(budget_frac)),
+        )
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("idx", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "tau_i",
+            (F.col("budget") - F.col("cum_before"))
+            / (F.col("n") - F.col("idx") + 1).cast("double"),
+        )
+        .withColumn("is_capped", F.col("cap") < F.col("tau_i"))
+        .withColumn("n_capped", F.sum(F.col("is_capped").cast("int")).over(w_all))
+        .withColumn(
+            "capped_sum",
+            F.coalesce(
+                F.sum(F.when(F.col("is_capped"), F.col("cap"))).over(w_all), F.lit(0.0)
+            ),
+        )
+    )
+    # capped rows take their cap; the rest share the final water level.
+    # (is_capped implies n_capped >= 1 only for OTHER rows' division --
+    # the divisor n - n_capped is evaluated only on uncapped rows,
+    # where it is >= 1 by definition.)
+    alloc = F.when(F.col("is_capped"), F.col("cap")).otherwise(
+        (F.col("budget") - F.col("capped_sum"))
+        / (F.col("n") - F.col("n_capped")).cast("double")
+    )
+    rates = s.select(
+        lang_col,
+        "lang_toks",
+        (alloc / F.col("lang_toks").cast("double")).alias("epochs"),
+    )
+    u = (
+        md5_hash32(F.concat(F.lit("u_"), F.col(id_col).cast("string"))) + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    return (
+        d.join(F.broadcast(rates), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "n_tok",
+            F.col("epochs"),
+            (u < F.least(F.col("epochs"), F.lit(1.0))).alias("kept"),
+        )
+    )
+
+
+def line_dedup_global(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """Corpus-LEVEL line deduplication (the RefinedWeb / CCNet
+    boilerplate-removal step): a line survives only if it appears in
+    at most ``max_df`` distinct documents; each document is then
+    reassembled from its surviving lines in original order. This is
+    the cross-document complement of ``dup_line_features`` (which
+    scores repetition WITHIN a doc) — nav bars, cookie banners, and
+    license footers repeat across docs and vanish here.
+
+    "Lines" are the same deterministic ``line_tokens``-token windows
+    as ``dup_line_features`` (the fixture corpus has no newlines;
+    real corpora split on newline at this call site).
+
+    Shape: one groupBy on the md5 line key for the document-frequency
+    dim (map-side combined; boilerplate hot lines are just counters,
+    never materialized lists), one join back (AQE broadcasts the df
+    dim when it measures small), one per-doc reassembly groupBy.
+    Reassembly order rides a struct sort inside the aggregated array —
+    no window, no secondary shuffle.
+    """
+    w = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(float(line_tokens))).cast("int")
+    lines = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(w, i * line_tokens + 1, line_tokens), " "
+                ),
+            )
+        ).alias("i", "line"),
+    )
+    keyed = lines.withColumn("lk", F.md5(F.col("line")))
+    df_dim = (
+        keyed.groupBy("lk")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .where(F.col("line_df") <= max_df)
+        .select("lk")
+    )
+    kept = keyed.join(df_dim, "lk").drop("lk")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
+        )
+    )

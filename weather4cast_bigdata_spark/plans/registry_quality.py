@@ -480,3 +480,114 @@ def q_sample_dsir_resample(spark, sf_dir):
         "n_tokens",
         r6(F.col("score")).alias("score"),
     )
+
+
+@qdef(
+    "sample_unimax",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, lang, len({_W}) AS n_tok
+        FROM documents
+    ),
+    stats AS (SELECT lang, sum(n_tok) AS lang_toks FROM d GROUP BY 1),
+    s AS (
+        SELECT lang, lang_toks,
+               lang_toks * 2.0 AS cap,
+               sum(lang_toks) OVER () * 0.4 AS budget,
+               coalesce(sum(lang_toks * 2.0) OVER (
+                   ORDER BY lang_toks * 2.0, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                   AS cum_before,
+               row_number() OVER (ORDER BY lang_toks * 2.0, lang) AS idx,
+               count(*) OVER () AS n
+        FROM stats
+    ),
+    s2 AS (
+        SELECT *,
+               (cap < (budget - cum_before) / (n - idx + 1)) AS is_capped
+        FROM s
+    ),
+    s3 AS (
+        SELECT *,
+               sum(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+               coalesce(sum(CASE WHEN is_capped THEN cap END) OVER (), 0.0)
+                   AS capped_sum
+        FROM s2
+    ),
+    rates AS (
+        SELECT lang,
+               (CASE WHEN is_capped THEN cap
+                     ELSE (budget - capped_sum) / (n - n_capped) END)
+                   / lang_toks AS epochs
+        FROM s3
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_tok AS INT) AS n_tok,
+           round(r.epochs + 1e-9, 6) AS epochs,
+           ((CAST(('0x' || substring(md5('u_' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0
+            < least(r.epochs, 1.0)) AS kept
+    FROM d JOIN rates r USING (lang)
+    """,
+)
+def q_sample_unimax(spark, sf_dir):
+    """UniMax language sampling (Chung et al. 2023): water-filling a
+    40% token budget across languages with a 2-epoch repetition cap —
+    the published sequential allocation loop folded into one window
+    pass over the languages-sized stats frame (see
+    operators/curate_ext.py:unimax_sample for the closed form). Keep
+    decisions are md5-threshold pure functions of the doc id."""
+    from weather4cast_bigdata_spark.plans.registry import r6
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate_ext.unimax_sample(docs, budget_frac=0.4, max_epochs=2.0)
+    return out.select(
+        "doc_id", "lang", "n_tok", r6(F.col("epochs")).alias("epochs"), "kept"
+    )
+
+
+@qdef(
+    "text_line_dedup_global",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i,
+               array_to_string(w[i*8 + 1 : i*8 + 8], ' ') AS line
+        FROM (SELECT doc_id, w,
+                     unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+              FROM t)
+    ),
+    df AS (
+        SELECT md5(line) AS lk, count(DISTINCT doc_id) AS line_df
+        FROM lines GROUP BY 1
+    ),
+    kept AS (
+        SELECT l.doc_id, l.i, l.line
+        FROM lines l JOIN df ON md5(l.line) = df.lk
+        WHERE df.line_df <= 1
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1),
+    kagg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY i) AS clean
+        FROM kept GROUP BY 1
+    )
+    SELECT a.doc_id, a.n_lines,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.clean, '') AS clean
+    FROM agg a LEFT JOIN kagg k USING (doc_id)
+    """,
+)
+def q_text_line_dedup_global(spark, sf_dir):
+    """Corpus-level line dedup (RefinedWeb/CCNet boilerplate removal):
+    drop every line that appears in more than one distinct document,
+    reassemble docs from the survivors in original order. The
+    cross-document complement of the within-doc `text_dup_line_fraction`
+    signal — exact-duplicate docs lose ALL their lines here, shared
+    footers vanish everywhere. See
+    operators/curate_ext.py:line_dedup_global."""
+    return curate_ext.line_dedup_global(
+        _t(spark, sf_dir, "documents"), line_tokens=8, max_df=1
+    )
