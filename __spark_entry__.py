@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-verified queries (the 9 registry_verified.py hash-siblings
 # first — they exist to convert the rows-only families into hash
 # evidence — then the r3 PQ/Bloom/CMS/LSH-sink wave, then the round-4
-# additions and rows-only→oracle conversions) + the stalest
-# r1-verified queries filling the remaining slots for
-# re-verification.  The 8 genuinely rows-only entries (RNG order /
+# additions and rows-only→oracle conversions, including the r4-close
+# curation wave: DSIR, UniMax, global line dedup, CCNet perplexity
+# buckets) + the stalest r1-verified queries filling the remaining
+# slots for re-verification.  The 8 genuinely rows-only entries (RNG order /
 # sketch estimates / k-means training / RNG fixtures) are pinned to
 # the END of the ordering so they never burn a window slot — each is
 # covered by a hash-verified sibling or invariant tests
@@ -79,6 +80,7 @@ _ROUND4_PRIORITY = [
     "sample_dsir_resample",
     "sample_unimax",
     "text_line_dedup_global",
+    "text_perplexity_buckets",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -94,7 +96,6 @@ _ROUND4_PRIORITY = [
     "scan_file_index",
     "scan_fallback_source",
     "partition_subset_select",
-    "project_minmax_normalize",
     "join_time_intersect",
     "join_static_broadcast",
     "join_asof_offset",

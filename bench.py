@@ -91,6 +91,12 @@ HEADLINE = [
     # r4: DSIR importance resampling — two corpus passes through a
     # 1024-bucket hashed-token model (the fit/score floor).
     "text_dsir_weights",
+    # r4 close: UniMax water-filling (1 shuffle + windowed langs
+    # frame), RefinedWeb global line dedup (3 bounded exchanges),
+    # CCNet perplexity tertiles (logprob plan + 1 ntile window).
+    "sample_unimax",
+    "text_line_dedup_global",
+    "text_perplexity_buckets",
 ]
 
 

@@ -110,6 +110,22 @@ SHAPES = [
     ("text_url_dedup", 2, 0),
     # composed gate = ONE projection (no joins between battery outputs)
     ("curation_quality_gate", 1, 0),
+    # DSIR: 2 corpus-pass repartitions + bucket-stats groupBy +
+    # 1024-row totals window + per-doc sum; the log-ratio dim rides a
+    # broadcast join — NO corpus self-join, NO third corpus scan
+    ("text_dsir_weights", 5, 0),
+    ("sample_dsir_resample", 5, 0),
+    # UniMax: lang-stats groupBy + windows over the languages-sized
+    # frame; the epoch-rate dim broadcasts back — NO driver loop
+    ("sample_unimax", 4, 0),
+    # global line dedup: line-df groupBy, join-back, totals +
+    # reassembly groupBys — every exchange linear, NO window over the
+    # corpus for reassembly order (struct sort inside the array)
+    ("text_line_dedup_global", 6, 0),
+    # CCNet tertiles: the unigram-logprob plan + doc_id join-back +
+    # one lang-keyed ntile window; the bnl is the 1-row corpus-total
+    # normalizer broadcast (declared benign, same as text_tfidf_topk)
+    ("text_perplexity_buckets", 4, 1),
 ]
 
 

@@ -591,3 +591,67 @@ def q_text_line_dedup_global(spark, sf_dir):
     return curate_ext.line_dedup_global(
         _t(spark, sf_dir, "documents"), line_tokens=8, max_df=1
     )
+
+
+@qdef(
+    "text_perplexity_buckets",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS tok_n FROM toks GROUP BY 1),
+    total AS (SELECT sum(tok_n) AS tok_total FROM freq),
+    lp AS (
+        SELECT t.doc_id,
+               round(avg(ln(f.tok_n * 1.0 / total.tok_total)) + 1e-9, 6)
+                   AS mean_logprob
+        FROM toks t JOIN freq f USING (tok), total
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT d.doc_id, d.lang, lp.mean_logprob,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY lp.mean_logprob DESC, d.doc_id)
+                   AS bucket_idx
+        FROM lp JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, mean_logprob,
+           CASE bucket_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM b
+    """,
+)
+def q_text_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): per LANGUAGE, rank documents by the corpus-LM fluency
+    score (``text_unigram_logprob``'s mean ln p, the KenLM stand-in)
+    and split into tertiles — 'head' is the most fluent third, the
+    slice CCNet keeps or upsamples. The ntile runs over the ROUNDED
+    score (desc, doc_id tie-break): rounding first makes the ordering
+    engine-portable where raw float means are summation-order
+    noisy. One lang-keyed window shuffle on top of the logprob plan;
+    at 100 TB the tertile thresholds swap to approx_percentile cuts
+    per language (same output contract, sketch-mergeable)."""
+    from pyspark.sql import Window
+    from weather4cast_bigdata_spark.functions import text as textfns
+    from weather4cast_bigdata_spark.plans.registry import r6
+
+    docs = _t(spark, sf_dir, "documents")
+    lp = textfns.unigram_logprob(docs).select(
+        "doc_id", r6(F.col("mean_logprob")).alias("mean_logprob")
+    )
+    scored = lp.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logprob"), F.col("doc_id")
+    )
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "mean_logprob",
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
