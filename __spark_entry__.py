@@ -81,6 +81,7 @@ _ROUND4_PRIORITY = [
     "sample_unimax",
     "text_line_dedup_global",
     "text_perplexity_buckets",
+    "sink_dsir_model",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -93,7 +94,6 @@ _ROUND4_PRIORITY = [
     "sink_quantized_partitioned",
     # -- re-verification: stalest r1-verified backlog fills the rest -----
     "flagship_evaluate",
-    "scan_file_index",
     "scan_fallback_source",
     "partition_subset_select",
     "join_time_intersect",

@@ -97,6 +97,8 @@ HEADLINE = [
     "sample_unimax",
     "text_line_dedup_global",
     "text_perplexity_buckets",
+    # persisted DSIR model: fit + parquet write + stored-model scoring
+    "sink_dsir_model",
 ]
 
 

@@ -818,15 +818,46 @@ def dsir_log_weights(
     is the final per-doc sum. Refreshing p against a new target set
     never touches the raw corpus pass.
     """
+    ratio = dsir_bucket_model(
+        docs, target, id_col=id_col, text_col=text_col, buckets=buckets, alpha=alpha
+    )
+    return dsir_score(
+        docs, ratio, id_col=id_col, text_col=text_col, buckets=buckets
+    )
+
+
+def _dsir_buckets(
+    docs: DataFrame, extra, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """(id, *extra, bucket) — one row per token, tokens md5-hashed
+    into ``buckets`` slots. Narrow explode, no shuffle."""
     toks = ensure_min_parallelism(docs).select(
         F.col(id_col),
-        target.alias("is_target"),
+        *extra,
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
-    bucketed = toks.select(
-        id_col,
-        "is_target",
+    return toks.select(
+        *[c for c in toks.columns if c != "tok"],
         F.pmod(md5_hash32(F.col("tok")), F.lit(buckets)).alias("b"),
+    )
+
+
+def dsir_bucket_model(
+    docs: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Fit the DSIR model: the per-bucket log ratio
+    ``ln p_target(b) - ln q_raw(b)`` with add-``alpha`` smoothing —
+    EXACTLY ``buckets`` rows at any corpus size. This frame IS the
+    reusable state: persist it once and score incrementally arriving
+    batches against it (``dsir_score``) without touching the fitted
+    corpus again."""
+    bucketed = _dsir_buckets(
+        docs, [target.alias("is_target")], id_col, text_col, buckets
     )
     stats = bucketed.groupBy("b").agg(
         F.count(F.lit(1)).alias("raw_n"),
@@ -838,7 +869,7 @@ def dsir_log_weights(
     # third time (Catalyst does not dedupe common subtrees).
     w_all = Window.partitionBy()
     denom = F.lit(float(alpha * buckets))
-    ratio = stats.select(
+    return stats.select(
         "b",
         (
             F.log(
@@ -851,8 +882,23 @@ def dsir_log_weights(
             )
         ).alias("lr"),
     )
+
+
+def dsir_score(
+    batch: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Score a document batch against a (possibly STORED) DSIR bucket
+    model: broadcast the ``buckets``-row log-ratio dim onto the
+    batch's token stream, one per-doc sum. A model fitted once serves
+    every future batch — incremental curation never re-reads the
+    fitted corpus."""
+    bucketed = _dsir_buckets(batch, [], id_col, text_col, buckets)
     return (
-        bucketed.join(F.broadcast(ratio), "b")
+        bucketed.join(F.broadcast(model), "b")
         .groupBy(id_col)
         .agg(F.sum("lr").alias("log_w"), F.count(F.lit(1)).alias("n_tokens"))
     )

@@ -655,3 +655,34 @@ def q_text_perplexity_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+@qdef(
+    "sink_dsir_model",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, round(log_w + 1e-9, 6) AS log_w, n_tokens
+    FROM w
+    WHERE doc_id % 5 = 0
+    """,
+)
+def q_sink_dsir_model(spark, sf_dir):
+    """Persisted-DSIR-model lifecycle: fit the 1024-row bucket
+    log-ratio model on the full corpus, WRITE it to parquet, then
+    score an incrementally-arriving batch (doc_id % 5 = 0) from the
+    STORED model only — proving incremental scoring is hash-identical
+    to the in-plan model (the oracle refits on the full corpus). At
+    100 TB the fitted corpus is read once ever; each new batch costs
+    one narrow pass + a ~16 KB broadcast. Same lifecycle contract as
+    sink_lsh_index / sink_ivfpq_index."""
+    from weather4cast_bigdata_spark.plans.registry import r6, scratch_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    model_path = scratch_dir("w4c_dsir_model")
+    curate_ext.dsir_bucket_model(docs, F.col("lang") == "en").write.mode(
+        "overwrite"
+    ).parquet(model_path)
+    stored = spark.read.parquet(model_path)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    out = curate_ext.dsir_score(batch, stored)
+    return out.select("doc_id", r6(F.col("log_w")).alias("log_w"), "n_tokens")
