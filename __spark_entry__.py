@@ -82,6 +82,7 @@ _ROUND4_PRIORITY = [
     "text_line_dedup_global",
     "text_perplexity_buckets",
     "sink_dsir_model",
+    "dedup_simhash_hamming",
     # -- r4 rows-only->oracle conversions --------------------------------
     "sim_ivf_recall",
     "scan_netcdf_decode",
@@ -94,7 +95,6 @@ _ROUND4_PRIORITY = [
     "sink_quantized_partitioned",
     # -- re-verification: stalest r1-verified backlog fills the rest -----
     "flagship_evaluate",
-    "scan_fallback_source",
     "partition_subset_select",
     "join_time_intersect",
     "join_static_broadcast",

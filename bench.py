@@ -99,6 +99,9 @@ HEADLINE = [
     "text_perplexity_buckets",
     # persisted DSIR model: fit + parquet write + stored-model scoring
     "sink_dsir_model",
+    # Manku pigeonhole SimHash near-dup pairs: one (block, value)
+    # self-join + in-row bit_count verify.
+    "dedup_simhash_hamming",
 ]
 
 

@@ -126,6 +126,11 @@ SHAPES = [
     # one lang-keyed ntile window; the bnl is the 1-row corpus-total
     # normalizer broadcast (declared benign, same as text_tfidf_topk)
     ("text_perplexity_buckets", 4, 1),
+    # Manku pigeonhole: signature groupBy + (block, value) equi
+    # self-join + pair distinct — NO all-pairs Hamming scan, NO
+    # nested loop (measured 1 exch at sf0.001 where the block side
+    # broadcasts; 4 allows the sort-merge path at larger inputs)
+    ("dedup_simhash_hamming", 4, 0),
 ]
 
 

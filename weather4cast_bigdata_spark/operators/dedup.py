@@ -657,3 +657,65 @@ __all__ = [
     "MINHASH_PRIME",
     "md5_hash64",
 ]
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 24,
+    k: int = 2,
+) -> DataFrame:
+    """All document pairs within SimHash Hamming distance ``k`` — the
+    Manku et al. 2007 (Google web-crawl dedup) pigeonhole search.
+    ``sim_hyperplane_lsh`` pairs only IDENTICAL signatures; this finds
+    near-misses: split the ``bits``-wide signature into ``k + 1``
+    blocks — any pair at distance ≤ k must agree EXACTLY on at least
+    one block (pigeonhole), so candidate generation is an equi
+    self-join per block, never an all-pairs Hamming scan. Candidates
+    verify the exact distance with one ``bit_count(xor)``.
+
+    Shape: signature is one groupBy (the ``simhash`` plan), blocks a
+    narrow posexplode, candidates ONE shuffle on (block_idx,
+    block_value), verify in-row. Lossless at distance ≤ k by the
+    pigeonhole argument. Scale knobs: wider signatures / more blocks
+    shrink bucket populations (bucket size tracks docs per
+    block-value, the same contract as LSH banding's ``max_bucket``).
+    """
+    n_blocks = k + 1
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    blocks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), j * width).bitwiseAND(F.lit(mask))
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("j", "bv"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_l"),
+            F.col(f"b.{id_col}").alias("doc_id_r"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_id_l",
+        "doc_id_r",
+        F.expr("bit_count(s1 ^ s2)").alias("hamming"),
+    ).where(F.col("hamming") <= k)

@@ -686,3 +686,62 @@ def q_sink_dsir_model(spark, sf_dir):
     batch = docs.where(F.col("doc_id") % 5 == 0)
     out = curate_ext.dsir_score(batch, stored)
     return out.select("doc_id", r6(F.col("log_w")).alias("log_w"), "n_tokens")
+
+
+def _simhash24_cte() -> str:
+    from weather4cast_bigdata_spark.plans.registry import _H32_SQL, _TOKS_SQL
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+        for b in range(24)
+    )
+    compose = " + ".join(
+        f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(24)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_H32_SQL.format(expr='tok')} AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+    sig AS (SELECT doc_id, {compose} AS simhash FROM bits),
+    blocks AS (
+        SELECT doc_id, simhash, j,
+               CASE j WHEN 0 THEN simhash & 255
+                      WHEN 1 THEN (simhash >> 8) & 255
+                      ELSE (simhash >> 16) & 255 END AS bv
+        FROM sig, unnest([0, 1, 2]) AS t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_l, b.doc_id AS doc_id_r,
+               a.simhash AS s1, b.simhash AS s2
+        FROM blocks a
+        JOIN blocks b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@qdef(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH {_simhash24_cte()}
+    SELECT doc_id_l, doc_id_r,
+           bit_count(xor(s1, s2)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(s1, s2)) <= 2
+    """,
+)
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-duplicate pairs at Hamming distance <= 2 (Manku
+    et al. 2007, the Google web-crawl dedup): pigeonhole the 24-bit
+    signature into 3 blocks — any pair at distance <= 2 agrees
+    exactly on >= 1 block — so candidates come from an equi self-join
+    per block (one shuffle), verified in-row with bit_count(xor).
+    Lossless at the threshold; sim_hyperplane_lsh's identical-
+    signature pairing is the distance-0 special case. See
+    operators/dedup.py:simhash_near_pairs."""
+    from weather4cast_bigdata_spark.operators import dedup
+
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), bits=24, k=2
+    )
