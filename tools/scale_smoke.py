@@ -99,6 +99,15 @@ def run(spark, docs, lake: str, max_df: int | None):
         "ngram_jaccard_pairs",
         lambda: dedup.ngram_jaccard_pairs_docs(docs, threshold=0.5, max_df=max_df),
     )
+    # Manku pigeonhole near-dup pairs: on the DUP lake the 10-clone
+    # clusters multiply identical-signature pairs ×100 — wider
+    # signatures (bits) are the production knob that shrinks block
+    # buckets; 48 bits (16-bit blocks, 65k bucket values) here vs the
+    # registry's demo 24 shows the lever at corpus scale.
+    probe(
+        "simhash_hamming_pairs",
+        lambda: dedup.simhash_near_pairs(docs, bits=48, k=2),
+    )
     probe("curation_pipeline", lambda: curate(docs, max_df=max_df))
     # wave-3 narrow/one-shuffle ops: near-linear scaling is the pass bar
     probe("repetition_features", lambda: curate_ext.repetition_features(docs))
