@@ -329,3 +329,33 @@ def test_url_canonicalize_rules(spark):
     assert out["http://crawl.net/path"].n_docs == 2
     assert "https://example.com/A/B?id=3" in out
     assert all(r.domain in {"example.com", "crawl.net"} for r in out.values())
+
+
+def test_simhash_near_pairs_lossless_vs_brute_force(spark):
+    """Pigeonhole candidate generation must find EVERY pair at
+    Hamming distance <= k (Manku's losslessness claim): compare
+    against the all-pairs bit_count(xor) cross join on a corpus
+    small enough to brute-force."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(20)) + f" tail{i % 7} x{i % 3}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k, bits = 2, 24
+    got = {
+        (r["doc_id_l"], r["doc_id_r"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, bits=bits, k=k).collect()
+    }
+    sig = dedup.simhash(docs, bits=bits)
+    a = sig.select(F.col("doc_id").alias("l"), F.col("simhash").alias("s1"))
+    b = sig.select(F.col("doc_id").alias("r"), F.col("simhash").alias("s2"))
+    brute = {
+        (r["l"], r["r"], r["h"])
+        for r in a.crossJoin(b)
+        .where(F.col("l") < F.col("r"))
+        .select("l", "r", F.expr("bit_count(s1 ^ s2)").alias("h"))
+        .where(F.col("h") <= k)
+        .collect()
+    }
+    assert brute, "fixture must produce at least one near pair"
+    assert got == brute
