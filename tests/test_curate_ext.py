@@ -571,6 +571,30 @@ def test_dsir_weights_separate_target_like_docs(spark):
     assert w[901] == pytest.approx(w[100], abs=0.0)
 
 
+def test_dsir_score_smooths_unseen_buckets(spark):
+    """Scoring a batch whose tokens never occurred in the fitted
+    corpus must NOT drop them: each unseen-bucket token contributes
+    the add-alpha smoothed default ln(alpha/(tgt_tot+alpha*B)) -
+    ln(alpha/(raw_tot+alpha*B)) and still counts in n_tokens."""
+    import math
+
+    fit_rows = [(i, "alpha beta gamma", i < 5) for i in range(10)]
+    fit = spark.createDataFrame(fit_rows, "doc_id long, text string, is_t boolean")
+    model = curate_ext.dsir_bucket_model(fit, F.col("is_t"))
+    # 3 tokens/doc * 10 docs
+    raw_tot, tgt_tot, b = 30.0, 15.0, 1024.0
+    default_lr = math.log(1.0 / (tgt_tot + b)) - math.log(1.0 / (raw_tot + b))
+    batch = spark.createDataFrame(
+        [(1, "qqqxyz zzzwww pppqqq rrrsss")], "doc_id long, text string"
+    )
+    got = curate_ext.dsir_score(batch, model).collect()[0]
+    assert got["n_tokens"] == 4
+    assert got["log_w"] == pytest.approx(4 * default_lr, rel=1e-12)
+    # legacy model without totals keeps the strict inner-join contract
+    legacy = model.select("b", "lr")
+    assert curate_ext.dsir_score(batch, legacy).count() == 0
+
+
 def test_dsir_resample_prefers_target_like_docs_and_is_deterministic(spark):
     """Gumbel-top-k over a corpus where half the docs are target-like:
     the selected set must be dominated by target-like docs and must be

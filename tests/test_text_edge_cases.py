@@ -359,3 +359,68 @@ def test_simhash_near_pairs_lossless_vs_brute_force(spark):
     }
     assert brute, "fixture must produce at least one near pair"
     assert got == brute
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_simhash_near_pairs_max_bucket_caps_hot_block(spark):
+    """Skew guard: a clone lake (one templated doc repeated) floods
+    every (block, value) bucket; with ``max_bucket`` set, the hot
+    buckets are dropped BEFORE the self-join so the stage stays
+    linear, while pairs living in small buckets are untouched. The
+    capped plan must still be an equi join (no nested loop)."""
+    clone = "lorem ipsum dolor sit amet " * 4
+    rows = [(i, clone) for i in range(50)]
+    # two near-dup docs with a distinct vocabulary (their own buckets)
+    base = " ".join(f"tok{j}" for j in range(30))
+    rows += [(902, base), (903, base + " extra more")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.simhash_near_pairs(docs, bits=24, k=2)
+    got_all = {(r["doc_id_l"], r["doc_id_r"]) for r in uncapped.collect()}
+    assert (902, 903) in got_all
+    assert sum(1 for l, r in got_all if l < 100 and r < 100) == 50 * 49 // 2
+    capped = dedup.simhash_near_pairs(docs, bits=24, k=2, max_bucket=10)
+    got_capped = {(r["doc_id_l"], r["doc_id_r"]) for r in capped.collect()}
+    # the 52-doc clone buckets are dropped; the small bucket survives
+    assert (902, 903) in got_capped
+    assert not any(l < 100 and r < 100 for l, r in got_capped)
+    plan = _plan_of(capped)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_split_path_is_lossless(spark):
+    """Oversized-bucket split: forcing every prefix bucket down the
+    salted two-sided self-join route (split_bucket=2) must return
+    EXACTLY the default enumeration's pairs — the split changes where
+    pairs are enumerated, never which pairs exist. The split plan
+    must stay equi-join only."""
+    rows = []
+    for i in range(12):
+        # 4 clone families of 3 near-identical docs + shared boilerplate
+        fam = i % 4
+        rows.append(
+            (
+                i,
+                f"family {fam} body token{fam} alpha beta gamma delta "
+                f"epsilon zeta tail{i % 3} all rights reserved",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_filtered_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    forced = dedup.prefix_filtered_jaccard_pairs(
+        docs, threshold=0.3, split_bucket=2, n_salt=4
+    )
+    split = {(r["id_a"], r["id_b"], r["jaccard"]) for r in forced.collect()}
+    assert base, "fixture must produce pairs"
+    assert split == base
+    plan = _plan_of(forced)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

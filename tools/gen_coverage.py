@@ -34,7 +34,7 @@ SECTIONS = {
     "Extensions: scale infrastructure": ["agg_salted", "join_salted", "join_bucketed_colocated", "sample_stratified_split", "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_orc_roundtrip", "sink_compacted", "sink_zorder", "project_zorder_key", "sink_merge_upsert", "dim_scd2_build", "join_point_in_time", "audit_constraints", "audit_profile", "agg_entropy"],
     "Extensions: streaming": ["streaming_sliding_windows", "streaming_stateful_assembly", "streaming_running_gram", "streaming_session_windows", "streaming_dedup", "streaming_ewma", "streaming_checkpoint_resume", "streaming_static_enrich", "streaming_lsh_ingest"],
     "Flagship": ["flagship_evaluate", "flagship_star_join", "flagship_pricing_summary", "curation_pipeline", "curation_source_stats", "curation_report"],
-    "Hash-verified siblings of rows-only families (r3)": ["shuffle_seeded_verified", "graph_pagerank_verified", "agg_approx_distinct_verified", "solve_ridge_sum1_verified", "scan_binary_roundtrip_verified", "udf_scatter_roundtrip_verified", "quantize_halfeven_parity", "multimodal_plumbing_verified", "dedup_semantic_verified"],
+    "Hash-verified siblings of rows-only families (r3)": ["shuffle_seeded_verified", "graph_pagerank_verified", "agg_approx_distinct_verified", "solve_ridge_sum1_verified", "scan_binary_roundtrip_verified", "udf_scatter_roundtrip_verified", "quantize_halfeven_parity", "multimodal_plumbing_verified", "dedup_semantic_verified", "quality_model_filter_verified"],
     "Visualization data ops": ["plot_frame_grid"],
 }
 

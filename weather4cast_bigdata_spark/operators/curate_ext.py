@@ -461,11 +461,16 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def _gopher_exprs(
-    text_col: str, min_words: int, max_words: int
+    text_col: str, min_words: int, max_words: int, include_keep: bool = True
 ) -> list:
     """The Gopher battery's aliased output columns (shared by
     :func:`gopher_features` and :func:`curation_quality_gate` so the
-    composed gate is the same single-pass projection)."""
+    composed gate is the same single-pass projection).
+    ``include_keep=False`` omits the battery-local conjunctive
+    ``keep`` for callers that combine the flags with further rules —
+    an explicit flag, not a positional slice, so reordering or
+    extending the battery can never silently shift columns into a
+    composed gate."""
     toks = tokens(F.lower(F.col(text_col)))
     n_tok = F.size(toks)
     sum_len = F.aggregate(
@@ -484,7 +489,7 @@ def _gopher_exprs(
     ok_symbol = symbol_ratio <= 0.1
     ok_alpha = alpha_frac >= 0.80
     ok_stop = stop_hits >= 2
-    return [
+    exprs = [
         n_tok.cast("bigint").alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -495,8 +500,12 @@ def _gopher_exprs(
         ok_symbol.alias("ok_symbol"),
         ok_alpha.alias("ok_alpha"),
         ok_stop.alias("ok_stop"),
-        (ok_words & ok_mean_len & ok_symbol & ok_alpha & ok_stop).alias("keep"),
     ]
+    if include_keep:
+        exprs.append(
+            (ok_words & ok_mean_len & ok_symbol & ok_alpha & ok_stop).alias("keep")
+        )
+    return exprs
 
 
 def gopher_features(
@@ -759,7 +768,7 @@ def curation_quality_gate(
     """
     feats = ensure_min_parallelism(docs).select(
         F.col(id_col),
-        *_gopher_exprs(text_col, min_words, max_words)[:10],
+        *_gopher_exprs(text_col, min_words, max_words, include_keep=False),
         *_dup_line_exprs(text_col, line_tokens),
         *_top_ngram_exprs(text_col, ngram_n),
     )
@@ -821,8 +830,11 @@ def dsir_log_weights(
     ratio = dsir_bucket_model(
         docs, target, id_col=id_col, text_col=text_col, buckets=buckets, alpha=alpha
     )
+    # Fit and score share the corpus, so every batch bucket exists in
+    # the model — the strict join is value-identical and plans tighter.
     return dsir_score(
-        docs, ratio, id_col=id_col, text_col=text_col, buckets=buckets
+        docs, ratio, id_col=id_col, text_col=text_col, buckets=buckets,
+        smooth_unseen=False,
     )
 
 
@@ -855,7 +867,13 @@ def dsir_bucket_model(
     EXACTLY ``buckets`` rows at any corpus size. This frame IS the
     reusable state: persist it once and score incrementally arriving
     batches against it (``dsir_score``) without touching the fitted
-    corpus again."""
+    corpus again.
+
+    Besides the per-bucket ``lr``, every row carries the corpus totals
+    ``raw_tot`` / ``tgt_tot`` so a STORED model is self-describing:
+    :func:`dsir_score` uses them to give buckets the model never saw
+    their add-``alpha`` smoothed contribution instead of silently
+    dropping the token."""
     bucketed = _dsir_buckets(
         docs, [target.alias("is_target")], id_col, text_col, buckets
     )
@@ -881,6 +899,8 @@ def dsir_bucket_model(
                 / (F.sum("raw_n").over(w_all) + denom)
             )
         ).alias("lr"),
+        F.sum("raw_n").over(w_all).alias("raw_tot"),
+        F.sum("tgt_n").over(w_all).alias("tgt_tot"),
     )
 
 
@@ -890,17 +910,53 @@ def dsir_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 1024,
+    alpha: float = 1.0,
+    smooth_unseen: bool = True,
 ) -> DataFrame:
     """Score a document batch against a (possibly STORED) DSIR bucket
     model: broadcast the ``buckets``-row log-ratio dim onto the
     batch's token stream, one per-doc sum. A model fitted once serves
     every future batch — incremental curation never re-reads the
-    fitted corpus."""
+    fitted corpus.
+
+    Buckets the fitted corpus never produced still contribute their
+    add-``alpha`` smoothed log ratio
+    ``ln(alpha/(tgt_tot+alpha*B)) - ln(alpha/(raw_tot+alpha*B))``
+    (left join + coalesce against the totals the model carries) — an
+    inner join would silently drop unseen tokens AND undercount
+    ``n_tokens`` on incrementally arriving batches. Callers that fit
+    and score the SAME corpus (``dsir_log_weights``) pass
+    ``smooth_unseen=False``: every batch bucket provably exists, so
+    the cheaper strict inner join (no 1-row defaults normalizer in
+    the plan) is value-identical. Models stored before totals existed
+    (no ``raw_tot`` column) also fall back to the strict inner join;
+    ``alpha``/``buckets`` must match the fit."""
     bucketed = _dsir_buckets(batch, [], id_col, text_col, buckets)
+    if not smooth_unseen or "raw_tot" not in model.columns:
+        return (
+            bucketed.join(F.broadcast(model), "b")
+            .groupBy(id_col)
+            .agg(F.sum("lr").alias("log_w"), F.count(F.lit(1)).alias("n_tokens"))
+        )
+    denom = F.lit(float(alpha * buckets))
+    a = F.lit(float(alpha))
+    # 1-row defaults frame off the <=buckets-row model (max() of a
+    # constant-per-row column) — broadcast, so the smoothed default lr
+    # reaches every unmatched token row without a corpus pass.
+    defaults = model.agg(
+        (
+            F.log(a / (F.max("tgt_tot") + denom))
+            - F.log(a / (F.max("raw_tot") + denom))
+        ).alias("default_lr")
+    )
     return (
-        bucketed.join(F.broadcast(model), "b")
+        bucketed.join(F.broadcast(model.select("b", "lr")), "b", "left")
+        .crossJoin(F.broadcast(defaults))
         .groupBy(id_col)
-        .agg(F.sum("lr").alias("log_w"), F.count(F.lit(1)).alias("n_tokens"))
+        .agg(
+            F.sum(F.coalesce(F.col("lr"), F.col("default_lr"))).alias("log_w"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
     )
 
 
@@ -931,7 +987,14 @@ def dsir_resample(
         float(2**32)
     )
     scored = w.withColumn("score", F.col("log_w") - F.log(-F.log(u)))
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    # Order by the 6-decimal-ROUNDED score (the repo's r6-before-
+    # ordering convention): log_w is a shuffle-order-dependent float
+    # sum, so two docs straddling the k boundary whose scores round
+    # equal must tie-break on doc_id in the SAME domain the oracle
+    # orders in — raw-float ordering can flip across engines/retries.
+    return scored.orderBy(
+        F.round(F.col("score") + F.lit(1e-9), 6).desc(), F.col(id_col)
+    ).limit(k)
 
 
 def unimax_sample(

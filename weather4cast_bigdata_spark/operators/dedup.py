@@ -10,7 +10,7 @@ pairs — never the O(n²) cross join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.partitioning import ensure_min_parallelism
@@ -346,6 +346,8 @@ def prefix_filtered_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    split_bucket: int = 4096,
+    n_salt: int = 32,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering (the
     AllPairs / PPJoin family) — the lossless scale path where
@@ -388,6 +390,21 @@ def prefix_filtered_jaccard_pairs(
     function, so each new invocation evicts the previous call's
     cached base — repeated calls hold at most one corpus-sized cache,
     not an accumulating pile.
+
+    Oversized-bucket split (straggler/OOM guard, still LOSSLESS): the
+    default enumeration materializes each prefix bucket as ONE
+    ``collect_list`` array and explodes its pairs inside one row —
+    fine under Zipf, but one adversarial hot prefix token would put
+    the whole bucket in a single task. Buckets larger than
+    ``split_bucket`` docs therefore switch to a salted two-sided
+    equi self-join: side A carries each doc once with salt
+    ``md5(id) % n_salt``, side B replicates each doc across all
+    ``n_salt`` salt values, and the join key is (token, salt) — every
+    pair still meets exactly once (at A's salt), but the bucket's
+    b²/2 pair enumeration spreads over ``n_salt`` tasks and no task
+    ever holds the bucket as one array. Exactness is untouched: the
+    split only changes WHERE candidate pairs are enumerated; both
+    routes feed the same full-set Jaccard verification.
     """
     sh = word_shingles(tokens(F.col(text_col)), n)
     base = (
@@ -426,12 +443,22 @@ def prefix_filtered_jaccard_pairs(
             F.transform(F.slice("_ord", F.lit(1), plen), lambda s: s["h32"])
         ).alias("h32"),
     )
+    # Bucket census as a window count over the same h32 partitioning
+    # the enumeration needs anyway (no extra join-back); persisted
+    # because three consumers branch from it (small-bucket groupBy,
+    # big-bucket side A, big-bucket side B) and would otherwise each
+    # recompute the df-ordered prefix plan.
+    pref = pref.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("h32"))
+    ).persist()
+    _PREFIX_BASE_CACHE.append(pref)
     buckets = (
-        pref.groupBy("h32")
+        pref.where(F.col("_bn") <= split_bucket)
+        .groupBy("h32")
         .agg(F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("sz")))).alias("ms"))
         .where(F.size("ms") > 1)
     )
-    cand = (
+    cand_small = (
         buckets.select(
             F.explode(
                 F.flatten(
@@ -451,6 +478,25 @@ def prefix_filtered_jaccard_pairs(
             ).alias("p")
         )
         .select("p.*")
+    )
+    big = pref.where(F.col("_bn") > split_bucket)
+    side_a = big.select(
+        "h32",
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(n_salt)).alias("_s"),
+    )
+    side_b = big.select(
+        "h32",
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("_s"),
+    )
+    cand_big = side_a.join(side_b, ["h32", "_s"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    cand = (
+        cand_small.unionByName(cand_big.select("id_a", "sz_a", "id_b", "sz_b"))
         .where(
             F.least("sz_a", "sz_b")
             >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
@@ -656,7 +702,12 @@ __all__ = [
     "MINHASH_PERMS",
     "MINHASH_PRIME",
     "md5_hash64",
+    "simhash_near_pairs",
+    "prefix_filtered_jaccard_pairs",
 ]
+
+
+_SIMHASH_SIG_CACHE: list = []
 
 
 def simhash_near_pairs(
@@ -665,6 +716,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     bits: int = 24,
     k: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All document pairs within SimHash Hamming distance ``k`` — the
     Manku et al. 2007 (Google web-crawl dedup) pigeonhole search.
@@ -680,12 +732,34 @@ def simhash_near_pairs(
     block_value), verify in-row. Lossless at distance ≤ k by the
     pigeonhole argument. Scale knobs: wider signatures / more blocks
     shrink bucket populations (bucket size tracks docs per
-    block-value, the same contract as LSH banding's ``max_bucket``).
+    block-value, the same contract as LSH banding's ``max_bucket``) —
+    and ``max_bucket`` ENFORCES the bound: a (block, value) bucket of
+    b docs emits up to b² candidate rows, so one boilerplate-heavy
+    bucket (narrow signatures over short templated docs) otherwise
+    dominates the stage. Over-populated buckets are dropped BEFORE
+    the self-join via a linear groupBy-count + equi join-back (never
+    materializing the bucket), trading recall for boundedness exactly
+    like ``lsh_candidate_pairs``: a dropped pair is lost only if that
+    bucket was its ONLY agreeing block, so true near-dups usually
+    survive through their other ``k`` blocks. ``None`` (default)
+    keeps the exact pigeonhole guarantee.
     """
     n_blocks = k + 1
     width = bits // n_blocks
     mask = (1 << width) - 1
     sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    if max_bucket is not None:
+        # The cap branches the plan (bucket census + join-back), which
+        # would recompute the corpus-wide signature groupBy once per
+        # branch — persist it (1 row/doc, two longs). Same single-slot
+        # eviction contract as the prefix-join base cache.
+        sig = sig.persist()
+        while _SIMHASH_SIG_CACHE:
+            try:
+                _SIMHASH_SIG_CACHE.pop().unpersist()
+            except Exception:
+                pass  # stale handle from a stopped session
+        _SIMHASH_SIG_CACHE.append(sig)
     blocks = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -698,6 +772,12 @@ def simhash_near_pairs(
             )
         ).alias("j", "bv"),
     )
+    if max_bucket is not None:
+        sizes = blocks.groupBy("j", "bv").agg(F.count(F.lit(1)).alias("_bn"))
+        blocks = blocks.join(
+            sizes.where(F.col("_bn") <= max_bucket).select("j", "bv"),
+            ["j", "bv"],
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

@@ -689,7 +689,8 @@ def pq_codes(
 
 
 def _pq_l2_chain_py(a: list[float], b: list[float]) -> float:
-    """Driver-side twin of :func:`_sq_l2_lit_chain`: the same
+    """Driver-side twin of the SQL chain emitted by
+    :func:`_pq_best_sql`: the same
     left-associated (x−y)·(x−y) addition chain over IEEE doubles —
     python floats ARE doubles, so the result is bit-identical to the
     JVM/DuckDB evaluation of the same chain."""
@@ -728,7 +729,8 @@ def pq_adc_topk(
     array indexed by the in-row code), so the whole search plans as
     scan → project → TakeOrdered: zero joins, zero shuffles. The LUT
     is computed at the driver with the identical left-associated IEEE
-    chain as :func:`_sq_l2_lit_chain` — bit-equal doubles, so the oracle
+    chain :func:`_pq_best_sql` emits in-plan (via its driver twin
+    :func:`_pq_l2_chain_py`) — bit-equal doubles, so the oracle
     identity is unchanged.
     """
     d_sub = dim // n_sub

@@ -530,3 +530,78 @@ def q_multimodal_plumbing_verified(spark, sf_dir):
             )
 
     return docs.mapInPandas(features, schema=_MM_SCHEMA)
+
+
+# =====================================================================
+# quality_model_filter_verified
+# =====================================================================
+
+
+@qdef(
+    "quality_model_filter_verified",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+               length(text)
+                   / (len(string_split_regex(trim(text), '\s+')) + 1.0)
+                   AS avg_tok_len,
+               length(regexp_replace(text, '[^ ]', '', 'g'))
+                   / (length(text) + 1.0) AS space_frac
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               1.0 / (1.0 + exp(-(0.0 + 1.0 * avg_tok_len
+                                  - 30.0 * space_frac))) AS p
+        FROM f
+    )
+    SELECT doc_id, n_tokens,
+           round(p + 1e-9, 6) AS quality_prob,
+           round(p + 1e-9, 6) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q_quality_model_filter_verified(spark, sf_dir):
+    """The model-based quality gate's SCORING path hash-verified with
+    PINNED coefficients (twin: the rows-only ``quality_model_filter``,
+    whose L-BFGS fit is iterative and not SQL-expressible — the fit's
+    determinism/separation is pinned in tests/test_curate_ext.py).
+    Production deploys exactly this split: the classifier is fitted
+    once offline, and what runs over the 100 TB corpus is the frozen
+    coefficient vector in a narrow projection — THIS query. Same
+    feature expressions as ``quality.model_quality_scores``
+    (whitespace token count, avg token length, space fraction),
+    logistic link over literal weights, keep = rounded p >= 0.5 (the
+    r6-before-compare convention keeps the boundary decision in the
+    engines' shared domain even for a doc sitting exactly at z = 0)."""
+    from weather4cast_bigdata_spark.functions import text as textfn
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = textfn.token_count(F.col("text")).cast("double")
+    f = docs.select(
+        "doc_id",
+        textfn.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.length("text") / (toks + F.lit(1.0))).alias("avg_tok_len"),
+        (
+            F.length(F.regexp_replace("text", r"[^ ]", ""))
+            / (F.length("text") + F.lit(1.0))
+        ).alias("space_frac"),
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(0.0)
+                + F.lit(1.0) * F.col("avg_tok_len")
+                - F.lit(30.0) * F.col("space_frac")
+            )
+        )
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        r6(p).alias("quality_prob"),
+        (r6(p) >= F.lit(0.5)).alias("keep"),
+    )
