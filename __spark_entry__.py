@@ -26,83 +26,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_evaluate(spark, "/root/testdata/sf0.001")
 
 
-# Verification rotation (round 4): rounds 1-3 driver-checked 147 of
-# the registry's oracle-bearing queries, 0 value failures.  Round 3
-# converted 8 more rows-only entries to oracle rows (md5-restatable
-# fixtures / fixed-centroid IVF recall), leaving 28 oracle-bearing
-# queries with no driver row.  This round's first-50 window = all
-# never-verified queries (the 9 registry_verified.py hash-siblings
-# first — they exist to convert the rows-only families into hash
-# evidence — then the r3 PQ/Bloom/CMS/LSH-sink wave, then the round-4
-# additions and rows-only→oracle conversions, including the r4-close
-# curation wave: DSIR, UniMax, global line dedup, CCNet perplexity
-# buckets) + the stalest r1-verified queries filling the remaining
-# slots for re-verification.  The 8 genuinely rows-only entries (RNG order /
-# sketch estimates / k-means training / RNG fixtures) are pinned to
-# the END of the ordering so they never burn a window slot — each is
-# covered by a hash-verified sibling or invariant tests
-# (tests/test_registry_oracle.py re-checks every rotated-out query
-# with the same dtype-strict compare each session).
-_ROUND4_PRIORITY = [
-    # -- hash-verified siblings of the rows-only families (r3) ----------
-    "shuffle_seeded_verified",
-    "graph_pagerank_verified",
-    "agg_approx_distinct_verified",
-    "solve_ridge_sum1_verified",
-    "scan_binary_roundtrip_verified",
-    "udf_scatter_roundtrip_verified",
-    "quantize_halfeven_parity",
-    "multimodal_plumbing_verified",
-    "dedup_semantic_verified",
-    # -- r3 additions (oracle-bearing, never driver-checked) ------------
-    "dedup_jaccard_prefix",
-    "text_decontaminate_bloom",
-    "text_heavy_hitters_cms",
-    "sample_weighted_priority",
-    "embed_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    "sink_lsh_index",
-    # -- oracle-bearing trio deferred from r3 ----------------------------
-    "sample_random_crop",
-    "scan_orc_roundtrip",
-    "project_pivot_wide",
-    # -- r4 additions -----------------------------------------------------
-    "streaming_lsh_ingest",
-    "sink_ivfpq_index",
-    "text_gopher_rules",
-    "text_c4_rules",
-    "text_dup_line_fraction",
-    "text_top_ngram_char_frac",
-    "text_url_dedup",
-    "curation_quality_gate",
-    "text_dsir_weights",
-    "sample_dsir_resample",
-    "sample_unimax",
-    "text_line_dedup_global",
-    "text_perplexity_buckets",
-    "sink_dsir_model",
-    "dedup_simhash_hamming",
-    # -- r4 rows-only->oracle conversions --------------------------------
-    "sim_ivf_recall",
-    "scan_netcdf_decode",
-    "scan_static_netcdf",
-    "scan_static_raw",
-    "cache_decoded",
-    "udf_vectorized_kernel",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "sink_quantized_partitioned",
-    # -- re-verification: stalest r1-verified backlog fills the rest -----
-    "flagship_evaluate",
-    "partition_subset_select",
-    "join_time_intersect",
-    "join_static_broadcast",
-    "join_asof_offset",
-    "join_fallback_day",
+# Verification rotation (round 5): rounds 1-4 driver-checked 192
+# registry queries cumulatively, 0 value failures ever; every
+# oracle-bearing query has at least one green hash row.  Round 5's
+# first-50 window = the two NEW r5 queries (the pinned-coefficient
+# quality-filter sibling closing the last rows-only family gap, and
+# the HDF5 submission-export manifest), then the STALEST backlog:
+# all 43 oracle-bearing queries whose latest green row is still r1,
+# then the alphabetical head of the r2-stale set.  The 8 genuinely
+# rows-only entries (RNG order / sketch estimates / k-means training
+# / RNG fixtures) stay pinned to the END of the ordering so they
+# never burn a window slot — each is covered by a hash-verified
+# sibling or invariant tests (tests/test_registry_oracle.py
+# re-checks every rotated-out query with the same dtype-strict
+# compare each session).
+_ROUND5_PRIORITY = [
+    # -- new in r5 (never driver-checked) --------------------------------
+    "quality_model_filter_verified",
+    "sink_submission_h5",
+    # -- re-verification: every query whose last green row is r1 ---------
+    "scan_file_index",
+    "scan_fallback_source",
+    "project_minmax_normalize",
+    "predicate_fill_detect",
+    "impute_mean_nonfill",
+    "impute_constant",
+    "project_affine_geo",
+    "project_clamp_scale",
+    "project_log_clamp",
+    "project_logit",
+    "project_normlogit",
+    "project_inv_normlogit",
+    "project_quantize",
+    "project_channel_select",
+    "conditional_where",
+    "filter_region_membership",
+    "filter_valid_sequence",
+    "predicate_rain_event",
+    "join_multichannel",
+    "join_frame_lookup",
+    "join_ensemble_align",
+    "udf_ensemble_blend",
+    "agg_mean_nonfill",
+    "agg_global_max",
+    "agg_bool_any",
+    "agg_mse",
+    "agg_rounded_mse",
+    "agg_normlogit_mse",
+    "agg_weighted_multiloss",
+    "agg_gram_matrix",
+    "agg_running_mean",
+    "agg_correlation_matrix",
+    "agg_count_sequences",
+    "agg_distinct_times",
+    "window_past_sequence",
+    "window_future_horizon",
+    "interval_arith",
+    "window_prev_day_fallback",
+    "day_boundary_correct",
+    "argmin_checkpoint",
+    "sort_time",
+    "set_intersect",
+    "set_distinct",
+    # -- r2-stale head fills the remaining slots --------------------------
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_salted",
     # ---- 50-entry window boundary ------------------------------------
-    # remaining r1 backlog, then r2/r3-verified queries (newest last),
-    # then the 8 rows-only entries dead last (never in a window).
+    # remaining r2/r3/r4-verified queries (newest green row last), then
+    # the 8 rows-only entries dead last (never in a window).
 ]
 
 _ROWS_ONLY_LAST = [
@@ -120,7 +114,7 @@ _ROWS_ONLY_LAST = [
 def _ordered_names() -> list[str]:
     seen = set()
     ordered: list[str] = []
-    for name in _ROUND4_PRIORITY:
+    for name in _ROUND5_PRIORITY:
         if name in REGISTRY and name not in seen:
             ordered.append(name)
             seen.add(name)

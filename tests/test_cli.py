@@ -131,3 +131,62 @@ def test_cli_sql_requires_lake_and_query(spark):
 
     with _pytest.raises(SystemExit):
         main(["sql", "--lake-dir", "/root/testdata/sf0.001"])
+
+
+def test_cli_ingest_builds_lake_and_submit_runs_off_it(spark, tmp_path, capsys):
+    """The migrating user's first command: ingest the reference-layout
+    NetCDF tree into the partitioned Parquet frame lake, then run
+    submit end-to-end off the ingested lake via --frames-dir."""
+    from weather4cast_bigdata_spark.plans.registry_weather import _fixture_lake
+
+    raw = _fixture_lake()
+    lake = str(tmp_path / "lake")
+    assert main(
+        [
+            "ingest", "--raw-dir", f"{raw}/w4c", "--output-dir", lake,
+            "--products", "CTTH=temperature;CRR=crr_intensity",
+        ]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "ingested 16 frame files" in out
+    back = spark.read.parquet(lake)
+    # hive axes recovered as partition columns; 2 regions x 1 subset
+    # x 1 day x 2 products
+    assert {"region", "subset", "day", "product"} <= set(back.columns)
+    assert back.select("region", "subset", "day", "product").distinct().count() == 4
+    assert back.count() == 16 * 8 * 8  # every frame decodes to the 8x8 grid
+    sub = str(tmp_path / "sub")
+    assert main(["submit", "--frames-dir", lake, "--submission-dir", sub]) == 0
+    assert "quantized cells" in capsys.readouterr().out
+    assert spark.read.parquet(sub).count() > 0
+
+
+def test_cli_ingest_region_filter_and_validation(spark, tmp_path, capsys):
+    from weather4cast_bigdata_spark.plans.registry_weather import _fixture_lake
+    import pytest
+
+    raw = _fixture_lake()
+    lake = str(tmp_path / "lake_r1")
+    assert main(
+        ["ingest", "--raw-dir", f"{raw}/w4c", "--output-dir", lake,
+         "--regions", "R1"]
+    ) == 0
+    back = spark.read.parquet(lake)
+    assert back.select("region").distinct().collect()[0]["region"] == "R1"
+    with pytest.raises(SystemExit):
+        main(["ingest", "--raw-dir", f"{raw}/w4c"])  # missing --output-dir
+    with pytest.raises(SystemExit):
+        main(["ingest", "--raw-dir", f"{raw}/w4c", "--output-dir", lake,
+              "--grid", "bogus"])
+
+
+def test_cli_submit_h5_format(spark, tmp_path, capsys):
+    sub = str(tmp_path / "subh5")
+    assert main(
+        ["submit", "--submission-dir", sub, "--submission-format", "h5"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "(region, day)" in out and "files under" in out
+    import glob
+
+    assert glob.glob(f"{sub}/*/test/*.np*") or glob.glob(f"{sub}/*/test/*.h5")

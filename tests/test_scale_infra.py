@@ -582,3 +582,50 @@ def test_kmeans_centroids_sample_cap_bounds_driver_rows(spark, monkeypatch):
     cents = similarity.kmeans_centroids(emb, k=4, iters=3, sample_limit=50)
     assert cents.shape == (4, 3)
     assert sizes and max(sizes) <= 50
+
+
+def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
+    """Runtime complement to the static salted-join operators: with
+    AQE skew handling on (the recommended 100 TB posture), a forced
+    hot key whose shuffle partition exceeds the skew threshold is
+    SPLIT at runtime — the finalized adaptive plan must carry
+    ``SortMergeJoin(skew=true)`` over an ``AQEShuffleRead skewed``.
+    Thresholds are scaled down so the local fixture crosses them; on
+    a cluster the defaults (256 MB / factor 5) play the same role."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") < 160000, F.lit(0))
+            .otherwise(F.pmod("id", F.lit(997)))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200000  # every left row keeps its match
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -203,3 +203,44 @@ def test_render_frame_grid_import_gate():
     pdf = pd.DataFrame({"panel_idx": [0], "t_offset": [-2], "y": [0], "x": [0], "value": [0.5]})
     with _pytest.raises(NotImplementedError):
         render_frame_grid(pdf, "/tmp/_w4c_grid.pdf")
+
+
+def test_h5_submission_readback_matches_quantized_cells(decoded, fx, tmp_path):
+    """Interchange parity (datasets.py:444-459): every (region, day)
+    submission file read back must hold exactly the quantized cells at
+    (t-rank, channel, y, x) in uint16 — the same values the parquet
+    sink (sink_quantized_partitioned) carries, just in the scorer's
+    array layout. Runs against the h5 or the npy-fallback format
+    transparently."""
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    imp = decoded.where(F.col("region") == "R1")
+    imp = weather.impute(imp).withColumn("norm", F.least(F.col("norm"), F.lit(1.0)))
+    q = weather.quantize_for_submission(imp, fx["variable_meta"])
+    variables = ["temperature", "crr_intensity", "asii_turb_trop_prob", "cma"]
+    manifest = hdf5.write_submission_h5(
+        q.select("region", "day", "variable", "ts", "y", "x", "qv"),
+        str(tmp_path / "subh5"),
+        variables=variables,
+        grid=(wf.H, wf.W),
+    ).collect()
+    assert manifest, "no submission files written"
+    rows = q.select("region", "day", "variable", "ts", "y", "x", "qv").collect()
+    by_file = {}
+    for r in rows:
+        # day is a string stamp in the long layout, int in the manifest
+        by_file.setdefault((r["region"], int(r["day"])), []).append(r)
+    for m in manifest:
+        cells = by_file[(m["region"], m["day"])]
+        arr = hdf5.read_submission(m["path"])
+        times = sorted({c["ts"] for c in cells})
+        assert arr.shape == (len(times), len(variables), wf.H, wf.W)
+        assert arr.dtype == np.uint16
+        t_idx = {t: i for i, t in enumerate(times)}
+        c_idx = {v: i for i, v in enumerate(variables)}
+        expected = np.zeros_like(arr)
+        for c in cells:
+            expected[t_idx[c["ts"]], c_idx[c["variable"]], c["y"], c["x"]] = c["qv"]
+        assert np.array_equal(arr, expected)
+        assert int(arr.sum(dtype=np.int64)) == m["qv_sum"]
+        assert m["n_cells"] == len(cells)

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from weather4cast_bigdata_spark.plans.registry import REGISTRY  # noqa: E402
 
 SECTIONS = {
-    "§2.1 Scans / sources / sinks": ["scan_file_index", "scan_netcdf_decode", "scan_fallback_source", "scan_static_netcdf", "scan_static_raw", "partition_subset_select", "sink_quantized_partitioned", "cache_decoded"],
+    "§2.1 Scans / sources / sinks": ["scan_file_index", "scan_netcdf_decode", "scan_fallback_source", "scan_static_netcdf", "scan_static_raw", "partition_subset_select", "sink_quantized_partitioned", "sink_submission_h5", "cache_decoded"],
     "§2.2 Projections / filters": ["project_minmax_normalize", "predicate_fill_detect", "impute_mean_nonfill", "impute_constant", "project_affine_geo", "project_clamp_scale", "project_log_clamp", "project_logit", "project_normlogit", "project_inv_normlogit", "project_quantize", "project_channel_select", "conditional_where", "filter_region_membership", "filter_valid_sequence", "predicate_rain_event"],
     "§2.3 Joins": ["join_time_intersect", "join_multichannel", "join_static_broadcast", "join_asof_offset", "join_frame_lookup", "join_ensemble_align", "join_fallback_day"],
     "§2.4 Aggregations": ["agg_mean_nonfill", "agg_global_max", "agg_bool_any", "agg_mse", "agg_rounded_mse", "agg_normlogit_mse", "agg_weighted_multiloss", "agg_gram_matrix", "agg_running_mean", "agg_correlation_matrix", "agg_count_sequences", "agg_distinct_times"],

@@ -1,5 +1,7 @@
 """CLI mirroring the reference's entry points (``main.py:226-285``):
 
+    python -m weather4cast_bigdata_spark ingest \
+        --raw-dir /data/w4c-core-stage-1 --output-dir /lake/frames
     python -m weather4cast_bigdata_spark submit --submission-dir /tmp/out
     python -m weather4cast_bigdata_spark evaluate [--regions R1,R2]
     python -m weather4cast_bigdata_spark evaluate_ensemble \
@@ -52,13 +54,17 @@ def main(argv=None) -> int:
     p.add_argument(
         "mode",
         choices=[
-            "submit", "evaluate", "evaluate_ensemble", "train",
+            "ingest", "submit", "evaluate", "evaluate_ensemble", "train",
             "curate", "audit", "decontaminate", "pack", "sql",
         ],
     )
+    p.add_argument("--raw-dir", default="", help="ingest: comp_dir root of the region/subset/day/product NetCDF tree (datasets.py:256-269 layout)")
+    p.add_argument("--products", default="", help="ingest: PRODUCT=var1,var2;PRODUCT=... map (default: the reference's CTTH/CRR/ASII/CMA variables)")
+    p.add_argument("--grid", default="8x8", help="ingest: frame grid HxW (fixtures 8x8; competition frames 256x256)")
     p.add_argument("--frames-dir", default="", help="Parquet frame lake (long layout); default: bundled fixtures")
     p.add_argument("--regions", default="", help="Comma-separated region whitelist")
     p.add_argument("--submission-dir", default="", help="submit: output path for the quantized partitioned sink")
+    p.add_argument("--submission-format", default="parquet", choices=["parquet", "h5"], help="submit: parquet lake (default) or the scorer's per-(region,day) HDF5 files (npy-fallback without h5py)")
     p.add_argument("--ensemble-weights", default="ridge", choices=["ridge", "equal", "ridge_lagrange"])
     p.add_argument("--docs-dir", default="", help="curate/audit/decontaminate/pack: documents parquet (doc_id, text, ...)")
     p.add_argument("--output-dir", default="", help="curate/decontaminate/pack: write results here (else print summary only)")
@@ -83,8 +89,54 @@ def main(argv=None) -> int:
         else None
     )
 
+    if args.mode == "ingest" and (not args.raw_dir or not args.output_dir):
+        p.error("ingest requires --raw-dir and --output-dir")
+
     spark = get_spark("w4c-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.mode == "ingest":
+        # The raw-lake ETL a migrating user runs FIRST: walk the
+        # reference's comp_dir/region/subset/day/product NetCDF tree
+        # (datasets.py:256-269), decode to the long layout, and build
+        # the hive-partitioned Parquet frame lake every other mode
+        # (and --frames-dir) reads. Decode-once: at 100 TB the NetCDF
+        # tree is read a single time; downstream gets partition
+        # pruning on (region, subset, day, product) plus column
+        # pruning for free.
+        from weather4cast_bigdata_spark.sources import netcdf
+
+        if args.products:
+            product_vars = {
+                part.split("=", 1)[0].strip(): [
+                    v.strip() for v in part.split("=", 1)[1].split(",") if v.strip()
+                ]
+                for part in args.products.split(";")
+                if "=" in part
+            }
+            if not product_vars:
+                p.error(f"--products parsed to nothing: {args.products!r}")
+        else:
+            product_vars = netcdf.DEFAULT_PRODUCT_VARS
+        try:
+            gh, gw = (int(v) for v in args.grid.lower().split("x"))
+        except ValueError:
+            p.error(f"--grid must be HxW, got {args.grid!r}")
+        scanned = netcdf.scan_frame_files(
+            spark, f"{args.raw_dir}/*/*/*/*/*.nc"
+        ).where(F.col("product").isin(list(product_vars)))
+        scanned = _region_filter(scanned, regions)
+        decoded = netcdf.decode_frames(scanned, product_vars, grid=(gh, gw))
+        netcdf.etl_to_parquet(decoded, args.output_dir)
+        lake = spark.read.parquet(args.output_dir)
+        n_files = scanned.count()
+        n_cells = lake.count()
+        parts = lake.select("region", "subset", "day", "product").distinct().count()
+        print(
+            f"ingested {n_files} frame files -> {n_cells} cells in "
+            f"{parts} (region, subset, day, product) partitions at {args.output_dir}"
+        )
+        return 0
 
     if args.mode == "sql":
         # Generic ad-hoc surface: every parquet table in the lake dir
@@ -189,10 +241,25 @@ def main(argv=None) -> int:
         if not args.submission_dir:
             p.error("submit requires --submission-dir")
         q = weather.quantize_for_submission(decoded, fx["variable_meta"])
-        weather.write_submission(
-            q.select("region", "day", "variable", "ts", "y", "x", "qv"),
-            args.submission_dir,
-        )
+        cells = q.select("region", "day", "variable", "ts", "y", "x", "qv")
+        if args.submission_format == "h5":
+            from weather4cast_bigdata_spark.sources import hdf5
+
+            variables = [
+                r["variable"]
+                for r in fx["variable_meta"].select("variable").orderBy("variable").collect()
+            ]
+            manifest = hdf5.write_submission_h5(
+                cells, args.submission_dir, variables=variables
+            ).collect()
+            n = sum(m["n_cells"] for m in manifest)
+            fmt = manifest[0]["fmt"] if manifest else "h5"
+            print(
+                f"wrote {n} quantized cells to {len(manifest)} "
+                f"(region, day) {fmt} files under {args.submission_dir}"
+            )
+            return 0
+        weather.write_submission(cells, args.submission_dir)
         n = spark.read.parquet(args.submission_dir).count()
         print(f"wrote {n} quantized cells to {args.submission_dir}")
         return 0

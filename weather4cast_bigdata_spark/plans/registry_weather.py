@@ -232,6 +232,63 @@ def q_sink_quantized_partitioned(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+@qdef(
+    "sink_submission_h5",
+    oracle=f"""
+    WITH decoded AS (SELECT * FROM ({_FRAME_DECODE_ORACLE})),
+    meta(variable, valid_lo, valid_hi, quant_hi) AS (
+        VALUES ('temperature', 0.0, 22000.0, 65535),
+               ('crr_intensity', 0.0, 500.0, 65535)),
+    n AS (
+        SELECT d.region, d.variable, d.ts, d.y, d.x,
+               least((CAST(d.value AS DOUBLE) - m.valid_lo)
+                     / (m.valid_hi - m.valid_lo), 1.0) AS norm,
+               m.quant_hi
+        FROM decoded d JOIN meta m USING (variable)
+    ),
+    q AS (
+        SELECT region, ts,
+               CAST(floor(norm * quant_hi + 0.5) AS INT) AS qv,
+               CAST(strftime(CASE WHEN hour(ts) = 0 AND minute(ts) = 0
+                                  THEN ts - INTERVAL 1 DAY ELSE ts END,
+                             '%Y%j') AS INT) AS day
+        FROM n
+    )
+    SELECT region, day,
+           CAST(count(DISTINCT ts) AS INT) AS n_times,
+           count(*) AS n_cells,
+           CAST(sum(CAST(qv AS BIGINT)) AS BIGINT) AS qv_sum
+    FROM q
+    GROUP BY region, day
+    """,
+)
+def q_sink_submission_h5(spark, sf_dir):
+    """The competition-scorer interchange (datasets.py:444-459): the
+    quantized frames exported as one (region, day) file of
+    (T, C, H, W) uint16 — HDF5 gzip-9 where h5py is installed, an
+    identical-array .npy fallback where not (sources/hdf5.py; byte
+    layout pinned by the read-back parity test). One writer TASK per
+    file via applyInPandas — no driver collect, file parallelism =
+    group count. The returned manifest's per-file aggregates
+    (n_times, n_cells, qv_sum) are restated in SQL from the decode
+    oracle, so the export path carries a full driver hash row."""
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    frames = _decoded_fixture_frames(spark)
+    fx = weather_fixtures.load_fixtures(spark)
+    dec = weather.impute(weather.decode_normalize(frames, fx["variable_meta"]))
+    dec = dec.withColumn("norm", F.least(F.col("norm"), F.lit(1.0)))
+    q = weather.quantize_for_submission(dec, fx["variable_meta"])
+    out = scratch_dir("w4c_submission_h5")
+    manifest = hdf5.write_submission_h5(
+        q.select("region", "day", "variable", "ts", "y", "x", "qv"),
+        out,
+        variables=["temperature", "crr_intensity"],
+        grid=_LAKE_GRID,
+    )
+    return manifest.select("region", "day", "n_times", "n_cells", "qv_sum")
+
+
 _CACHE_DECODED_PREV: list = []
 
 

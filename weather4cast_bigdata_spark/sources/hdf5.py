@@ -1,0 +1,150 @@
+"""HDF5 submission interchange (reference: datasets.py:444-459).
+
+The reference emits one ``<location>/<region>/test/<YYYYDDD>.h5`` file
+per (region, day), holding dataset ``'array'`` of shape
+(T, C, H, W) uint16, gzip level 9 — the file the competition scorer
+ingests. This module reproduces that layout Spark-first: the
+quantized long-layout frame (the ``sink_quantized_partitioned``
+output schema) is grouped by (region, day) and each group is
+assembled and written INSIDE an ``applyInPandas`` task, so a
+1000-executor cluster writes its thousands of submission files in
+parallel with no driver collect — the returned DataFrame is only the
+per-file manifest (path, shape, checksum aggregates).
+
+h5py is not a hard dependency: when absent, the writer falls back to
+an ``.npy`` payload of the SAME assembled uint16 array (fmt column
+says which), keeping the distributed assembly path — ordering,
+shape, dtype — real and testable everywhere; installing h5py flips
+the output to the scorer's exact format with no code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - exercised only where h5py is installed
+    import h5py  # type: ignore
+
+    HAVE_H5PY = True
+except ImportError:
+    h5py = None
+    HAVE_H5PY = False
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("region", StringType()),
+        StructField("day", IntegerType()),
+        StructField("path", StringType()),
+        StructField("fmt", StringType()),
+        StructField("n_times", IntegerType()),
+        StructField("n_cells", LongType()),
+        StructField("qv_sum", LongType()),
+    ]
+)
+
+
+def assemble_group(
+    pdf: pd.DataFrame, variables: list[str], grid: tuple[int, int]
+) -> np.ndarray:
+    """One (region, day) group of the quantized long layout →
+    the reference's (T, C, H, W) uint16 array (datasets.py:444-448:
+    per-variable (T, H, W, 1) blocks transposed to (T, 1, H, W) and
+    concatenated on axis 1). Deterministic axis order: timestamps
+    ascending, channels in the caller's ``variables`` order. Missing
+    cells (a variable absent for this day) stay 0 — the fill the
+    scorer treats as no-prediction."""
+    h, w = grid
+    times = np.sort(pdf["ts"].unique())
+    t_idx = {t: i for i, t in enumerate(times)}
+    c_idx = {v: i for i, v in enumerate(variables)}
+    arr = np.zeros((len(times), len(variables), h, w), dtype=np.uint16)
+    known = pdf[pdf["variable"].isin(c_idx)]
+    arr[
+        known["ts"].map(t_idx).to_numpy(),
+        known["variable"].map(c_idx).to_numpy(),
+        known["y"].to_numpy(),
+        known["x"].to_numpy(),
+    ] = known["qv"].to_numpy().astype(np.uint16)
+    return arr
+
+
+def write_submission_h5(
+    quantized: DataFrame,
+    location: str,
+    variables: list[str],
+    grid: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Distributed HDF5 submission export: one writer task per
+    (region, day) group — the reference's per-file loop
+    (datasets.py:449-459) becomes a shuffle on the file axes, so file
+    count = task count and no two tasks touch the same path. Returns
+    the manifest (one row per file) with SQL-restatable aggregates
+    (n_cells, qv_sum) so the export carries a driver hash row; byte
+    layout is pinned separately by the read-back parity test
+    (tests/test_weather_pipeline.py)."""
+    h, w = grid
+    vars_ = list(variables)
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        region = str(pdf["region"].iloc[0])
+        day = int(pdf["day"].iloc[0])
+        arr = assemble_group(pdf, vars_, (h, w))
+        fdir = os.path.join(location, region, "test")
+        os.makedirs(fdir, exist_ok=True)
+        if HAVE_H5PY:  # pragma: no cover - h5py absent in CI container
+            path = os.path.join(fdir, f"{day:07d}.h5")
+            with h5py.File(path, "w", libver="latest") as f:
+                f.create_dataset(
+                    "array",
+                    shape=arr.shape,
+                    data=arr,
+                    dtype=np.uint16,
+                    compression="gzip",
+                    compression_opts=9,
+                )
+            fmt = "h5"
+        else:
+            path = os.path.join(fdir, f"{day:07d}.npy")
+            np.save(path, arr)
+            fmt = "npy-fallback"
+        return pd.DataFrame(
+            {
+                "region": [region],
+                "day": [day],
+                "path": [path],
+                "fmt": [fmt],
+                "n_times": [arr.shape[0]],
+                "n_cells": [int(pdf.shape[0])],
+                "qv_sum": [int(pdf["qv"].astype("int64").sum())],
+            }
+        )
+
+    cols = ["region", "day", "variable", "ts", "y", "x", "qv"]
+    return (
+        quantized.select(*cols)
+        .groupBy("region", "day")
+        .applyInPandas(lambda pdf: write_group(pdf), schema=MANIFEST_SCHEMA)
+    )
+
+
+def read_submission(path: str) -> np.ndarray:
+    """Read one submission file back (either format) — the scorer-side
+    half of the interchange, used by the parity test."""
+    if path.endswith(".h5"):  # pragma: no cover - h5py absent in CI
+        if not HAVE_H5PY:
+            raise ImportError("h5py required to read .h5 submissions")
+        with h5py.File(path, "r") as f:
+            return np.asarray(f["array"])
+    return np.load(path)

@@ -47,6 +47,17 @@ except ImportError:
 # comp_dir/region/subset/dayofyear/product/file (datasets.py:260-268).
 FRAME_PATH_RE = r".*/([^/]+)/([^/]+)/(\d{7})/([^/]+)/([^/]+\.nc)$"
 
+# The reference's default product → variables map (datasets.py:182-196
+# minus the "static" pseudo-product, which is the nav/elevation dim
+# handled by scan_static_*). The ingest CLI uses this unless
+# --products overrides it.
+DEFAULT_PRODUCT_VARS: dict[str, list[str]] = {
+    "CTTH": ["temperature"],
+    "CRR": ["crr_intensity"],
+    "ASII": ["asii_turb_trop_prob"],
+    "CMA": ["cma"],
+}
+
 DECODED_SCHEMA = StructType(
     [
         StructField("region", StringType()),
