@@ -108,6 +108,21 @@ def run(spark, docs, lake: str, max_df: int | None):
         "simhash_hamming_pairs",
         lambda: dedup.simhash_near_pairs(docs, bits=48, k=2),
     )
+    # r5 skew guards under the adversarial lake: the bucket CAP bounds
+    # the simhash stage even at the demo 24-bit width (clone buckets
+    # dropped before the self-join), and the prefix-join bucket SPLIT
+    # keeps the EXACT all-pairs join alive on the clone-heavy corpus
+    # without any single task holding a whole hot bucket.
+    probe(
+        "simhash_hamming_capped24",
+        lambda: dedup.simhash_near_pairs(docs, bits=24, k=2, max_bucket=64),
+    )
+    probe(
+        "jaccard_prefix_split",
+        lambda: dedup.prefix_filtered_jaccard_pairs(
+            docs, threshold=0.8, split_bucket=256, n_salt=32
+        ),
+    )
     probe("curation_pipeline", lambda: curate(docs, max_df=max_df))
     # wave-3 narrow/one-shuffle ops: near-linear scaling is the pass bar
     probe("repetition_features", lambda: curate_ext.repetition_features(docs))

@@ -2018,16 +2018,22 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 _COSINE_SQL = """
-    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings {qfilter}),
-    c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings {qfilter}),
+    c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS cv FROM embeddings),
     dots AS (
+        -- list_dot_product keeps the oracle LINEAR in candidate
+        -- pairs: the unnest-per-dimension form multiplied every pair
+        -- row by the vector width, which at the sf1 sweep's 10x
+        -- embeddings turned the oracle itself into the bottleneck.
+        -- Same elements, same r6 rounding domain; only DuckDB's
+        -- internal summation order changes (absorbed by the +1e-9
+        -- nudge like every other float aggregate here).
         SELECT query_id, item_id,
-               sum(q.qv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE) AS dot,
-               sqrt(sum(q.qv[r.i]::DOUBLE * q.qv[r.i]::DOUBLE)) AS nq,
-               sqrt(sum(c.cv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE)) AS nc
-        FROM q, c, (SELECT unnest(range(1, 129)) AS i) r
-        WHERE r.i <= len(q.qv) AND query_id != item_id {pair_cond}
-        GROUP BY query_id, item_id
+               list_dot_product(q.qv, c.cv) AS dot,
+               sqrt(list_dot_product(q.qv, q.qv)) AS nq,
+               sqrt(list_dot_product(c.cv, c.cv)) AS nc
+        FROM q, c
+        WHERE query_id != item_id {pair_cond}
     ),
     scored AS (
         SELECT query_id, item_id, round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
@@ -2074,14 +2080,14 @@ def q_sim_cosine_topk_blas(spark, sf_dir):
     + _COSINE_SQL.format(
         qfilter="WHERE vec_id < 40", pair_cond=""
     ).replace(
-        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 40),",
-        "q AS (SELECT vec_id AS query_id, label, embedding AS qv FROM embeddings WHERE vec_id < 40),",
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 40),",
+        "q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 40),",
     ).replace(
-        "c AS (SELECT vec_id AS item_id, embedding AS cv FROM embeddings),",
-        "c AS (SELECT vec_id AS item_id, label, embedding AS cv FROM embeddings),",
+        "c AS (SELECT vec_id AS item_id, embedding::DOUBLE[] AS cv FROM embeddings),",
+        "c AS (SELECT vec_id AS item_id, label, embedding::DOUBLE[] AS cv FROM embeddings),",
     ).replace(
-        "WHERE r.i <= len(q.qv) AND query_id != item_id ",
-        "WHERE r.i <= len(q.qv) AND query_id != item_id AND q.label = c.label ",
+        "WHERE query_id != item_id ",
+        "WHERE query_id != item_id AND q.label = c.label ",
     ),
 )
 def q_sim_cosine_bucketed(spark, sf_dir):
@@ -2091,6 +2097,16 @@ def q_sim_cosine_bucketed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_bucketed(
         emb.where(F.col("vec_id") < 40), emb, bucket_col="label", k=5
+    )
+
+
+# The bucketed oracle is derived from _COSINE_SQL by string surgery;
+# if the template drifts, the .replace()s silently no-op and the
+# oracle degrades to the unbucketed all-pairs search (caught once —
+# fail at import instead of at the driver gate).
+for _frag in ("q.label = c.label", "query_id, label,", "item_id, label,"):
+    assert _frag in REGISTRY["sim_cosine_bucketed"].oracle, (
+        f"sim_cosine_bucketed oracle lost its bucket surgery: {_frag!r}"
     )
 
 
@@ -2913,9 +2929,16 @@ def q_sink_compacted(spark, sf_dir):
         li, out, cluster_by=["l_orderkey"], n_files=8, max_records_per_file=50_000
     )
     n_files = compact.parquet_file_count(out)
-    assert 8 <= n_files <= 24, (
-        f"compaction produced {n_files} files — expected 8 range partitions "
-        "with at most 2-3 rotations each under the 50k record cap"
+    # Bound derived from the ACTUAL row count, not a fixed constant:
+    # 8 range partitions, each rotating every 50k records, plus range
+    # skew slack. (The old hard-coded 8..24 bound encoded the sf0.1
+    # volume and fired as a false alarm on the sf1 sweep — the
+    # operator itself was honoring the cap exactly.)
+    n_rows = li.count()
+    ceil_files = 8 * (max(n_rows // 8, 1) + 50_000 - 1) // 50_000 + 8
+    assert 8 <= n_files <= max(ceil_files, 24), (
+        f"compaction produced {n_files} files for {n_rows} rows — expected "
+        f"8 range partitions rotating every 50k records (<= {ceil_files})"
     )
     return compact.read_compacted(spark, out)
 
@@ -3417,24 +3440,28 @@ def q_graph_pagerank(spark, sf_dir):
 @qdef(
     "flagship_pricing_summary",
     oracle="""
+    -- DECIMAL -> VARCHAR -> DOUBLE: DuckDB's direct DECIMAL->DOUBLE
+    -- cast is not correctly rounded (1-ulp off at ~2.8e10, caught by
+    -- the sf1 sweep); the string round-trip is, matching Spark's
+    -- BigDecimal.doubleValue exactly.
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) + 1e-9, 6)
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) + 1e-9, 6)
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                          * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-                 + 1e-9, 6) AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                          * (1 - CAST(l_discount AS DECIMAL(3,2)))
-                          * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
-                 + 1e-9, 6) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(*) + 1e-9, 6) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                 / count(*) + 1e-9, 6) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
-                 / count(*) + 1e-9, 6) AS avg_disc,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
+               AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -3469,17 +3496,24 @@ def q_flagship_pricing_summary(spark, sf_dir):
     disc_price_d = price_d * (F.lit(1) - disc_d)
     charge_d = disc_price_d * (F.lit(1) + tax_d)
     n = F.count(F.lit(1))
+    # NO r6 here: the decimal sums are exact and their cast to double
+    # is one correctly-rounded conversion — already bit-identical
+    # across engines and partitionings. round(x, 6) would BREAK that
+    # above ~2^53/1e6 (~9e9): both engines rescale by 1e6 into the
+    # integer-precision cliff and their last-ulp behavior diverges
+    # (caught by the sf1 sweep at sum_charge ~2.8e10). Same for the
+    # averages: exact-double / exact-int is one IEEE rounding.
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum(qty_d).cast("double")).alias("sum_qty"),
-            r6(F.sum(price_d).cast("double")).alias("sum_base_price"),
-            r6(F.sum(disc_price_d).cast("double")).alias("sum_disc_price"),
-            r6(F.sum(charge_d).cast("double")).alias("sum_charge"),
-            r6(F.sum(qty_d).cast("double") / n).alias("avg_qty"),
-            r6(F.sum(price_d).cast("double") / n).alias("avg_price"),
-            r6(F.sum(disc_d).cast("double") / n).alias("avg_disc"),
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price_d).cast("double").alias("sum_disc_price"),
+            F.sum(charge_d).cast("double").alias("sum_charge"),
+            (F.sum(qty_d).cast("double") / n).alias("avg_qty"),
+            (F.sum(price_d).cast("double") / n).alias("avg_price"),
+            (F.sum(disc_d).cast("double") / n).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -363,15 +363,24 @@ def q_udf_scatter_roundtrip_verified(spark, sf_dir):
     "dedup_semantic_verified",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    r AS (SELECT unnest(range(1, 65)) AS i),
-    cent AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+    cent AS (
+        -- centroid count SCALES with the corpus (the SemDeDup
+        -- discipline: cluster size stays ~constant, so the
+        -- cluster-local pair scan stays linear — a fixed k went
+        -- quadratic at the sf1 sweep): the first 8 vectors by id
+        -- plus every 250th thereafter.
+        SELECT vec_id AS cid, v FROM (
+            SELECT vec_id, v,
+                   row_number() OVER (ORDER BY vec_id) AS rn
+            FROM e
+        ) WHERE rn <= 8 OR rn % 250 = 1
+    ),
     sims AS (
         SELECT e.vec_id, c.cid,
-               sum(e.v[r.i] * c.v[r.i])
-                 / (greatest(sqrt(sum(e.v[r.i] * e.v[r.i])), 1e-12)
-                    * greatest(sqrt(sum(c.v[r.i] * c.v[r.i])), 1e-12)) AS sim
-        FROM e, cent c, r
-        GROUP BY e.vec_id, c.cid
+               list_dot_product(e.v, c.v)
+                 / (greatest(sqrt(list_dot_product(e.v, e.v)), 1e-12)
+                    * greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)) AS sim
+        FROM e, cent c
     ),
     best AS (
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
@@ -388,11 +397,10 @@ def q_udf_scatter_roundtrip_verified(spark, sf_dir):
         FROM best a
         JOIN best b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         JOIN e ea ON ea.vec_id = a.vec_id
-        JOIN e eb ON eb.vec_id = b.vec_id, r
-        GROUP BY a.vec_id, b.vec_id
-        HAVING round(sum(ea.v[r.i] * eb.v[r.i])
-                     / (sqrt(sum(ea.v[r.i] * ea.v[r.i]))
-                        * sqrt(sum(eb.v[r.i] * eb.v[r.i]))) + 1e-9, 6) >= 0.3
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE round(list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v))
+                       * sqrt(list_dot_product(eb.v, eb.v))) + 1e-9, 6) >= 0.3
     ),
     drops AS (
         SELECT DISTINCT CASE WHEN x.centroid_sim > y.centroid_sim
@@ -418,21 +426,42 @@ def q_dedup_semantic_verified(spark, sf_dir):
     cluster-local cosine pairs at τ=0.3, and the deterministic
     drop-the-more-central rule. The rows-only twin
     (``dedup_semantic``) keeps the seeded k-means trainer; this pins
-    everything downstream of it."""
+    everything downstream of it.
+
+    The fixed-centroid set SCALES with the corpus (first 8 vectors by
+    id + every 250th by rank): with constant k the per-cluster pair
+    scan is quadratic in corpus size (caught by the sf1 sweep —
+    10x vectors = 100x pairs); rank-strided centroids keep cluster
+    populations ~constant, which is how SemDeDup is actually run
+    (k proportional to n). The collected centroid matrix is the
+    model-state driver contract (n/250 rows), same class as the
+    k-means sample cap."""
+    from pyspark.sql import Window
+
     from weather4cast_bigdata_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
+    rn = F.row_number().over(Window.orderBy("vec_id"))
     rows = (
-        emb.where(F.col("vec_id") < 8)
+        emb.select(F.col("embedding").cast("array<double>").alias("v"), "vec_id")
+        .withColumn("rn", rn)
+        .where((F.col("rn") <= 8) | (F.col("rn") % 250 == 1))
         .orderBy("vec_id")
-        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .select("v", "vec_id")
         .collect()
     )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     out = similarity.semantic_dedup(emb, x, threshold=0.3)
+    # semantic_dedup labels clusters by centroid-matrix INDEX; the
+    # oracle labels them by the centroid's vec_id — map back through
+    # the same ordered id list the matrix was built from.
+    cid_of = F.array(*[F.lit(int(r["vec_id"])) for r in rows])
     return out.select(
-        "vec_id", F.col("cluster").cast("long").alias("cluster"), "centroid_sim", "kept"
+        "vec_id",
+        F.element_at(cid_of, F.col("cluster") + 1).cast("long").alias("cluster"),
+        "centroid_sim",
+        "kept",
     )
 
 

@@ -507,14 +507,15 @@ def q_solve_ridge_sum1(spark, sf_dir):
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     dots AS (
+        -- list_dot_product: linear in bucket-local pairs (the
+        -- unnest-per-dimension form cost pairs x 64 rows — the sf1
+        -- sweep's worst oracle). Same r6 rounding domain.
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               sum(a.v[r.i] * b.v[r.i]) AS dot,
-               sqrt(sum(a.v[r.i] * a.v[r.i])) AS na,
-               sqrt(sum(b.v[r.i] * b.v[r.i])) AS nb
+               list_dot_product(a.v, b.v) AS dot,
+               sqrt(list_dot_product(a.v, a.v)) AS na,
+               sqrt(list_dot_product(b.v, b.v)) AS nb
         FROM e a
-        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
-             (SELECT unnest(range(1, 65)) AS i) r
-        GROUP BY a.vec_id, b.vec_id
+        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT a_id, b_id, cos_sim FROM (
         SELECT a_id, b_id, round(dot / (greatest(na, 1e-300) * greatest(nb, 1e-300)) + 1e-9, 6) AS cos_sim FROM dots
@@ -618,7 +619,7 @@ def q_multimodal_image_features(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) + 1e-9, 6)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
                AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -633,9 +634,12 @@ def q_agg_rollup(spark, sf_dir):
     is exact and partitioning-independent, then one deterministic
     cast back to double (same policy as flagship_pricing_summary)."""
     o = _t(spark, sf_dir, "orders")
+    # exact decimal sum -> one cast; no r6 (round(x, 6) diverges
+    # across engines above ~9e9 — the sf1 lesson from
+    # flagship_pricing_summary)
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        r6(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")).alias("total"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
     )
 
 
@@ -664,7 +668,8 @@ def q_agg_cube(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           round(sum(o_totalprice) + 1e-9, 6) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE)
+               AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -674,13 +679,19 @@ def q_agg_grouping_sets(spark, sf_dir):
     (zero-cost Spark extension, SURVEY.md §2.4 note): per-status,
     per-priority, and grand-total subtotals in ONE shuffle via
     Expand + partial aggregation, instead of three separate
-    groupBys + union."""
+    groupBys + union.  The money total SUMs over DECIMAL (lossless:
+    2-decimal values) — at sf1 the grand-total row passes 7.5e10,
+    where a double sum's ULP is ~1.5e-5 and partial-aggregation
+    order noise exceeds the r6 rounding grid (caught by the sf1
+    sweep); exact decimal addition is order-independent, then one
+    deterministic cast back to double (same policy as agg_rollup and
+    flagship_pricing_summary)."""
     o = _t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("w4c_orders_gs")
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               round(sum(o_totalprice) + 1e-9, 6) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
         FROM w4c_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
