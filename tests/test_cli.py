@@ -189,4 +189,23 @@ def test_cli_submit_h5_format(spark, tmp_path, capsys):
     assert "(region, day)" in out and "files under" in out
     import glob
 
-    assert glob.glob(f"{sub}/*/test/*.np*") or glob.glob(f"{sub}/*/test/*.h5")
+    from weather4cast_bigdata_spark.sources import hdf5, weather_fixtures
+
+    files = glob.glob(f"{sub}/*/test/*.np*") + glob.glob(f"{sub}/*/test/*.h5")
+    assert files
+    # The scorer reads channels positionally in the reference's
+    # target_vars order (datasets.py:415), NOT alphabetically:
+    # (temperature, crr_intensity, asii_turb_trop_prob, cma).
+    # temperature/crr quantize to 16-bit (quant_hi 65535) while
+    # asii/cma quantize to 8-bit (quant_hi 255), so channel maxima
+    # discriminate the order: alphabetical would put asii (<=255)
+    # in channel 0.
+    assert weather_fixtures.TARGET_VARS == (
+        "temperature", "crr_intensity", "asii_turb_trop_prob", "cma",
+    )
+    arr = hdf5.read_submission(files[0])
+    assert arr.ndim == 4 and arr.shape[1] == 4
+    assert arr[:, 0].max() > 255  # temperature, not asii
+    assert arr[:, 1].max() > 255  # crr_intensity, not cma
+    assert arr[:, 2].max() <= 255  # asii_turb_trop_prob
+    assert arr[:, 3].max() <= 255  # cma

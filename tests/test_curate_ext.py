@@ -593,6 +593,12 @@ def test_dsir_score_smooths_unseen_buckets(spark):
     # legacy model without totals keeps the strict inner-join contract
     legacy = model.select("b", "lr")
     assert curate_ext.dsir_score(batch, legacy).count() == 0
+    # degenerate EMPTY stored model: the closed-form smoothed lr at
+    # raw_tot=tgt_tot=0 is 0.0, never a silent NULL log_w
+    empty = model.limit(0)
+    got0 = curate_ext.dsir_score(batch, empty).collect()[0]
+    assert got0["n_tokens"] == 4
+    assert got0["log_w"] == pytest.approx(0.0, abs=0.0)
 
 
 def test_dsir_resample_prefers_target_like_docs_and_is_deterministic(spark):

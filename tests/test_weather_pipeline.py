@@ -244,3 +244,31 @@ def test_h5_submission_readback_matches_quantized_cells(decoded, fx, tmp_path):
         assert np.array_equal(arr, expected)
         assert int(arr.sum(dtype=np.int64)) == m["qv_sum"]
         assert m["n_cells"] == len(cells)
+
+
+def test_h5_submission_channel_subset_manifest_describes_written_file(
+    decoded, fx, tmp_path
+):
+    """A channel-subset export stores only the requested variables, so
+    the manifest's n_cells/qv_sum must aggregate the FILTERED rows —
+    read-back checksum equality is the contract, not 'all input rows'."""
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    imp = weather.impute(decoded.where(F.col("region") == "R1"))
+    imp = imp.withColumn("norm", F.least(F.col("norm"), F.lit(1.0)))
+    q = weather.quantize_for_submission(imp, fx["variable_meta"])
+    variables = ["temperature", "cma"]  # subset, in contract order
+    manifest = hdf5.write_submission_h5(
+        q.select("region", "day", "variable", "ts", "y", "x", "qv"),
+        str(tmp_path / "subh5_subset"),
+        variables=variables,
+        grid=(wf.H, wf.W),
+    ).collect()
+    assert manifest
+    for m in manifest:
+        arr = hdf5.read_submission(m["path"])
+        assert arr.shape[1] == 2
+        assert int(arr.sum(dtype=np.int64)) == m["qv_sum"]
+    # exact n_cells: count the quantized rows for the kept variables
+    kept = q.where(F.col("variable").isin(variables)).count()
+    assert sum(m["n_cells"] for m in manifest) == kept

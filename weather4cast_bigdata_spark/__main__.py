@@ -245,10 +245,16 @@ def main(argv=None) -> int:
         if args.submission_format == "h5":
             from weather4cast_bigdata_spark.sources import hdf5
 
-            variables = [
+            # Channel order is positional in the scorer (reference
+            # datasets.py:415 target_vars) — pin to TARGET_VARS, never
+            # alphabetical; unknown extra variables (custom lakes) go
+            # last, alphabetically, so the contract vars keep their slots.
+            present = {
                 r["variable"]
-                for r in fx["variable_meta"].select("variable").orderBy("variable").collect()
-            ]
+                for r in fx["variable_meta"].select("variable").collect()
+            }
+            variables = [v for v in weather_fixtures.TARGET_VARS if v in present]
+            variables += sorted(present - set(weather_fixtures.TARGET_VARS))
             manifest = hdf5.write_submission_h5(
                 cells, args.submission_dir, variables=variables
             ).collect()

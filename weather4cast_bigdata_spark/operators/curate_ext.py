@@ -864,7 +864,9 @@ def dsir_bucket_model(
 ) -> DataFrame:
     """Fit the DSIR model: the per-bucket log ratio
     ``ln p_target(b) - ln q_raw(b)`` with add-``alpha`` smoothing —
-    EXACTLY ``buckets`` rows at any corpus size. This frame IS the
+    at most ``buckets`` rows (observed buckets only; ``dsir_score``
+    reconstructs the smoothed value for unseen buckets from the
+    totals each row carries). This frame IS the
     reusable state: persist it once and score incrementally arriving
     batches against it (``dsir_score``) without touching the fitted
     corpus again.
@@ -943,10 +945,14 @@ def dsir_score(
     # 1-row defaults frame off the <=buckets-row model (max() of a
     # constant-per-row column) — broadcast, so the smoothed default lr
     # reaches every unmatched token row without a corpus pass.
+    # coalesce(max, 0): a degenerate EMPTY stored model (0 rows) has
+    # NULL totals; its closed-form smoothed lr at raw_tot=tgt_tot=0 is
+    # ln(a/denom)-ln(a/denom)=0, which the coalesce reproduces instead
+    # of silently NULLing every log_w.
     defaults = model.agg(
         (
-            F.log(a / (F.max("tgt_tot") + denom))
-            - F.log(a / (F.max("raw_tot") + denom))
+            F.log(a / (F.coalesce(F.max("tgt_tot"), F.lit(0)) + denom))
+            - F.log(a / (F.coalesce(F.max("raw_tot"), F.lit(0)) + denom))
         ).alias("default_lr")
     )
     return (

@@ -100,6 +100,11 @@ def write_submission_h5(
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         region = str(pdf["region"].iloc[0])
         day = int(pdf["day"].iloc[0])
+        # Manifest checksums must describe the WRITTEN array: when the
+        # caller passes a channel subset, rows for other variables are
+        # not stored, so drop them before both the array assembly and
+        # the n_cells/qv_sum aggregates.
+        pdf = pdf[pdf["variable"].isin(set(vars_))]
         arr = assemble_group(pdf, vars_, (h, w))
         fdir = os.path.join(location, region, "test")
         os.makedirs(fdir, exist_ok=True)

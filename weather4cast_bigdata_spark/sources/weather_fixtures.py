@@ -34,6 +34,11 @@ VARIABLE_META = {
     "asii_turb_trop_prob": (0.0, 100.0, -1.0, 255),
     "cma": (0.0, 1.0, -1.0, 255),
 }
+# Canonical channel order of the submission (T,C,H,W) array: the
+# reference scorer reads channels positionally in target_vars order
+# (datasets.py:415), NOT alphabetically. VARIABLE_META insertion order
+# is that contract.
+TARGET_VARS = tuple(VARIABLE_META)
 N_SLOTS = 60
 # Start 21:00 so the stream crosses midnight (day-boundary handling,
 # datasets.py:450-454).
