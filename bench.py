@@ -113,6 +113,30 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _canaries(spark) -> dict:
+    """Fixed trivial plans timed alongside the headline set each round.
+
+    Machine-state drift between rounds (r3 and r5 both measured
+    uniformly ~1.4x inflated under background load) is invisible from
+    the query timings alone. The canaries never change, touch no lake,
+    and exercise the two cost regimes the headline set spans — pure
+    whole-stage-codegen CPU and a 1-key shuffle — so a future round
+    can load-normalize: query_delta / canary_delta ~ 1 means drift,
+    not regression.
+    """
+    from pyspark.sql import functions as F
+
+    cpu = spark.range(64_000_000).select(
+        F.sum(F.col("id") * 3 + 1).alias("s")
+    )
+    shuffle = (
+        spark.range(8_000_000)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .agg(F.sum("id").alias("s"))
+    )
+    return {"canary_cpu": cpu, "canary_shuffle": shuffle}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -143,28 +167,46 @@ def main() -> None:
     # transient background-load spike degrades one SAMPLE of many
     # queries, not every sample of one query.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    canary_plans = _canaries(spark)
+    for df in canary_plans.values():  # same one-off warm-up as queries
+        force(df)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    canary_samples: dict[str, list[float]] = {n: [] for n in canary_plans}
     for _ in range(n_runs):
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(REGISTRY[name].fn(spark, sf_dir))
             samples[name].append(round(time.perf_counter() - t0, 3))
+        # canaries ride the same round-robin window so they sample the
+        # same machine state the queries saw
+        for cname, cdf in canary_plans.items():
+            t0 = time.perf_counter()
+            force(cdf)
+            canary_samples[cname].append(round(time.perf_counter() - t0, 3))
 
     timings = {name: min(s) for name, s in samples.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "sf": sf,
-                "n": n_runs,
-                "aggregation": "best-of-n after warm-up; per-query samples recorded round-robin",
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n": n_runs,
+        "canary": {n: min(s) for n, s in canary_samples.items()},
+        "aggregation": "best-of-n after warm-up; per-query samples recorded round-robin; full distributions in BENCH_LATEST.json",
+    }
+    # Full record (with per-sample distributions) goes to a repo file:
+    # the driver captures stdout's tail, and r5's giant single line got
+    # front-truncated there, losing the headline total — the printed
+    # line stays compact, the file carries everything.
+    full = dict(result)
+    full["samples"] = samples
+    full["canary_samples"] = canary_samples
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
