@@ -26,76 +26,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_evaluate(spark, "/root/testdata/sf0.001")
 
 
-# Verification rotation (round 5): rounds 1-4 driver-checked 192
-# registry queries cumulatively, 0 value failures ever; every
-# oracle-bearing query has at least one green hash row.  Round 5's
-# first-50 window = the two NEW r5 queries (the pinned-coefficient
-# quality-filter sibling closing the last rows-only family gap, and
-# the HDF5 submission-export manifest), then the STALEST backlog:
-# all 43 oracle-bearing queries whose latest green row is still r1,
-# then the alphabetical head of the r2-stale set.  The 8 genuinely
-# rows-only entries (RNG order / sketch estimates / k-means training
-# / RNG fixtures) stay pinned to the END of the ordering so they
-# never burn a window slot — each is covered by a hash-verified
-# sibling or invariant tests (tests/test_registry_oracle.py
-# re-checks every rotated-out query with the same dtype-strict
-# compare each session).
-_ROUND5_PRIORITY = [
-    # -- new in r5 (never driver-checked) --------------------------------
-    "quality_model_filter_verified",
-    "sink_submission_h5",
-    # -- re-verification: every query whose last green row is r1 ---------
-    "scan_file_index",
-    "scan_fallback_source",
-    "project_minmax_normalize",
-    "predicate_fill_detect",
-    "impute_mean_nonfill",
-    "impute_constant",
-    "project_affine_geo",
-    "project_clamp_scale",
-    "project_log_clamp",
-    "project_logit",
-    "project_normlogit",
-    "project_inv_normlogit",
-    "project_quantize",
-    "project_channel_select",
-    "conditional_where",
-    "filter_region_membership",
-    "filter_valid_sequence",
-    "predicate_rain_event",
-    "join_multichannel",
-    "join_frame_lookup",
-    "join_ensemble_align",
-    "udf_ensemble_blend",
-    "agg_mean_nonfill",
-    "agg_global_max",
-    "agg_bool_any",
-    "agg_mse",
-    "agg_rounded_mse",
-    "agg_normlogit_mse",
-    "agg_weighted_multiloss",
-    "agg_gram_matrix",
-    "agg_running_mean",
-    "agg_correlation_matrix",
-    "agg_count_sequences",
-    "agg_distinct_times",
-    "window_past_sequence",
-    "window_future_horizon",
-    "interval_arith",
-    "window_prev_day_fallback",
-    "day_boundary_correct",
-    "argmin_checkpoint",
-    "sort_time",
-    "set_intersect",
-    "set_distinct",
-    # -- r2-stale head fills the remaining slots --------------------------
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_salted",
+# Verification rotation (round 6): rounds 1-5 driver-checked 194
+# registry queries cumulatively, 0 value failures ever; after r5 no
+# query's latest green hash row is older than r2.  Round 6's
+# first-50 window = the NEW r6 query (the streaming submission-h5
+# manifest), then ALL 43 queries whose latest green row is r2 (the
+# §2.7 array/string family, the streaming twins, the r2 extension
+# wave), then the alphabetical head of the r3-green set.  The 8
+# genuinely rows-only entries (RNG order / sketch estimates /
+# k-means training / RNG fixtures) stay pinned to the END of the
+# ordering so they never burn a window slot — each is covered by a
+# hash-verified sibling or invariant tests
+# (tests/test_registry_oracle.py re-checks every rotated-out query
+# with the same dtype-strict compare each session).
+_ROUND6_PRIORITY = [
+    # -- new in r6 (never driver-checked) --------------------------------
+    "streaming_submission_h5",
+    # -- re-verification: every query whose last green row is r2 ---------
+    "array_concat",
+    "array_flatten",
+    "array_slice_2d",
+    "array_stack_channels",
+    "array_transpose",
+    "crr_combo_switch",
+    "curation_pipeline",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "join_asof_nearest",
+    "join_bucketed_colocated",
+    "json_get",
+    "multimodal_frame_sample",
+    "plot_frame_grid",
+    "sample_augment",
+    "sample_stratified_split",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "sim_cosine_bucketed",
+    "sim_cosine_topk",
+    "sim_cosine_topk_blas",
+    "sim_hyperplane_lsh",
+    "str_format_path",
+    "str_parse_ts",
+    "str_replace",
+    "streaming_dedup",
+    "streaming_running_gram",
+    "streaming_session_windows",
+    "streaming_sliding_windows",
+    "streaming_stateful_assembly",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_strip_markup",
+    "text_token_count",
+    "text_unigram_logprob",
+    "text_vocab_topk",
+    "udf_batch_inference",
+    # -- r3-green head fills the remaining slots --------------------------
+    "agg_entropy",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_moments",
+    "agg_string_concat",
+    "agg_winsorize",
     # ---- 50-entry window boundary ------------------------------------
-    # remaining r2/r3/r4-verified queries (newest green row last), then
+    # remaining r3/r4/r5-verified queries (newest green row last), then
     # the 8 rows-only entries dead last (never in a window).
 ]
 
@@ -114,7 +113,7 @@ _ROWS_ONLY_LAST = [
 def _ordered_names() -> list[str]:
     seen = set()
     ordered: list[str] = []
-    for name in _ROUND5_PRIORITY:
+    for name in _ROUND6_PRIORITY:
         if name in REGISTRY and name not in seen:
             ordered.append(name)
             seen.add(name)

@@ -517,3 +517,115 @@ def test_lsh_ingest_replay_idempotent(spark, tmp_path, dup_docs):
     )
     assert spark.read.parquet(matches_dir).count() == before_pairs
     assert spark.read.parquet(index_dir).count() == before_idx
+
+
+# --- incremental submission export (submission_ingest) -----------------------
+
+
+@pytest.fixture(scope="module")
+def sub_cells(spark):
+    """Quantized submission cells from the seeded weather fixtures —
+    the exact input of the batch h5 export (sink_submission_h5)."""
+    from weather4cast_bigdata_spark.plans import weather
+    from weather4cast_bigdata_spark.sources import weather_fixtures
+
+    fx = dict(weather_fixtures.load_fixtures(spark))
+    dec = weather.impute(
+        weather.decode_normalize(fx["frames"], fx["variable_meta"])
+    )
+    dec = dec.withColumn("norm", F.least(F.col("norm"), F.lit(1.0)))
+    q = weather.quantize_for_submission(dec, fx["variable_meta"])
+    return q.select("region", "day", "variable", "ts", "y", "x", "qv")
+
+
+_SUB_VARS = ["temperature", "crr_intensity", "asii_turb_trop_prob", "cma"]
+
+
+def _sub_dirs(tmp_path, tag):
+    d = tmp_path / tag
+    return (
+        str(d / "staging"),
+        str(d / "submission"),
+        str(d / "manifest"),
+        str(d / "ckpt"),
+    )
+
+
+def _file_arrays(sub_dir):
+    import glob
+
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    out = {}
+    for p in sorted(
+        glob.glob(f"{sub_dir}/*/test/*.np*") + glob.glob(f"{sub_dir}/*/test/*.h5")
+    ):
+        rel = os.path.relpath(p, sub_dir)
+        out[rel] = hdf5.read_submission(p)
+    return out
+
+
+def test_submission_ingest_batch_invariant(spark, tmp_path, sub_cells):
+    """Drained incremental export == one-shot batch export,
+    byte-identical per file, however arrivals were chunked — cells of
+    one (region, day) deliberately span every micro-batch."""
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    src = str(tmp_path / "src")
+    # 96 files, randomly assigned rows -> every (region, day) group
+    # spans all three 32-file micro-batches
+    sub_cells.repartition(96).write.parquet(src)
+    staging, sub_dir, mani, ckpt = _sub_dirs(tmp_path, "run1")
+    streaming.submission_ingest(
+        spark, src, sub_cells.schema, staging, sub_dir, mani, ckpt, _SUB_VARS
+    )
+    oneshot_dir = str(tmp_path / "oneshot")
+    oneshot = {
+        (r["region"], r["day"]): r
+        for r in hdf5.write_submission_h5(
+            sub_cells, oneshot_dir, variables=_SUB_VARS
+        ).collect()
+    }
+    got, want = _file_arrays(sub_dir), _file_arrays(oneshot_dir)
+    assert set(got) == set(want) and want
+    for rel in want:
+        assert np.array_equal(got[rel], want[rel]), rel
+    final = {
+        (r["region"], r["day"]): r
+        for r in streaming.submission_manifest(spark, mani).collect()
+    }
+    assert set(final) == set(oneshot)
+    for k, r in oneshot.items():
+        assert final[k]["n_cells"] == r["n_cells"]
+        assert final[k]["qv_sum"] == r["qv_sum"]
+        assert final[k]["n_times"] == r["n_times"]
+
+
+def test_submission_ingest_replay_idempotent(spark, tmp_path, sub_cells):
+    """Re-running the drained stream against the same sinks (fresh
+    checkpoint => every batch replays with the same batch_id sequence)
+    leaves the file tree byte-identical and the manifest unchanged."""
+    src = str(tmp_path / "src2")
+    sub_cells.repartition(64).write.parquet(src)
+    staging, sub_dir, mani, ckpt1 = _sub_dirs(tmp_path, "run2")
+    streaming.submission_ingest(
+        spark, src, sub_cells.schema, staging, sub_dir, mani, ckpt1, _SUB_VARS
+    )
+    before = _file_arrays(sub_dir)
+    before_mani = sorted(
+        map(tuple, streaming.submission_manifest(spark, mani)
+            .select("region", "day", "n_cells", "qv_sum").collect())
+    )
+    ckpt2 = str(tmp_path / "run2" / "ckpt_replay")
+    streaming.submission_ingest(
+        spark, src, sub_cells.schema, staging, sub_dir, mani, ckpt2, _SUB_VARS
+    )
+    after = _file_arrays(sub_dir)
+    assert set(after) == set(before)
+    for rel in before:
+        assert np.array_equal(after[rel], before[rel]), rel
+    after_mani = sorted(
+        map(tuple, streaming.submission_manifest(spark, mani)
+            .select("region", "day", "n_cells", "qv_sum").collect())
+    )
+    assert after_mani == before_mani

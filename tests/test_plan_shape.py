@@ -131,6 +131,18 @@ SHAPES = [
     # nested loop (measured 1 exch at sf0.001 where the block side
     # broadcasts; 4 allows the sort-merge path at larger inputs)
     ("dedup_simhash_hamming", 4, 0),
+    # h5 submission export: decode fixture + meta normalize join +
+    # ONE shuffle into the (region, day) groupBy feeding the
+    # applyInPandas writer — no extra exchange after the group
+    ("sink_submission_h5", 2, 0),
+    # pinned-coefficient quality scoring: constant-folded projection,
+    # zero exchanges (the model is a literal, not a join)
+    ("quality_model_filter_verified", 0, 0),
+    # streaming submission manifest: hive-partitioned manifest read +
+    # one latest-rewrite-per-file window — the incremental write work
+    # happened inside foreachBatch, batch-invariance pinned in
+    # tests/test_etl_inference_streaming.py
+    ("streaming_submission_h5", 1, 0),
 ]
 
 
@@ -140,6 +152,10 @@ def test_plan_shape(noaqe, sf_dir, name, max_exch, max_bnl):
     c = _counts(plan)
     assert c["exch"] <= max_exch, f"{name}: {c['exch']} shuffles > {max_exch}\n{plan}"
     assert c["bnl"] <= max_bnl, f"{name}: unexpected nested-loop join\n{plan}"
+    if name == "sink_submission_h5":
+        # one writer TASK per (region, day) file: the grouped Pandas
+        # writer must be in-plan, not a driver loop
+        assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_static_dim_joins_are_broadcast(noaqe, sf_dir):

@@ -232,9 +232,9 @@ def q_sink_quantized_partitioned(spark, sf_dir):
     return spark.read.parquet(out)
 
 
-@qdef(
-    "sink_submission_h5",
-    oracle=f"""
+# Shared by the batch h5 export and its streaming twin: the per-file
+# manifest aggregates restated in SQL from the decode oracle.
+_SUBMISSION_MANIFEST_ORACLE = f"""
     WITH decoded AS (SELECT * FROM ({_FRAME_DECODE_ORACLE})),
     meta(variable, valid_lo, valid_hi, quant_hi) AS (
         VALUES ('temperature', 0.0, 22000.0, 65535),
@@ -260,8 +260,10 @@ def q_sink_quantized_partitioned(spark, sf_dir):
            CAST(sum(CAST(qv AS BIGINT)) AS BIGINT) AS qv_sum
     FROM q
     GROUP BY region, day
-    """,
-)
+    """
+
+
+@qdef("sink_submission_h5", oracle=_SUBMISSION_MANIFEST_ORACLE)
 def q_sink_submission_h5(spark, sf_dir):
     """The competition-scorer interchange (datasets.py:444-459): the
     quantized frames exported as one (region, day) file of
@@ -1735,3 +1737,49 @@ def q_streaming_lsh_ingest(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@qdef("streaming_submission_h5", oracle=_SUBMISSION_MANIFEST_ORACLE)
+def q_streaming_submission_h5(spark, sf_dir):
+    """The submit path's live form (streaming/pipeline.
+    submission_ingest): quantized cells arrive in micro-batches and
+    the per-(region, day) scorer files (datasets.py:444-459) are
+    maintained incrementally — each batch stages its cells under a
+    batch_id-scoped hive subdir, then rewrites ONLY the files it
+    touched from the accumulated (partition-pruned) staged cells.
+    The drained file tree is BATCH-INVARIANT — byte-identical to the
+    one-shot ``sink_submission_h5`` export however arrivals were
+    chunked (pinned with replay idempotence in
+    tests/test_etl_inference_streaming.py) — so the final manifest
+    (latest rewrite per file) hash-matches the SAME SQL restatement
+    as the batch sink."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    frames = _decoded_fixture_frames(spark)
+    fx = weather_fixtures.load_fixtures(spark)
+    dec = weather.impute(weather.decode_normalize(frames, fx["variable_meta"]))
+    dec = dec.withColumn("norm", F.least(F.col("norm"), F.lit(1.0)))
+    q = weather.quantize_for_submission(dec, fx["variable_meta"])
+    cells = q.select("region", "day", "variable", "ts", "y", "x", "qv")
+    fp = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    lake = os.path.join(tempfile.gettempdir(), f"w4c_stream_subcells_{fp}")
+    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+        # 64 files -> the 32-files-per-trigger source drains in 2+
+        # micro-batches; random row assignment makes every (region,
+        # day) group span batches, exercising the incremental rewrite
+        cells.repartition(64).write.mode("overwrite").parquet(lake)
+    root = scratch_dir("w4c_stream_subh5")
+    streaming.submission_ingest(
+        spark,
+        lake,
+        cells.schema,
+        os.path.join(root, "staging"),
+        os.path.join(root, "submission"),
+        os.path.join(root, "manifest"),
+        os.path.join(root, "ckpt"),
+        variables=["temperature", "crr_intensity"],
+        grid=_LAKE_GRID,
+    )
+    return streaming.submission_manifest(
+        spark, os.path.join(root, "manifest")
+    ).select("region", "day", "n_times", "n_cells", "qv_sum")

@@ -470,3 +470,111 @@ def lsh_ingest(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def submission_ingest(
+    spark: SparkSession,
+    src: str,
+    schema: StructType,
+    staging_dir: str,
+    submission_dir: str,
+    manifest_dir: str,
+    ckpt_dir: str,
+    variables: Sequence[str],
+    grid: tuple[int, int] = (8, 8),
+) -> None:
+    """The live form of the competition submit path
+    (``sink_submission_h5``): quantized cells arrive in micro-batches
+    and the per-(region, day) scorer files (reference
+    datasets.py:444-459) are maintained incrementally.
+
+    A (region, day) group can span micro-batches, so a per-batch
+    writer alone would publish partial files. Instead each batch
+    (a) stages its cells under ``staging_dir/batch_id=N`` partitioned
+    by the file axes, then (b) REWRITES the submission files for just
+    the groups this batch touched, reading the accumulated staged
+    cells for those groups only (partition-pruned — never a full
+    corpus re-scan), and (c) records the rewrite's manifest under
+    ``manifest_dir/batch_id=N``. After the stream drains, every
+    group's file was last rewritten by the final batch that touched
+    it, from the complete staged cell set — so the drained file tree
+    is BATCH-INVARIANT: byte-identical to the one-shot batch export
+    regardless of how arrivals were chunked (that identity is the
+    oracle; tests pin it plus replay idempotence).
+
+    Exactly-once under at-least-once replay: every write is a
+    deterministic overwrite of batch_id-scoped paths or of the
+    group's own file, so a replayed batch rewrites identical bytes;
+    fully-committed batches (staging AND manifest ``_SUCCESS``) skip
+    outright.
+    """
+    import os
+
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    def _exists(sess: SparkSession, path: str) -> bool:
+        jvm = sess._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(sess._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        stage = os.path.join(staging_dir, f"batch_id={batch_id}")
+        mani = os.path.join(manifest_dir, f"batch_id={batch_id}")
+        if _exists(sess, os.path.join(stage, "_SUCCESS")) and _exists(
+            sess, os.path.join(mani, "_SUCCESS")
+        ):
+            return  # replayed, fully committed batch
+        (
+            batch_df.write.partitionBy("region", "day")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        # Touched groups this batch: bounded by the number of scorer
+        # FILES in the batch (the reference writes one per (region,
+        # day)), so the collect is a file-listing, not a data read.
+        touched = [
+            (r["region"], r["day"])
+            for r in batch_df.select("region", "day").distinct().collect()
+        ]
+        # single-root read of the staging lake: batch_id / region /
+        # day all recover as hive partition columns, one listing
+        staged = sess.read.parquet(staging_dir).drop("batch_id")
+        pred = None
+        for region, day in touched:
+            c = (F.col("region") == region) & (F.col("day") == day)
+            pred = c if pred is None else (pred | c)
+        # equality predicates on partition columns -> partition
+        # pruning: only the touched groups' staged files are read
+        manifest = hdf5.write_submission_h5(
+            staged.where(pred), submission_dir, list(variables), grid
+        )
+        manifest.write.mode("overwrite").parquet(mani)
+
+    q = (
+        frame_stream(spark, src, schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def submission_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Final per-file manifest of a drained ``submission_ingest``:
+    the LAST rewrite of each (region, day) saw the group's complete
+    staged cell set, so per group the highest-batch_id manifest row
+    describes the file on disk. Reading the parent dir (not a glob)
+    recovers ``batch_id`` as a hive partition column."""
+    from pyspark.sql import Window
+
+    rows = spark.read.parquet(manifest_dir)
+    w = Window.partitionBy("region", "day").orderBy(F.col("batch_id").desc())
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
