@@ -224,6 +224,33 @@ def test_blas_near_dup_zero_vector_no_nan_pairs(spark):
     assert {(r.a_id, r.b_id) for r in pairs} == {(1, 2)}
 
 
+def test_blas_near_dup_split_path_identical(spark):
+    """The oversized-bucket block-pair split (split_bucket exceeded)
+    must emit EXACTLY the one-task result: every unordered pair
+    enumerated once, same float64 cosines — forced here by a tiny cap
+    so both the diagonal (gi==gj) and cross (gi<gj) group branches
+    run."""
+    import numpy as np
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 2))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    one = similarity.near_dup_pairs_blas(
+        df, bucket_col="label", threshold=0.2, split_bucket=10_000
+    )
+    split = similarity.near_dup_pairs_blas(
+        df, bucket_col="label", threshold=0.2, split_bucket=8, n_blocks=4
+    )
+    a = {(r.a_id, r.b_id, r.cos_sim) for r in one.collect()}
+    b = {(r.a_id, r.b_id, r.cos_sim) for r in split.collect()}
+    assert a and a == b
+
+
 def test_tfidf_topk_edges(spark):
     """Edge semantics: a single-doc corpus has idf = ln(1) = 0 for
     every term (all tfidf 0, rank by term asc); an empty document

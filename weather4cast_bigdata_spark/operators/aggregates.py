@@ -188,26 +188,76 @@ def count_min_estimates(
 
     Returns (item, est) for every distinct item; join back to true
     counts to expose the overestimate.
+
+    Execution shape: ONE corpus pass builds the counter table
+    (map-side combine shuffles ≤ depth·width partial rows), then the
+    fitted table — ``depth × width`` longs, fixed size by
+    construction, a bounded driver contract like the PQ codebook
+    (similarity.py) — is constant-folded into the per-item estimate
+    projection as literal arrays. The estimate side therefore costs
+    a distinct on the items (the output key set) plus a narrow
+    projection: no second corpus tokenization, no probe explode, no
+    counter join.
     """
-    h = F.md5(F.col(item_col).cast("string"))
-    buckets = F.array(
-        *[
-            (
-                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("bigint")
-                % F.lit(width)
-            ).alias(f"b{j}")
-            for j in range(depth)
-        ]
-    )
-    exploded = items.select(
-        F.col(item_col), F.posexplode(buckets).alias("j", "bucket")
-    )
-    counters = exploded.groupBy("j", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    probes = exploded.distinct()
+    table = count_min_table(items, item_col, width, depth)
     return (
-        probes.join(F.broadcast(counters), on=["j", "bucket"])
-        .groupBy(item_col)
-        .agg(F.min("c").alias("est"))
+        items.select(item_col)
+        .distinct()
+        .select(
+            F.col(item_col),
+            count_min_expr(table, item_col, width).alias("est"),
+        )
     )
+
+
+def _cms_bucket_sql(item_col: str, j: int, width: int) -> str:
+    return (
+        f"cast(conv(substring(md5(cast(`{item_col}` as string)), "
+        f"{1 + 8 * j}, 8), 16, 10) as bigint) % {width}"
+    )
+
+
+def count_min_table(
+    items: DataFrame,
+    item_col: str = "item",
+    width: int = 1024,
+    depth: int = 3,
+) -> list[list[int]]:
+    """Fit the Count–Min counter table in ONE corpus pass: the
+    groupBy shuffles ≤ depth·width partial rows after map-side
+    combine, and the collect is bounded by depth·width BY
+    CONSTRUCTION (3·1024 default) at any corpus size — the same
+    bounded-driver contract as the PQ codebook (similarity.py).
+    Absent buckets stay 0: an item hashing into a never-hit counter
+    still gets a one-sided (>= true) estimate."""
+    depth_arr = ", ".join(
+        _cms_bucket_sql(item_col, j, width) for j in range(depth)
+    )
+    counters = (
+        items.select(F.posexplode(F.expr(f"array({depth_arr})")).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    table = [[0] * width for _ in range(depth)]
+    for r in counters.collect():
+        table[r["j"]][r["bucket"]] = r["c"]
+    return table
+
+
+def count_min_expr(
+    table: list[list[int]], item_col: str, width: int = 1024
+):
+    """The fitted sketch as a pure projection: estimate =
+    least(counter_j[bucket_j(item)]) with the counters constant-
+    folded as literal arrays, emitted as ONE SQL string (a single
+    JVM parse — per-literal Column construction would cost a py4j
+    round trip each). Applying this to any frame carrying
+    ``item_col`` costs zero joins and zero extra corpus passes.
+    bigint cast: small literal counters parse as INT, but the
+    counter domain (and the dtype-strict oracle) is 64-bit."""
+    probes = ", ".join(
+        f"element_at(array({', '.join(str(c) for c in row)}), "
+        f"cast(({_cms_bucket_sql(item_col, j, width)}) as int) + 1)"
+        for j, row in enumerate(table)
+    )
+    return F.expr(f"cast(least({probes}) as bigint)")

@@ -171,14 +171,34 @@ def near_dup_pairs_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    n_blocks: int = 8,
+    split_bucket: int = 8192,
 ) -> DataFrame:
-    """Vectorized variant of :func:`near_dup_pairs`: one BLAS matrix
-    product per bucket via ``applyInPandas`` instead of per-pair
-    interpreted array lambdas (~10× at 64 dims, growing with
-    dimension). Each bucket must fit one worker — that is the IVF
-    contract (bucket granularity is the knob). Raw cosines are
-    computed in float64; rounding/threshold semantics applied
-    JVM-side so they stay identical to the HOF form.
+    """Vectorized variant of :func:`near_dup_pairs`: BLAS matrix
+    products via ``applyInPandas`` instead of per-pair interpreted
+    array lambdas (~10× at 64 dims, growing with dimension).
+
+    Oversized-bucket split (the hot-bucket guard, same design as
+    ``prefix_filtered_jaccard_pairs``'s ``split_bucket``): a bucket's
+    pairwise work is intrinsically quadratic in its population, and
+    one-task-per-bucket made the largest bucket a straggler — the
+    sf1 sweep measured 16× wall-clock at 10× vectors because each
+    label bucket ran as ONE task (SCALING.md §6). Buckets larger
+    than ``split_bucket`` rows (a bounded census: groupBy count on
+    the bucket key, broadcast back — the corpus itself never
+    shuffles for the census) hash their rows into ``n_blocks``
+    blocks and replicate each row to the ``n_blocks`` (i ≤ j)
+    block-pair groups it participates in, so the bucket's n²
+    products spread over n_blocks(n_blocks+1)/2 tasks of
+    (n/n_blocks)² each: no task ever holds a whole oversized bucket
+    (memory bound = 2n/n_blocks rows), stragglers parallelize, and
+    every unordered pair is computed in EXACTLY ONE group — output
+    bit-identical to the one-task form (same float64 dot from the
+    same inputs). Buckets at or under the cap keep the
+    single-group, zero-replication path, so small-corpus plans pay
+    only the census. Raw cosines are computed in float64;
+    rounding/threshold semantics applied JVM-side so they stay
+    identical to the HOF form.
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -190,26 +210,72 @@ def near_dup_pairs_blas(
         ]
     )
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[-2]), int(key[-1])
+        empty = pd.DataFrame(columns=["a_id", "b_id", "raw_cos"])
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["a_id", "b_id", "raw_cos"])
-        order = pdf[id_col].to_numpy().argsort()
-        ids = pdf[id_col].to_numpy()[order]
-        x = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
-        # zero-norm guard: an all-zero embedding must score 0 (below
-        # any positive threshold), matching the HOF form's NULL-drop —
-        # an unguarded 0/0 NaN would PASS the >= filter (NaN sorts
-        # high in Spark) and emit spurious pairs
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
-        sims = xn @ xn.T
-        ai, bi = np.triu_indices(len(ids), k=1)
+            return empty
+
+        def block(sel: pd.DataFrame):
+            order = sel[id_col].to_numpy().argsort()
+            ids = sel[id_col].to_numpy()[order]
+            x = np.stack(sel[vec_col].to_numpy()[order]).astype(np.float64)
+            # zero-norm guard: an all-zero embedding must score 0
+            # (below any positive threshold), matching the HOF form's
+            # NULL-drop — an unguarded 0/0 NaN would PASS the >=
+            # filter (NaN sorts high in Spark) and emit spurious pairs
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-300
+            )
+            return ids, xn
+
+        if gi == gj:
+            ids, xn = block(pdf)
+            sims = xn @ xn.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame(
+                {"a_id": ids[ai], "b_id": ids[bi], "raw_cos": sims[ai, bi]}
+            )
+        a_sel = pdf[pdf["_blk"] == gi]
+        b_sel = pdf[pdf["_blk"] == gj]
+        if a_sel.empty or b_sel.empty:
+            return empty
+        a_ids, a_xn = block(a_sel)
+        b_ids, b_xn = block(b_sel)
+        sims = a_xn @ b_xn.T
+        ai, bi = np.indices(sims.shape)
+        ai, bi = ai.ravel(), bi.ravel()
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
         return pd.DataFrame(
-            {"a_id": ids[ai], "b_id": ids[bi], "raw_cos": sims[ai, bi]}
+            {"a_id": lo, "b_id": hi, "raw_cos": sims[ai, bi]}
         )
 
-    scored = df.select(F.col(bucket_col), F.col(id_col), F.col(vec_col)).groupBy(
-        bucket_col
-    ).applyInPandas(pairs, schema=out_schema)
+    base = df.select(F.col(bucket_col), F.col(id_col), F.col(vec_col))
+    census = base.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_bn"))
+    big = F.col("_bn") > F.lit(split_bucket)
+    blk = F.when(
+        big, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    ).otherwise(F.lit(0))
+    ks = F.when(big, F.sequence(F.lit(0), F.lit(n_blocks - 1))).otherwise(
+        F.array(F.lit(0))
+    )
+    rep = (
+        base.join(F.broadcast(census), bucket_col)
+        .withColumn("_blk", blk)
+        .withColumn("_k", F.explode(ks))
+        .select(
+            bucket_col,
+            id_col,
+            vec_col,
+            "_blk",
+            F.least("_blk", "_k").alias("_gi"),
+            F.greatest("_blk", "_k").alias("_gj"),
+        )
+    )
+    scored = rep.groupBy(bucket_col, "_gi", "_gj").applyInPandas(
+        pairs, schema=out_schema
+    )
     rounded = F.round(F.col("raw_cos") + F.lit(1e-9), 6)
     return (
         scored.select("a_id", "b_id", rounded.alias("cos_sim"))
