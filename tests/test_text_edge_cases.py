@@ -420,6 +420,56 @@ def test_simhash_near_pairs_max_bucket_caps_hot_block(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_prefix_jaccard_matches_brute_force(spark):
+    """AllPairs + PPJoin positional filter vs the literal all-pairs
+    Jaccard join: bit-identical pair set and scores on a corpus with
+    varied doc lengths, partial overlaps near the threshold, and
+    shared boilerplate — the shapes a wrong positional bound (which
+    may only ever ADMIT extra candidates, never drop a true pair)
+    would break first."""
+    import itertools
+
+    rng_words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(24):
+        # overlapping sliding vocab windows of varying width: pairs
+        # span the whole Jaccard range incl. just-above/below 0.5
+        width = 6 + (i % 7)
+        start = (i * 3) % len(rng_words)
+        words = [rng_words[(start + j) % len(rng_words)] for j in range(width)]
+        if i % 4 == 0:
+            words += ["all", "rights", "reserved"]
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_filtered_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # brute force on the same shingle definition
+    hs = {
+        r["doc_id"]: set(r["hs"])
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    dedup.word_shingles(dedup.tokens(F.col("text")), 3),
+                    dedup.md5_hash32,
+                )
+            ).alias("hs"),
+        ).collect()
+        if r["hs"]
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(hs), 2):
+        inter = len(hs[a] & hs[b])
+        if inter:
+            j = inter / (len(hs[a]) + len(hs[b]) - inter)
+            if j >= 0.5:
+                want.add((a, b, j))
+    assert want, "fixture must produce true pairs"
+    assert got == want
+
+
 def test_prefix_jaccard_split_path_is_lossless(spark):
     """Oversized-bucket split: forcing every prefix bucket down the
     salted two-sided self-join route (split_bucket=2) must return

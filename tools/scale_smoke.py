@@ -178,6 +178,16 @@ def run_ann(spark, corpus, lake: str):
     cents = similarity.kmeans_centroids(corpus, k=16)
     probe("ivf_cosine_topk", lambda: similarity.ivf_cosine_topk(queries, corpus, cents, k=5, nprobe=2))
     probe("embedding_near_dup", lambda: similarity.near_dup_pairs(corpus, bucket_col="label", threshold=0.9))
+    # r6 hot-bucket guard: force every label bucket down the
+    # block-pair split (cap far below the 10x bucket populations) —
+    # pair volume must match the one-task path's intrinsic output
+    # while no task holds a whole bucket
+    probe(
+        "blas_near_dup_split",
+        lambda: similarity.near_dup_pairs_blas(
+            corpus, bucket_col="label", threshold=0.9, split_bucket=512
+        ),
+    )
     probe("semantic_dedup", lambda: similarity.semantic_dedup(corpus, cents, threshold=0.3).where("NOT kept"))
     probe("quantize_int8", lambda: similarity.quantize_embeddings_int8(corpus))
 

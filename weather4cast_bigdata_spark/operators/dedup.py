@@ -436,12 +436,17 @@ def prefix_filtered_jaccard_pairs(
         - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
         + F.lit(1)
     ).cast("int")
+    # posexplode: each prefix token carries its 0-based position in
+    # the doc's df-ordered shingle list — the PPJoin positional
+    # filter's input (every common token of a pair sits at or after
+    # the pair's EARLIEST common token, so overlap <= min over sides
+    # of "elements from that token onward" = min(sz - pos)).
     pref = ordered.select(
         F.col(id_col),
         F.col("sz"),
-        F.explode(
+        F.posexplode(
             F.transform(F.slice("_ord", F.lit(1), plen), lambda s: s["h32"])
-        ).alias("h32"),
+        ).alias("pos", "h32"),
     )
     # Bucket census as a window count over the same h32 partitioning
     # the enumeration needs anyway (no extra join-back); persisted
@@ -455,7 +460,11 @@ def prefix_filtered_jaccard_pairs(
     buckets = (
         pref.where(F.col("_bn") <= split_bucket)
         .groupBy("h32")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col("sz")))).alias("ms"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), F.col("sz"), F.col("pos")))
+            ).alias("ms")
+        )
         .where(F.size("ms") > 1)
     )
     cand_small = (
@@ -469,8 +478,10 @@ def prefix_filtered_jaccard_pairs(
                             lambda y: F.struct(
                                 x[id_col].alias("id_a"),
                                 x["sz"].alias("sz_a"),
+                                x["pos"].alias("pa"),
                                 y[id_col].alias("id_b"),
                                 y["sz"].alias("sz_b"),
+                                y["pos"].alias("pb"),
                             ),
                         ),
                     )
@@ -484,25 +495,57 @@ def prefix_filtered_jaccard_pairs(
         "h32",
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pa"),
         F.pmod(md5_hash32(F.col(id_col).cast("string")), F.lit(n_salt)).alias("_s"),
     )
     side_b = big.select(
         "h32",
         F.col(id_col).alias("id_b"),
         F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pb"),
         F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("_s"),
     )
     cand_big = side_a.join(side_b, ["h32", "_s"]).where(
         F.col("id_a") < F.col("id_b")
     )
+    # PPJoin positional filter: per pair, take the EARLIEST common
+    # prefix token (min (pa, pb) — common tokens appear in the same
+    # relative order on both sides, so one struct-min picks it). No
+    # common token precedes it, hence the true overlap is at most
+    # min(sz_a - pa, sz_b - pb) (that token plus what follows it);
+    # Jaccard >= t needs overlap >= t/(1+t)·(sz_a+sz_b), so pairs
+    # whose bound falls short verify to < t with certainty and are
+    # dropped BEFORE the expensive full-set verify join. The groupBy
+    # replaces the plain distinct (same single exchange); the 1e-9
+    # slack can only ADMIT an extra candidate, never drop a true
+    # pair. (AllPairs -> PPJoin; Xiao et al., WWW'08.)
     cand = (
-        cand_small.unionByName(cand_big.select("id_a", "sz_a", "id_b", "sz_b"))
+        cand_small.unionByName(
+            cand_big.select("id_a", "sz_a", "pa", "id_b", "sz_b", "pb")
+        )
         .where(
             F.least("sz_a", "sz_b")
             >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            # the earliest common token minimizes BOTH positions
+            # simultaneously (both sides sorted by the same global
+            # order), so two scalar mins suffice — no struct min;
+            # sizes are constant per id, min() is just the cheapest
+            # associative carrier
+            F.min("pa").alias("_pa"),
+            F.min("pb").alias("_pb"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+        .where(
+            F.least(F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb"))
+            >= (F.col("sz_a") + F.col("sz_b"))
+            * F.lit(threshold / (1.0 + threshold))
+            - F.lit(1e-9)
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     a = base.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_hs_a"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hs_b"))
