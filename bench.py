@@ -106,6 +106,9 @@ HEADLINE = [
     # r5: distributed per-(region, day) submission export — one
     # applyInPandas writer task per scorer file (HDF5/npy interchange).
     "sink_submission_h5",
+    # r6: its streaming twin — micro-batched cells, batch_id-staged,
+    # touched files rewritten from the partition-pruned staging lake.
+    "streaming_submission_h5",
 ]
 
 
