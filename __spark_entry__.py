@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROUND6_PRIORITY = [
     # -- new in r6 (never driver-checked) --------------------------------
     "streaming_submission_h5",
+    "sink_exact_dedup_index",
+    "agg_approx_percentile_verified",
     # -- re-verification: every query whose last green row is r2 ---------
     "array_concat",
     "array_flatten",
@@ -91,8 +93,6 @@ _ROUND6_PRIORITY = [
     "agg_histogram",
     "agg_mode_deterministic",
     "agg_moments",
-    "agg_string_concat",
-    "agg_winsorize",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r3/r4/r5-verified queries (newest green row last), then
     # the 8 rows-only entries dead last (never in a window).

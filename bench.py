@@ -109,6 +109,9 @@ HEADLINE = [
     # r6: its streaming twin — micro-batched cells, batch_id-staged,
     # touched files rewritten from the partition-pruned staging lake.
     "streaming_submission_h5",
+    # r6: persisted exact-dedup index lifecycle (md5 twin of the LSH
+    # index sink: write sharded, probe with partition pruning).
+    "sink_exact_dedup_index",
 ]
 
 

@@ -143,6 +143,14 @@ SHAPES = [
     # happened inside foreachBatch, batch-invariance pinned in
     # tests/test_etl_inference_streaming.py
     ("streaming_submission_h5", 1, 0),
+    # persisted exact-dedup index: hash projection + repartition on
+    # the write axes; the probe joins the pruned stored lake on
+    # (shard, text_hash) — broadcast at this SF, shard-pruned always
+    ("sink_exact_dedup_index", 2, 0),
+    # GK sketch bound-check: sketch agg + broadcast of the 3-row
+    # group stats + rank recount; the third exchange is the 3-row
+    # output sort (range partitioning of the group count, not data)
+    ("agg_approx_percentile_verified", 3, 0),
 ]
 
 

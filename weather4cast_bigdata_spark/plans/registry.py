@@ -1193,6 +1193,54 @@ def q_sink_lsh_index(spark, sf_dir):
     return result
 
 
+@qdef("sink_exact_dedup_index")
+def q_sink_exact_dedup_index(spark, sf_dir):
+    """Persisted EXACT-dedup index lifecycle — the md5 twin of
+    ``sink_lsh_index`` and the incremental form of ``dedup_exact``
+    (reference analog: the decode dict cache that lets re-seen inputs
+    skip work, datasets.py:51-53, recast as corpus-scale state): the
+    stored corpus's (md5(text), doc_id) rows are WRITTEN partitioned
+    by ``shard = hash(text_hash) % 16``; an arriving re-crawl batch
+    (exact text copies under fresh ids — synthesized here as the
+    ``doc_id % 7 == 0`` slice shifted by 1e6, restated identically in
+    the oracle) probes the STORED index with an equi join on
+    (shard, text_hash). The probe's distinct shard list (≤ 16 values
+    by construction) is applied as a static partition filter and the
+    returned plan is asserted to carry PartitionFilters — at 100 TB
+    an arriving batch deduplicates against the whole history by
+    touching only the shards its hashes land in, never re-scanning
+    (or re-hashing) the accumulated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    stored = docs.select(
+        F.md5("text").alias("text_hash"), F.col("doc_id")
+    ).withColumn("shard", F.pmod(F.xxhash64("text_hash"), F.lit(16)))
+    out = scratch_dir("w4c_exact_idx")
+    (
+        stored.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    lake = spark.read.parquet(out)
+    batch = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("batch_id"),
+        F.md5("text").alias("text_hash"),
+    ).withColumn("shard", F.pmod(F.xxhash64("text_hash"), F.lit(16)))
+    probe_shards = sorted(
+        r[0] for r in batch.select("shard").distinct().collect()
+    )
+    pruned = lake.where(F.col("shard").isin(probe_shards))
+    result = (
+        batch.join(pruned, on=["shard", "text_hash"])
+        .select("batch_id", F.col("doc_id").alias("stored_id"))
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan, (
+        "exact-index probe did not push shard filters to partition pruning"
+    )
+    return result
+
+
 @qdef(
     "dedup_minhash_estimate",
     )

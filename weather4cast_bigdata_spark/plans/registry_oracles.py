@@ -2290,3 +2290,13 @@ ORACLES["agg_winsorize"] = (
     """
 )
 
+ORACLES["sink_exact_dedup_index"] = (
+    """
+    SELECT b.batch_id, a.doc_id AS stored_id
+    FROM documents a
+    JOIN (
+        SELECT doc_id + 1000000 AS batch_id, md5(text) AS h
+        FROM documents WHERE doc_id % 7 = 0
+    ) b ON md5(a.text) = b.h
+    """
+)

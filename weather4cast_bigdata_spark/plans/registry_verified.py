@@ -634,3 +634,57 @@ def q_quality_model_filter_verified(spark, sf_dir):
         r6(p).alias("quality_prob"),
         (r6(p) >= F.lit(0.5)).alias("keep"),
     )
+
+
+@qdef(
+    "agg_approx_percentile_verified",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           TRUE AS rank_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_approx_percentile_verified(spark, sf_dir):
+    """Mergeable-sketch median (Greenwald–Khanna via Spark's
+    ``approx_percentile``) BOUND-CHECKED in-plan — the fixed-state
+    companion to the exact ``agg_percentile``: at 100 TB the exact
+    form's per-group sort is the cost, while GK state is O(1/eps)
+    per group and merges associatively across partitions. The
+    estimate itself is not cross-engine portable (DuckDB's sketch
+    differs), so the driver-hashable surface is the GUARANTEE, not
+    the value: the returned element's true rank interval
+    [n_lt+1, n_le] (counted with one pass over the group) must
+    intersect the target rank n/2 within the documented n/accuracy
+    GK bound (+1 discretization slack). The oracle restates the
+    exact group counts and pins ``rank_within_bound`` TRUE — a
+    sketch regression (or a broken accuracy contract) flips the
+    boolean and fails the value hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 1000
+    g = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias("apx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        li.join(F.broadcast(g), "l_returnflag")
+        .groupBy("l_returnflag", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("apx"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("apx"), 1).otherwise(0)
+            ).alias("n_lt"),
+        )
+    )
+    target = F.col("n") / F.lit(2.0)
+    slack = F.col("n") / F.lit(float(acc)) + F.lit(1.0)
+    ok = (F.col("n_lt") + F.lit(1) <= target + slack) & (
+        F.col("n_le") >= target - slack
+    )
+    return ranks.select(
+        "l_returnflag", F.col("n"), ok.alias("rank_within_bound")
+    ).orderBy("l_returnflag")
