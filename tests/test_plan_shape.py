@@ -151,6 +151,10 @@ SHAPES = [
     # group stats + rank recount; the third exchange is the 3-row
     # output sort (range partitioning of the group count, not data)
     ("agg_approx_percentile_verified", 3, 0),
+    # asymmetric containment: the SAME single-shuffle bucket
+    # enumeration as dedup_ngram_jaccard (union of two direction
+    # projections adds no corpus exchange); budget matches its twin
+    ("dedup_ngram_containment", 3, 0),
 ]
 
 

@@ -237,3 +237,62 @@ def test_gopher_features_match_python(spark, docs_toks):
             and r.alpha_frac >= 0.80
             and r.stop_hits >= 2
         )
+
+
+@st.composite
+def _corpora(draw):
+    """Small random corpora over a 12-word vocab: short docs, heavy
+    overlap, ties — the regime where a wrong prefix length or
+    positional bound would drop a true pair."""
+    n_docs = draw(st.integers(4, 12))
+    docs = []
+    for i in range(n_docs):
+        words = draw(
+            st.lists(st.sampled_from([f"w{k}" for k in range(12)]),
+                     min_size=3, max_size=10)
+        )
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@given(_corpora(), st.sampled_from([0.3, 0.5, 0.8]))
+@settings(max_examples=10, deadline=None)
+def test_prefix_jaccard_lossless_for_any_corpus(spark, corpus, threshold):
+    """AllPairs + PPJoin positional filter == brute-force Jaccard for
+    ANY corpus and threshold (the exactness contract the operator
+    sells; the filter may only ever admit extra CANDIDATES, never
+    change the verified pair set)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.operators import dedup
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.prefix_filtered_jaccard_pairs(
+            df, threshold=threshold
+        ).collect()
+    }
+    hs = {
+        r["doc_id"]: set(r["hs"])
+        for r in df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    dedup.word_shingles(dedup.tokens(F.col("text")), 3),
+                    dedup.md5_hash32,
+                )
+            ).alias("hs"),
+        ).collect()
+        if r["hs"]
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(hs), 2):
+        inter = len(hs[a] & hs[b])
+        if inter:
+            j = inter / (len(hs[a]) + len(hs[b]) - inter)
+            if j >= threshold:
+                want.add((a, b, round(j, 9)))
+    assert got == want

@@ -501,3 +501,24 @@ def test_prefix_jaccard_split_path_is_lossless(spark):
     plan = _plan_of(forced)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a 10x-longer one: containment
+    must flag it at C = 1.0 in the contained->container direction
+    only, while symmetric Jaccard at the same 0.8 cut misses it —
+    the operator's reason to exist."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} body{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in dedup.ngram_containment_pairs_docs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    assert (
+        dedup.ngram_jaccard_pairs_docs(df, threshold=0.8).count() == 0
+    )

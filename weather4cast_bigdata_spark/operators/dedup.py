@@ -140,6 +140,25 @@ def ngram_jaccard_pairs_docs(
     knob, never a false-positive source. Pass ``max_df=None`` only
     for bounded corpora where exact all-pairs recall is required.
     """
+    inter = _ngram_intersections(docs, id_col, text_col, n, max_df)
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_intersections(
+    docs: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """Shared shingle-bucket intersection counter: one shuffle on the
+    8-byte shingle hash, ordered-pair enumeration JVM-side, returns
+    (id_a, id_b, sz_a, sz_b, inter) for every co-bucketed pair —
+    the input of both the symmetric Jaccard and the asymmetric
+    containment scorers."""
     sh = word_shingles(tokens(F.col(text_col)), n)
     base = ensure_min_parallelism(docs).select(
         F.col(id_col), F.array_distinct(F.transform(sh, md5_hash32)).alias("_hs")
@@ -170,17 +189,54 @@ def ngram_jaccard_pairs_docs(
             )
         ).alias("p")
     ).select("p.*")
-    inter = pairs.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
+    return pairs.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(
         F.count(F.lit(1)).alias("inter")
     )
-    return (
-        inter.withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
-    )
+
+
+def ngram_containment_pairs_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT
+    ``C(contained → container) = |A ∩ B| / |A|`` — catches what
+    Jaccard structurally cannot: a short doc quoted or wholly embedded
+    inside a much longer one has J ≈ |A|/|B| (diluted to ~0 by the
+    container's size) but C = 1. This is the truncated-copy /
+    quote-extraction / boilerplate-superset detector every crawl
+    pipeline runs next to its symmetric dedup.
+
+    Shape: identical to the Jaccard form — the SAME single shuffle on
+    the 8-byte shingle hash and the same ``max_df`` stop-list; the
+    intersection counts are just normalized per DIRECTION afterwards
+    (a union of two projections, no extra exchange of the corpus).
+    Emits (contained_id, container_id, containment ≥ threshold);
+    both directions of a pair can appear (mutual near-copies).
+    """
+    inter = _ngram_intersections(docs, id_col, text_col, n, max_df)
+    # one explode, not a self-union: a union would reference the
+    # intersection subtree twice and re-run its shuffle
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    (F.col("inter") / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    (F.col("inter") / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    return both.where(F.col("containment") >= F.lit(threshold))
 
 
 def minhash_signatures(

@@ -1287,6 +1287,39 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @qdef(
+    "dedup_ngram_containment",
+    )
+def q_dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| >= 0.8 — the
+    truncated-copy / quote detector Jaccard structurally misses (a
+    doc embedded in a 10x-longer one has J ~ 0.1 but C = 1). Same
+    single shuffle + max_df stop-list as the Jaccard form; the
+    fixture guarantees hits by prefix-truncating every 9th doc to
+    its first 40% under a shifted id (restated in the oracle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                F.lit(1),
+                # floor() explicitly: DuckDB CAST(float AS INT) ROUNDS
+            # while Spark's cast truncates — unpinned, the truncation
+            # lengths diverge at .5 boundaries (bit us at sf0.1)
+            F.greatest(F.floor((F.size(toks) * F.lit(2)) / F.lit(5)), F.lit(3)).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(trunc)
+    pairs = dedup.ngram_containment_pairs_docs(corpus, threshold=0.8)
+    return pairs.select(
+        "contained_id", "container_id", r6(F.col("containment")).alias("containment")
+    )
+
+
+@qdef(
     "dedup_jaccard_prefix",
     )
 def q_dedup_jaccard_prefix(spark, sf_dir):

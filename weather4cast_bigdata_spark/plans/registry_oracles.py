@@ -2300,3 +2300,48 @@ ORACLES["sink_exact_dedup_index"] = (
     ) b ON md5(a.text) = b.h
     """
 )
+ORACLES["dedup_ngram_containment"] = (
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000,
+               array_to_string(
+                   w[1:greatest(CAST(floor((len(w) * 2) / 5) AS INT), 3)], ' ')
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents)
+        WHERE doc_id % 9 = 0
+    ),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        FROM toks WHERE len(w) >= 3
+    ),
+    shingled AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM pos
+    ),
+    hashed AS (
+        SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS h32 FROM shingled
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    live AS (SELECT h32 FROM hashed GROUP BY 1 HAVING count(*) <= 256),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+        JOIN live ON live.h32 = a.h32
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT id_a AS contained_id, id_b AS container_id,
+               inter * 1.0 / x.sz AS c
+        FROM inter JOIN sz x ON x.doc_id = id_a
+        UNION ALL
+        SELECT id_b, id_a, inter * 1.0 / y.sz
+        FROM inter JOIN sz y ON y.doc_id = id_b
+    )
+    SELECT contained_id, container_id, round(c + 1e-9, 6) AS containment
+    FROM directed WHERE c >= 0.8
+    """
+)
