@@ -45,6 +45,7 @@ _ROUND6_PRIORITY = [
     "sink_exact_dedup_index",
     "agg_approx_percentile_verified",
     "dedup_ngram_containment",
+    "streaming_exact_dedup_ingest",
     # -- re-verification: every query whose last green row is r2 ---------
     "array_concat",
     "array_flatten",
@@ -92,7 +93,6 @@ _ROUND6_PRIORITY = [
     # -- r3-green head fills the remaining slots --------------------------
     "agg_entropy",
     "agg_histogram",
-    "agg_mode_deterministic",
     # ---- 50-entry window boundary ------------------------------------
     # remaining r3/r4/r5-verified queries (newest green row last), then
     # the 8 rows-only entries dead last (never in a window).

@@ -112,6 +112,9 @@ HEADLINE = [
     # r6: persisted exact-dedup index lifecycle (md5 twin of the LSH
     # index sink: write sharded, probe with partition pruning).
     "sink_exact_dedup_index",
+    # r6: asymmetric containment — same one-shuffle bucket enumeration
+    # as the Jaccard twin, direction-normalized scores.
+    "dedup_ngram_containment",
 ]
 
 

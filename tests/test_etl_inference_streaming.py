@@ -629,3 +629,56 @@ def test_submission_ingest_replay_idempotent(spark, tmp_path, sub_cells):
             .select("region", "day", "n_cells", "qv_sum").collect())
     )
     assert after_mani == before_mani
+
+
+# --- incremental exact-dedup ingest (exact_dedup_ingest) ---------------------
+
+
+@pytest.fixture(scope="module")
+def exdup_docs(spark):
+    """sf corpus plus exact copies under shifted ids: every (i,
+    i+10000) pair is an exact duplicate, nothing else is."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10000))
+    return docs.unionByName(dups)
+
+
+def test_exact_dedup_ingest_batch_invariant(spark, tmp_path, exdup_docs):
+    """Drained incremental exact dedup == one-shot md5 self-join,
+    however arrivals were chunked (orig and copy usually land in
+    different micro-batches, exercising the cross-batch probe)."""
+    src = str(tmp_path / "exsrc")
+    exdup_docs.repartition(96).write.parquet(src)
+    d = tmp_path / "exrun1"
+    streaming.exact_dedup_ingest(
+        spark, src, exdup_docs.schema,
+        str(d / "index"), str(d / "matches"), str(d / "ckpt"),
+    )
+    got = _pairs(spark.read.parquet(str(d / "matches")))
+    one = exdup_docs.select(F.md5("text").alias("h"), "doc_id")
+    want = _pairs(
+        one.alias("x").join(one.alias("y"), "h")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+    )
+    assert want and got == want
+
+
+def test_exact_dedup_ingest_replay_idempotent(spark, tmp_path, exdup_docs):
+    src = str(tmp_path / "exsrc2")
+    exdup_docs.repartition(64).write.parquet(src)
+    d = tmp_path / "exrun2"
+    args = (spark, src, exdup_docs.schema,
+            str(d / "index"), str(d / "matches"))
+    streaming.exact_dedup_ingest(*args, str(d / "ckpt1"))
+    before_m = spark.read.parquet(str(d / "matches")).count()
+    before_i = spark.read.parquet(str(d / "index")).count()
+    streaming.exact_dedup_ingest(*args, str(d / "ckpt_replay"))
+    assert spark.read.parquet(str(d / "matches")).count() == before_m
+    assert spark.read.parquet(str(d / "index")).count() == before_i

@@ -155,6 +155,10 @@ SHAPES = [
     # enumeration as dedup_ngram_jaccard (union of two direction
     # projections adds no corpus exchange); budget matches its twin
     ("dedup_ngram_containment", 3, 0),
+    # streaming exact-dedup drain: matches-lake read + canonical
+    # distinct — the incremental hash/probe work happened inside
+    # foreachBatch (batch-invariance pinned in the streaming tests)
+    ("streaming_exact_dedup_ingest", 1, 0),
 ]
 
 

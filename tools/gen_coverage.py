@@ -32,7 +32,7 @@ SECTIONS = {
     "Extensions: curation quality battery (r4)": ["text_gopher_rules", "text_c4_rules", "text_dup_line_fraction", "text_top_ngram_char_frac", "text_url_dedup", "curation_quality_gate", "text_dsir_weights", "sample_dsir_resample", "sample_unimax", "text_line_dedup_global", "text_perplexity_buckets", "sink_dsir_model"],
     "Extensions: relational / windows": ["json_get", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_approx_distinct", "agg_percentile", "window_sessionize", "window_range_trailing", "project_pivot_wide", "join_asof_nearest", "join_range_binned", "join_interval_overlap", "project_unpivot_long", "agg_histogram", "agg_moments", "agg_mode_deterministic", "window_rank_stats", "agg_string_concat", "join_semi_anti", "join_fuzzy_blocked", "window_resample_interpolate"],
     "Extensions: scale infrastructure": ["agg_salted", "join_salted", "join_bucketed_colocated", "sample_stratified_split", "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_orc_roundtrip", "sink_compacted", "sink_zorder", "project_zorder_key", "sink_merge_upsert", "dim_scd2_build", "join_point_in_time", "audit_constraints", "audit_profile", "agg_entropy"],
-    "Extensions: streaming": ["streaming_sliding_windows", "streaming_stateful_assembly", "streaming_running_gram", "streaming_session_windows", "streaming_dedup", "streaming_ewma", "streaming_checkpoint_resume", "streaming_static_enrich", "streaming_lsh_ingest", "streaming_submission_h5"],
+    "Extensions: streaming": ["streaming_sliding_windows", "streaming_stateful_assembly", "streaming_running_gram", "streaming_session_windows", "streaming_dedup", "streaming_ewma", "streaming_checkpoint_resume", "streaming_static_enrich", "streaming_lsh_ingest", "streaming_submission_h5", "streaming_exact_dedup_ingest"],
     "Flagship": ["flagship_evaluate", "flagship_star_join", "flagship_pricing_summary", "curation_pipeline", "curation_source_stats", "curation_report"],
     "Hash-verified siblings of rows-only families (r3)": ["shuffle_seeded_verified", "graph_pagerank_verified", "agg_approx_distinct_verified", "solve_ridge_sum1_verified", "scan_binary_roundtrip_verified", "udf_scatter_roundtrip_verified", "quantize_halfeven_parity", "multimodal_plumbing_verified", "dedup_semantic_verified", "quality_model_filter_verified", "agg_approx_percentile_verified"],
     "Visualization data ops": ["plot_frame_grid"],

@@ -1739,6 +1739,57 @@ def q_streaming_lsh_ingest(spark, sf_dir):
     )
 
 
+@qdef(
+    "streaming_exact_dedup_ingest",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.batch_id AS id_b
+    FROM documents a
+    JOIN (
+        SELECT doc_id + 1000000 AS batch_id, md5(text) AS h
+        FROM documents WHERE doc_id % 7 = 0
+    ) b ON md5(a.text) = b.h
+    """,
+)
+def q_streaming_exact_dedup_ingest(spark, sf_dir):
+    """Incremental EXACT dedup driven by Structured Streaming
+    (streaming/pipeline.exact_dedup_ingest) — the live form of
+    ``sink_exact_dedup_index``: documents arrive in micro-batches
+    (the corpus plus exact copies under shifted ids, randomly
+    chunked so original and copy usually land in DIFFERENT batches),
+    each batch pairs within itself, probes the persisted hash index
+    of everything before it, then appends its own hashes. The
+    drained pair set is BATCH-INVARIANT, so the oracle is the
+    one-shot exact self-join between the two populations — the same
+    identity tests/test_etl_inference_streaming.py pins against
+    chunking and replay."""
+    from weather4cast_bigdata_spark.streaming import pipeline as streaming
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    fp = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    lake = os.path.join(tempfile.gettempdir(), f"w4c_stream_exdocs_{fp}")
+    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+        corpus.repartition(64).write.mode("overwrite").parquet(lake)
+    root = scratch_dir("w4c_stream_exact")
+    index_dir = os.path.join(root, "index")
+    matches_dir = os.path.join(root, "matches")
+    streaming.exact_dedup_ingest(
+        spark, lake, corpus.schema, index_dir, matches_dir,
+        os.path.join(root, "ckpt"),
+    )
+    return (
+        spark.read.parquet(matches_dir)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 @qdef("streaming_submission_h5", oracle=_SUBMISSION_MANIFEST_ORACLE)
 def q_streaming_submission_h5(spark, sf_dir):
     """The submit path's live form (streaming/pipeline.

@@ -578,3 +578,103 @@ def submission_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def exact_dedup_ingest(
+    spark: SparkSession,
+    src: str,
+    schema: StructType,
+    index_dir: str,
+    matches_dir: str,
+    ckpt_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental EXACT dedup as a stream — the md5 twin of
+    :func:`lsh_ingest` and the live form of ``sink_exact_dedup_index``:
+    each arriving micro-batch of documents (a) pairs exact duplicates
+    within itself, (b) probes the PERSISTED hash index built from
+    everything ingested before it, then (c) appends its own
+    (text_hash, id) rows to that index. The emitted pair set is
+    BATCH-INVARIANT (a duplicate pair is found within a batch or
+    across the index probe, whichever ingest order produced), so the
+    drained result equals the one-shot exact self-join however
+    arrivals were chunked — that identity is the oracle. Per-batch
+    cost is the batch's own hashes plus an equi probe of matching
+    index keys; the accumulated corpus is never re-hashed or
+    re-scanned.
+
+    Exactly-once under at-least-once replay: batch_id-subdir writes
+    with overwrite plus a both-outputs ``_SUCCESS`` skip, identical
+    to ``lsh_ingest``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    def _exists(sess: SparkSession, path: str) -> bool:
+        jvm = sess._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(sess._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        out_matches = os.path.join(matches_dir, f"batch_id={batch_id}")
+        out_index = os.path.join(index_dir, f"batch_id={batch_id}")
+        if _exists(sess, os.path.join(out_matches, "_SUCCESS")) and _exists(
+            sess, os.path.join(out_index, "_SUCCESS")
+        ):
+            return  # replayed batch: both outputs already committed
+        hashed = batch_df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        ).persist()
+        within = (
+            hashed.alias("x")
+            .join(hashed.alias("y"), on="text_hash")
+            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+        )
+        jvm = sess._jvm
+        glob = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(index_dir, "batch_id=*")
+        )
+        fs = glob.getFileSystem(sess._jsc.hadoopConfiguration())
+        prior = [
+            st.getPath().toString()
+            for st in fs.globStatus(glob) or []
+            if st.getPath().getName() != f"batch_id={batch_id}"
+        ]
+        matches = within
+        if prior:
+            idx = sess.read.parquet(*prior)
+            cross = (
+                hashed.alias("n")
+                .join(idx.alias("o"), on="text_hash")
+                .select(
+                    F.least(
+                        F.col(f"n.{id_col}"), F.col(f"o.{id_col}")
+                    ).alias("id_a"),
+                    F.greatest(
+                        F.col(f"n.{id_col}"), F.col(f"o.{id_col}")
+                    ).alias("id_b"),
+                )
+                .where(F.col("id_a") != F.col("id_b"))
+            )
+            matches = matches.unionByName(cross)
+        matches.distinct().write.mode("overwrite").parquet(out_matches)
+        hashed.write.mode("overwrite").parquet(out_index)
+        hashed.unpersist()
+
+    q = (
+        frame_stream(spark, src, schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
