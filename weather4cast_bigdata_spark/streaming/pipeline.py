@@ -538,6 +538,13 @@ def submission_ingest(
             (r["region"], r["day"])
             for r in batch_df.select("region", "day").distinct().collect()
         ]
+        if not touched:
+            # an empty (replay-tail) batch touches no files; commit an
+            # empty manifest so the _SUCCESS skip still works
+            sess.createDataFrame([], hdf5.MANIFEST_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(mani)
+            return
         # single-root read of the staging lake: batch_id / region /
         # day all recover as hive partition columns, one listing
         staged = sess.read.parquet(staging_dir).drop("batch_id")
