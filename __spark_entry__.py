@@ -98,16 +98,11 @@ _ROUND6_PRIORITY = [
     # the 8 rows-only entries dead last (never in a window).
 ]
 
-_ROWS_ONLY_LAST = [
-    "agg_approx_distinct",
-    "dedup_semantic",
-    "graph_pagerank",
-    "quality_model_filter",
-    "shuffle_seeded",
-    "sim_ivf_topk",
-    "solve_ridge",
-    "solve_ridge_sum1",
-]
+# Single source of truth: registry.py's import-time coverage gate
+# asserts this set is exactly the oracle-less queries.
+from weather4cast_bigdata_spark.plans.registry import ROWS_ONLY  # noqa: E402
+
+_ROWS_ONLY_LAST = sorted(ROWS_ONLY)
 
 
 def _ordered_names() -> list[str]:

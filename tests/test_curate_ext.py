@@ -433,6 +433,20 @@ def test_count_min_never_underestimates(spark):
     assert any(r["est"] > r["true_count"] for r in joined)
 
 
+def test_count_min_table_tolerates_null_items(spark):
+    """NULL items must not crash the fit (md5(NULL) yields a NULL
+    bucket) and must not be counted — the documented drop-NULL
+    contract of the join-based predecessor."""
+    from weather4cast_bigdata_spark.operators import aggregates
+
+    items = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",), (None,)], ["item"]
+    )
+    table = aggregates.count_min_table(items, "item", width=16, depth=2)
+    # only the 3 non-NULL rows were counted
+    assert all(sum(row) == 3 for row in table)
+
+
 # --- product quantization ----------------------------------------------------
 
 

@@ -229,12 +229,15 @@ def count_min_table(
     CONSTRUCTION (3·1024 default) at any corpus size — the same
     bounded-driver contract as the PQ codebook (similarity.py).
     Absent buckets stay 0: an item hashing into a never-hit counter
-    still gets a one-sided (>= true) estimate."""
+    still gets a one-sided (>= true) estimate. NULL items are not
+    counted (md5(NULL) has no bucket), matching the join-based
+    predecessor's drop-NULL behavior."""
     depth_arr = ", ".join(
         _cms_bucket_sql(item_col, j, width) for j in range(depth)
     )
     counters = (
-        items.select(F.posexplode(F.expr(f"array({depth_arr})")).alias("j", "bucket"))
+        items.where(F.col(item_col).isNotNull())
+        .select(F.posexplode(F.expr(f"array({depth_arr})")).alias("j", "bucket"))
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

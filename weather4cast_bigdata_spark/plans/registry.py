@@ -2950,3 +2950,46 @@ from weather4cast_bigdata_spark.plans import registry_verified  # noqa: E402,F40
 # Round-4 curation-quality battery (Gopher rules, repetition
 # fractions, canonical-URL dedup) — same side-effect import pattern.
 from weather4cast_bigdata_spark.plans import registry_quality  # noqa: E402,F401
+
+# ---------------------------------------------------------------------
+# Oracle-coverage gate. qdef falls back to ORACLES.get(name), so a
+# misspelled/missing key in registry_oracles would silently downgrade
+# a query to rows-only with every test still green — the same silent-
+# coverage-loss failure mode the duplicate-name assert prevents.
+# ROWS_ONLY is the exhaustive allowlist of queries that legitimately
+# have no DuckDB-restatable oracle (RNG order, sketch internals,
+# k-means/L-BFGS training, driver solves); each has a hash-verified
+# sibling in registry_verified.py.
+# ---------------------------------------------------------------------
+ROWS_ONLY = frozenset(
+    {
+        "agg_approx_distinct",
+        "dedup_semantic",
+        "graph_pagerank",
+        "quality_model_filter",
+        "shuffle_seeded",
+        "sim_ivf_topk",
+        "solve_ridge",
+        "solve_ridge_sum1",
+    }
+)
+
+_missing_oracles = sorted(
+    name
+    for name, q in REGISTRY.items()
+    if q.oracle is None and name not in ROWS_ONLY
+)
+assert not _missing_oracles, (
+    "queries silently downgraded to rows-only (no ORACLES entry and "
+    f"not in the ROWS_ONLY allowlist): {_missing_oracles}"
+)
+_stale_allowlist = sorted(
+    name for name in ROWS_ONLY if REGISTRY[name].oracle is not None
+)
+assert not _stale_allowlist, (
+    f"ROWS_ONLY entries that now carry an oracle: {_stale_allowlist}"
+)
+_orphan_oracles = sorted(set(ORACLES) - set(REGISTRY))
+assert not _orphan_oracles, (
+    f"ORACLES keys that match no registry query: {_orphan_oracles}"
+)

@@ -1742,12 +1742,15 @@ def q_streaming_lsh_ingest(spark, sf_dir):
 @qdef(
     "streaming_exact_dedup_ingest",
     oracle="""
-    SELECT a.doc_id AS id_a, b.batch_id AS id_b
-    FROM documents a
-    JOIN (
-        SELECT doc_id + 1000000 AS batch_id, md5(text) AS h
+    WITH corpus AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
         FROM documents WHERE doc_id % 7 = 0
-    ) b ON md5(a.text) = b.h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM corpus a JOIN corpus b
+      ON a.h = b.h AND a.doc_id < b.doc_id
     """,
 )
 def q_streaming_exact_dedup_ingest(spark, sf_dir):
