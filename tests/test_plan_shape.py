@@ -233,3 +233,30 @@ def test_range_join_binned_broadcasts_interval_side(noaqe, sf_dir):
     plan = _formatted_plan(REGISTRY["join_range_binned"].fn(noaqe, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_explain_md_covers_every_audited_query():
+    """EXPLAIN.md must carry a row for every query the plan audit
+    claims to cover (bench HEADLINE + explain_audit AUDIT_EXTRA) —
+    the r6 close shipped a headline (streaming_exact_dedup_ingest)
+    that landed after the last regen, so the doc trailed the
+    registry. Adding a headline now forces a
+    ``python tools/explain_audit.py`` regen or this fails."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from bench import HEADLINE
+    from explain_audit import AUDIT_EXTRA
+
+    text = open(os.path.join(root, "EXPLAIN.md")).read()
+    missing = [
+        q for q in set(HEADLINE) | set(AUDIT_EXTRA)
+        if f"| `{q}`" not in text and f"### {q}" not in text
+    ]
+    assert not missing, (
+        f"EXPLAIN.md is stale — regenerate with tools/explain_audit.py; "
+        f"missing rows: {sorted(missing)}"
+    )

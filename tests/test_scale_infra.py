@@ -629,3 +629,36 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_adaptive_n_planes_python_sql_agree():
+    """The scale-adaptive LSH resolution must be derived identically
+    by the Spark plan (integer while-loop) and the DuckDB oracle
+    (the integer-comparison chain from adaptive_n_planes_sql) —
+    including at the exact power-of-two boundaries where a float
+    log2 would be one ulp from flipping."""
+    import duckdb
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    con = duckdb.connect()
+    for t in (8, 250):
+        for n in (1, 7, 8, 9, 15, 16, 17, 249, 250, 251, 499, 500,
+                  1999, 2000, 2001, 16000, 16001, 20000, 10**7):
+            py = similarity.adaptive_n_planes(n, target_bucket=t)
+            sql = similarity.adaptive_n_planes_sql(str(n), target_bucket=t)
+            got = con.execute(f"SELECT {sql}").fetchone()[0]
+            assert got == py, (n, t, py, got)
+
+
+def test_adaptive_n_planes_bounds_bucket_depth():
+    """E[bucket depth] = n / 2^P must stay <= target for any corpus
+    size the comparison chain covers — the invariant that keeps
+    within-bucket verify work linear in corpus size."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    for t in (8, 250):
+        for exp in range(1, 24):
+            n = t * (1 << exp) + 1  # just past a boundary
+            p = similarity.adaptive_n_planes(n, target_bucket=t)
+            assert n / (1 << p) <= t * 1.01, (n, t, p)

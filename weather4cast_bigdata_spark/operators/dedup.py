@@ -10,7 +10,7 @@ pairs — never the O(n²) cross join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.partitioning import ensure_min_parallelism
@@ -504,17 +504,32 @@ def prefix_filtered_jaccard_pairs(
             F.transform(F.slice("_ord", F.lit(1), plen), lambda s: s["h32"])
         ).alias("pos", "h32"),
     )
-    # Bucket census as a window count over the same h32 partitioning
-    # the enumeration needs anyway (no extra join-back); persisted
-    # because three consumers branch from it (small-bucket groupBy,
-    # big-bucket side A, big-bucket side B) and would otherwise each
-    # recompute the df-ordered prefix plan.
-    pref = pref.withColumn(
-        "_bn", F.count(F.lit(1)).over(Window.partitionBy("h32"))
-    ).persist()
+    # Bucket census: a map-side-combinable groupBy count (shuffles
+    # depth-1 partial counts, not rows), keeping ONLY the oversized
+    # keys, then a left join back — rows that match are big-bucket
+    # rows. The previous form (count() OVER (PARTITION BY h32))
+    # shuffled AND SORTED every prefix row just to learn its bucket
+    # size: measured 22 s of the 26 s prefix stage at sf1 (10×
+    # sf0.1), all replaced by this tiny-right-side hash join (Zipf
+    # bounds oversized keys to pref_rows/split_bucket, and AQE
+    # broadcasts the filtered count frame when it is small).
+    # The RAW prefix is persisted BEFORE the census branches off:
+    # the census and the left join are two consumers of the same
+    # explode plan, and an unpersisted prefix would be recomputed
+    # (df join, doc re-sort and all) once per branch. Downstream's
+    # three consumers (small-bucket groupBy, big-bucket side A,
+    # big-bucket side B) then redo only the cheap hash join against
+    # the tiny key frame, never the prefix plan itself.
+    pref = pref.persist()
     _PREFIX_BASE_CACHE.append(pref)
+    _big_keys = (
+        pref.groupBy("h32")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > split_bucket)
+    )
+    pref = pref.join(_big_keys, "h32", "left")
     buckets = (
-        pref.where(F.col("_bn") <= split_bucket)
+        pref.where(F.col("_bn").isNull())
         .groupBy("h32")
         .agg(
             F.array_sort(
@@ -546,7 +561,7 @@ def prefix_filtered_jaccard_pairs(
         )
         .select("p.*")
     )
-    big = pref.where(F.col("_bn") > split_bucket)
+    big = pref.where(F.col("_bn").isNotNull())
     side_a = big.select(
         "h32",
         F.col(id_col).alias("id_a"),

@@ -104,6 +104,41 @@ def near_dup_pairs(
     )
 
 
+def adaptive_n_planes(
+    n: int, target_bucket: int = 8, base: int = 0, max_extra: int = 24
+) -> int:
+    """Scale-adaptive LSH resolution: the smallest plane count that
+    keeps E[bucket depth] ≤ ``target_bucket`` as the corpus grows —
+    ``base + ceil(log2(n / target_bucket))``, computed as a chain of
+    INTEGER comparisons (extra = #{k ≥ 1 : n > target·2^(k-1)}) so a
+    SQL oracle restates it bit-exactly with no float log in sight.
+    Fixed planes make within-bucket verify work quadratic in corpus
+    size (bucket depth ∝ n); deriving the count from a cheap
+    ``df.count()`` keeps depth — and therefore per-bucket pair work —
+    constant, so total verify cost scales ~linearly with the corpus.
+    ``max_extra`` = 24 covers ~134 M rows at the default target; at
+    true 100 TB scale extend the chain (each step is one comparison).
+    """
+    extra = 0
+    while extra < max_extra and n > target_bucket * (1 << extra):
+        extra += 1
+    return base + extra
+
+
+def adaptive_n_planes_sql(
+    count_sql: str, target_bucket: int = 8, base: int = 0, max_extra: int = 24
+) -> str:
+    """The SQL restatement of :func:`adaptive_n_planes`: a scalar
+    subquery summing the same integer comparisons over the same
+    thresholds, so oracle and plan derive the identical plane count
+    from the identical corpus count."""
+    terms = " + ".join(
+        f"(CASE WHEN c > {target_bucket * (1 << k)} THEN 1 ELSE 0 END)"
+        for k in range(max_extra)
+    )
+    return f"(SELECT {base} + {terms} FROM (SELECT ({count_sql}) AS c))"
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane matrix: sign p,d is drawn
     from the parity of ``md5(f"{p}_{d}")``. Driver-side constants —
@@ -144,17 +179,33 @@ def hyperplane_bucket(vec_col: Column, signs) -> Column:
 
 def near_dup_pairs_hyperplane(
     df: DataFrame,
-    signs,
+    signs=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dim: int = 64,
+    target_bucket: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs with random-hyperplane LSH candidate
     generation: bucket on the P-bit hyperplane signature, then verify
     cosine within buckets. No precomputed label or trained centroids
     needed — the data-independent LSH variant of
     :func:`near_dup_pairs`; recall is tuned by P (fewer planes = more
-    candidates) or by multi-probe/banding at very high P."""
+    candidates) or by multi-probe/banding at very high P.
+
+    ``signs=None`` (the default) derives P from the corpus count via
+    :func:`adaptive_n_planes` — one bounded driver action (a count
+    aggregate) buys a resolution that keeps E[bucket depth] constant
+    as the corpus grows, so verify work scales ~linearly instead of
+    quadratically (the r6 sf1 sweep's only super-linear cell). The
+    single-signature recall trade (genuine near-dups collide with
+    probability (1-θ/π)^P) is the documented cost; multi-probe or
+    banding over the same signature is the production recall knob."""
+    if signs is None:
+        n = df.count()
+        signs = hyperplane_signs(
+            adaptive_n_planes(n, target_bucket=target_bucket), dim
+        )
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),

@@ -61,7 +61,6 @@ from weather4cast_bigdata_spark.plans.registry_oracles import (  # noqa: F401
     _COSINE_SQL,
     _H32_SQL,
     _H64_SQL,
-    _HP_SIGNS,
     _ORDER_COLS,
     _QUALITY_SQL,
     _SHINGLES_SQL,
@@ -1463,19 +1462,25 @@ for _frag in ("q.label = c.label", "query_id, label,", "item_id, label,"):
 
 
 # Deterministic ±1 hyperplane matrix shared bit-exactly between the
-# Spark plan and the SQL oracle (md5-parity draws, 8 planes × 64 dims).
+# Spark plan and the SQL oracle (md5-parity draws, 64 dims; the plane
+# COUNT is scale-adaptive — see similarity.adaptive_n_planes).
 @qdef(
     "sim_hyperplane_lsh",
     )
 def q_sim_hyperplane_lsh(spark, sf_dir):
-    """Random-hyperplane LSH near-dup search: 8-bit SimHash signature
+    """Random-hyperplane LSH near-dup search: a SimHash signature
     over the embedding column buckets the candidate space
     (data-independent — no labels, no trained centroids), cosine
-    verified within buckets. The LSH counterpart to the IVF path; the
-    oracle recomputes the identical plane matrix from embedded
-    constants."""
+    verified within buckets. The signature WIDTH is derived from the
+    corpus count (adaptive_n_planes, target depth 8) so E[bucket
+    depth] — and with it per-bucket verify work — stays constant as
+    the corpus grows; the oracle recomputes the identical plane
+    matrix from embedded constants and the identical width from the
+    same integer-comparison chain over count(*)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs_hyperplane(emb, _HP_SIGNS, threshold=0.2)
+    return similarity.near_dup_pairs_hyperplane(
+        emb, threshold=0.2, target_bucket=8
+    )
 
 
 @qdef(

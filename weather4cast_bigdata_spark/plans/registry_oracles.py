@@ -89,10 +89,32 @@ _COSINE_SQL = """
     ) WHERE rank <= 5
 """
 
-_HP_SIGNS = similarity.hyperplane_signs(8, 64)
+# Deterministic ±1 hyperplane matrix, embedded at its MAXIMUM
+# resolution (24 planes — enough for ~134M rows at target depth 8);
+# each oracle selects its adaptive prefix pl.p < n_planes where
+# n_planes is derived from count(*) by the same integer-comparison
+# chain the Spark plan evaluates (similarity.adaptive_n_planes /
+# adaptive_n_planes_sql), so plan and oracle share both the planes
+# and the resolution bit-exactly at every corpus size.
+_HP_MAX_PLANES = 24
+_HP_SIGNS = similarity.hyperplane_signs(_HP_MAX_PLANES, 64)
 
 _HP_PLANES_SQL = "\n        UNION ALL ".join(
     f"SELECT {p} AS p, {list(s)} AS s" for p, s in enumerate(_HP_SIGNS)
+)
+
+# adaptive plane count for the data-independent LSH query (target
+# E[bucket depth] 8 over the whole corpus)
+_HP_NP_SQL = similarity.adaptive_n_planes_sql(
+    "SELECT count(*) FROM embeddings", target_bucket=8,
+    max_extra=_HP_MAX_PLANES,
+)
+# adaptive plane count for the label-composite near-dup query (labels
+# already split the corpus 10-way; target 250 keeps per-(label,hp)
+# depth ~25 at every SF)
+_HP_NP250_SQL = similarity.adaptive_n_planes_sql(
+    "SELECT count(*) FROM embeddings", target_bucket=250,
+    max_extra=_HP_MAX_PLANES,
 )
 
 def _pq_l2_terms_sql(a: str, b: str, d_sub: int = 8) -> str:
@@ -1088,7 +1110,7 @@ f"""
         SELECT e.vec_id, pl.p,
                sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
         FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
-        WHERE r.i <= len(e.embedding)
+        WHERE r.i <= len(e.embedding) AND pl.p < {_HP_NP_SQL}
         GROUP BY 1, 2
     ),
     bucketed AS (

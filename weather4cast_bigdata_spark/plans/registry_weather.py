@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions import strings
 from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
-from weather4cast_bigdata_spark.plans import weather
+from weather4cast_bigdata_spark.plans import registry_oracles, weather
 from weather4cast_bigdata_spark.plans.registry import (
     SLOT_SQL,
     _COSINE_SQL,
@@ -506,8 +506,27 @@ def q_solve_ridge_sum1(spark, sf_dir):
 
 @qdef(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+    WITH planes AS (
+        {registry_oracles._HP_PLANES_SQL}
+    ),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dots1 AS (
+        SELECT e.vec_id, pl.p,
+               sum(e.v[r.i] * pl.s[r.i]) AS dot
+        FROM e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(e.v) AND pl.p < {registry_oracles._HP_NP250_SQL}
+        GROUP BY 1, 2
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1 << p ELSE 0 END) AS hp
+        FROM dots1 GROUP BY 1
+    ),
+    eb AS (
+        SELECT e.vec_id, e.label, e.v, COALESCE(b.hp, 0) AS hp
+        FROM e LEFT JOIN bucketed b ON b.vec_id = e.vec_id
+    ),
     dots AS (
         -- list_dot_product: linear in bucket-local pairs (the
         -- unnest-per-dimension form cost pairs x 64 rows — the sf1
@@ -516,8 +535,9 @@ def q_solve_ridge_sum1(spark, sf_dir):
                list_dot_product(a.v, b.v) AS dot,
                sqrt(list_dot_product(a.v, a.v)) AS na,
                sqrt(list_dot_product(b.v, b.v)) AS nb
-        FROM e a
-        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM eb a
+        JOIN eb b ON a.label = b.label AND a.hp = b.hp
+                 AND a.vec_id < b.vec_id
     )
     SELECT a_id, b_id, cos_sim FROM (
         SELECT a_id, b_id, round(dot / (greatest(na, 1e-300) * greatest(nb, 1e-300)) + 1e-9, 6) AS cos_sim FROM dots
@@ -525,12 +545,35 @@ def q_solve_ridge_sum1(spark, sf_dir):
     """,
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, label-bucketed so the
-    candidate join is bucket-local (the embedding analog of LSH
-    banding). Threshold on the rounded score keeps the cut
-    cross-engine stable."""
+    """Embedding-cosine near-duplicate pairs over a COMPOSITE
+    (label, hyperplane-LSH) bucket: labels split the corpus
+    semantically, and a scale-adaptive SimHash signature
+    (adaptive_n_planes, target per-label depth 250 → n_planes grows
+    as ceil(log2(n/250))) subdivides each label so E[bucket depth]
+    stays constant as the corpus grows — verify work scales
+    ~linearly instead of quadratically (the r6 sf1 sweep's only
+    super-linear cell; fixed-resolution label buckets cost 16× wall
+    at 10× data). Plane matrix and width are restated bit-exactly in
+    the oracle (embedded md5-parity constants + the same
+    integer-comparison chain over count(*)). Threshold on the
+    rounded score keeps the cut cross-engine stable; the
+    single-signature recall trade is documented at
+    near_dup_pairs_hyperplane."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs_blas(emb, bucket_col="label", threshold=0.2)
+    n = emb.count()  # bounded driver action: one count aggregate
+    signs = similarity.hyperplane_signs(
+        similarity.adaptive_n_planes(n, target_bucket=250), 64
+    )
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        F.concat_ws(
+            "|",
+            F.col("label"),
+            similarity.hyperplane_bucket(F.col("embedding"), signs),
+        ).alias("bkt"),
+    )
+    return similarity.near_dup_pairs_blas(bucketed, bucket_col="bkt", threshold=0.2)
 
 
 @qdef(
