@@ -32,24 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # first-50 window = the three queries whose SEMANTICS or ORACLE
 # changed this round (the streaming exact-dedup oracle restated over
 # the union corpus per ADVICE r6; the two embedding queries moved to
-# scale-adaptive LSH resolution), then 47 of the 48 r3-stale
-# queries, exactly filling the 50 slots; the 48th
-# (solve_ridge_verified, slot 51) is the least rot-prone entry — a
-# pinned-constant deterministic solve re-replayed by the test suite
-# every session.  The 8 genuinely rows-only
+# scale-adaptive LSH resolution) plus the one NEW query
+# (agg_percentile_histref), then 46 of the 48 r3-stale queries,
+# exactly filling the 50 slots; the two left out (window_sessionize —
+# a bench headline oracle-replayed every test session — and
+# solve_ridge_verified — a pinned-constant deterministic solve) are
+# the least rot-prone entries and lead the r8 rotation.  The 8
+# genuinely rows-only
 # entries (RNG order / sketch estimates / k-means training / RNG
 # fixtures) stay pinned to the END of the ordering so they never burn
 # a window slot — each is covered by a hash-verified sibling or
 # invariant tests (tests/test_registry_oracle.py re-checks every
 # rotated-out query with the same dtype-strict compare each session).
 _ROUND7_PRIORITY = [
+    # -- new in r7 (never driver-checked) --------------------------------
+    "agg_percentile_histref",
     # -- r7 semantic/oracle changes (must re-green under the new form):
     # exact-dedup oracle restated over the union corpus; the two
     # embedding queries moved to scale-adaptive LSH resolution -----------
     "streaming_exact_dedup_ingest",
     "dedup_embedding_cosine",
     "sim_hyperplane_lsh",
-    # -- re-verification: the r3-stale set (47 of 48) --------------------
+    # -- re-verification: the r3-stale set (46 of 48) --------------------
     "agg_mode_deterministic",
     "agg_moments",
     "agg_string_concat",
@@ -96,8 +100,14 @@ _ROUND7_PRIORITY = [
     "window_range_trailing",
     "window_rank_stats",
     "window_resample_interpolate",
-    "window_sessionize",
     # ---- 50-entry window boundary ------------------------------------
+    # r8 head: the two r7 LSH additions verified only by the session
+    # gate so far, then the two stale entries that didn't fit
+    # (window_sessionize is a bench headline oracle-replayed every test
+    # session; solve_ridge_verified is a pinned-constant solve)
+    "sim_lsh_multiprobe",
+    "sim_lsh_recall",
+    "window_sessionize",
     "solve_ridge_verified",
     # r7-changed implementation (shingle kernel + census join), r4 green;
     # next in line if the window ever widens

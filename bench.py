@@ -116,6 +116,12 @@ HEADLINE = [
     # r6: asymmetric containment — same one-shuffle bucket enumeration
     # as the Jaccard twin, direction-normalized scores.
     "dedup_ngram_containment",
+    # r7: scale-adaptive hyperplane LSH (plane count from corpus
+    # count), its multi-probe recall knob, and the histogram-refine
+    # exact percentile (no full-data shuffle).
+    "sim_hyperplane_lsh",
+    "sim_lsh_multiprobe",
+    "agg_percentile_histref",
 ]
 
 

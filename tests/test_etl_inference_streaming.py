@@ -631,6 +631,58 @@ def test_submission_ingest_replay_idempotent(spark, tmp_path, sub_cells):
     assert after_mani == before_mani
 
 
+def test_submission_ingest_two_staggered_waves(spark, tmp_path, sub_cells):
+    """Two SEPARATE drains against the same source/checkpoint (a
+    second arrival wave lands after the first drain finished): the
+    second run continues the batch_id sequence from the checkpoint,
+    re-touched (region, day) groups are rewritten from the FULL
+    accumulated staging lake, and submission_manifest's window picks
+    the later batch_id per group — final tree byte-identical to the
+    one-shot export of the union. Pins the cross-drain half of the
+    manifest contract (pipeline.submission_manifest) that the
+    single-drain tests never exercise."""
+    from weather4cast_bigdata_spark.sources import hdf5
+
+    src = str(tmp_path / "src_waves")
+    wave1 = sub_cells.where(F.pmod(F.xxhash64("ts", "y", "x"), F.lit(2)) == 0)
+    wave2 = sub_cells.where(F.pmod(F.xxhash64("ts", "y", "x"), F.lit(2)) == 1)
+    # every (region, day) group must appear in BOTH waves for the
+    # cross-batch rewrite to be exercised
+    g1 = {(r["region"], r["day"]) for r in wave1.select("region", "day").distinct().collect()}
+    g2 = {(r["region"], r["day"]) for r in wave2.select("region", "day").distinct().collect()}
+    assert g1 and g1 == g2
+    wave1.repartition(33).write.parquet(src)
+    staging, sub_dir, mani, ckpt = _sub_dirs(tmp_path, "waves")
+    streaming.submission_ingest(
+        spark, src, sub_cells.schema, staging, sub_dir, mani, ckpt, _SUB_VARS
+    )
+    mani1 = {
+        (r["region"], r["day"]): r["batch_id"]
+        for r in streaming.submission_manifest(spark, mani).collect()
+    }
+    # wave 2 arrives as NEW files in the same source; the SAME
+    # checkpoint makes the file source pick up only the new files and
+    # continue the batch_id sequence
+    wave2.repartition(33).write.mode("append").parquet(src)
+    streaming.submission_ingest(
+        spark, src, sub_cells.schema, staging, sub_dir, mani, ckpt, _SUB_VARS
+    )
+    final = {
+        (r["region"], r["day"]): r["batch_id"]
+        for r in streaming.submission_manifest(spark, mani).collect()
+    }
+    # the window picked the LATER batch_id for every re-touched group
+    assert set(final) == set(mani1)
+    assert all(final[k] > mani1[k] for k in final)
+    # drained tree == one-shot export of the union
+    oneshot_dir = str(tmp_path / "oneshot_waves")
+    hdf5.write_submission_h5(sub_cells, oneshot_dir, variables=_SUB_VARS).collect()
+    got, want = _file_arrays(sub_dir), _file_arrays(oneshot_dir)
+    assert set(got) == set(want) and want
+    for rel in want:
+        assert np.array_equal(got[rel], want[rel]), rel
+
+
 # --- incremental exact-dedup ingest (exact_dedup_ingest) ---------------------
 
 

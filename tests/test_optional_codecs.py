@@ -155,3 +155,40 @@ def test_real_audio_decode_mono_downmix(spark):
     assert len(out) == 1
     assert out[0]["n_samples"] == n
     assert out[0]["rms"] == pytest.approx(0.5, abs=1e-3)
+
+
+# --- CI marker: the skips above are import-gating, not breakage --------------
+
+
+def test_codec_skips_are_import_gated_not_broken():
+    """Standing-limitation marker (VERDICT r6 item 6): in a container
+    without the optional codecs, every skip in this file must be
+    attributable to a clean ImportError — and the engine's HAVE_*
+    gates must mirror actual library availability EXACTLY, in either
+    direction. A gate stuck False with the library present (or a
+    raising import path) would mean the real branches are broken,
+    not merely untestable; this test turns that distinction into a
+    pass/fail instead of a silent skip."""
+    import importlib
+
+    gates = {
+        "netCDF4": ("weather4cast_bigdata_spark.sources.netcdf", "HAVE_NETCDF4"),
+        "h5py": ("weather4cast_bigdata_spark.sources.hdf5", "HAVE_H5PY"),
+        "PIL": ("weather4cast_bigdata_spark.operators.multimodal", "HAVE_PIL"),
+        "soundfile": (
+            "weather4cast_bigdata_spark.operators.multimodal",
+            "HAVE_SOUNDFILE",
+        ),
+    }
+    for lib, (mod_name, flag) in gates.items():
+        try:
+            importlib.import_module(lib)
+            have = True
+        except ImportError:
+            have = False  # the clean, documented skip reason
+        mod = importlib.import_module(mod_name)
+        assert getattr(mod, flag) == have, (
+            f"{mod_name}.{flag}={getattr(mod, flag)} but importing "
+            f"{lib} {'succeeds' if have else 'fails'} — the gate no "
+            "longer mirrors availability"
+        )

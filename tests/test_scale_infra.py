@@ -662,3 +662,84 @@ def test_adaptive_n_planes_bounds_bucket_depth():
             n = t * (1 << exp) + 1  # just past a boundary
             p = similarity.adaptive_n_planes(n, target_bucket=t)
             assert n / (1 << p) <= t * 1.01, (n, t, p)
+
+
+def test_exact_group_percentiles_matches_sort_buffer(spark, sf_dir):
+    """Histogram-refine distributed selection must reproduce the
+    sort-buffer percentile() aggregate bit-for-bit (same linear
+    interpolation) — the parity anchor for agg_percentile_histref."""
+    from weather4cast_bigdata_spark.operators import aggregates
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        (r["l_returnflag"], r["p"]): r["value"]
+        for r in aggregates.exact_group_percentiles(
+            li, "l_returnflag", "l_extendedprice", ps
+        ).collect()
+    }
+    arr = ", ".join(str(p) for p in ps)
+    want_rows = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({arr}))").alias("v"))
+        .collect()
+    )
+    want = {
+        (r["l_returnflag"], p): r["v"][i]
+        for r in want_rows
+        for i, p in enumerate(ps)
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_exact_group_percentiles_edges(spark):
+    """Single-value groups, all-equal values (degenerate span), and
+    NULLs (excluded, matching the aggregate)."""
+    from weather4cast_bigdata_spark.operators import aggregates
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 1.0),
+         ("c", 2.0), ("c", None), ("c", 4.0)],
+        ["g", "v"],
+    )
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in aggregates.exact_group_percentiles(df, "g", "v", [0.5]).collect()
+    }
+    assert got == {("a", 0.5): 5.0, ("b", 0.5): 1.0, ("c", 0.5): 3.0}
+
+
+def test_lsh_probe_and_band_caps_bound_pathological_buckets(spark):
+    """An adversarial corpus collapsing onto one signature (identical
+    vectors) must have its hot bucket DROPPED by the census cap in
+    both new candidate generators — bounded work, documented recall
+    loss — while distinct-signature pairs still verify."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    signs = similarity.hyperplane_signs(4, 4)
+    # 50 identical vectors (one hot bucket) + 2 distinct near-dup pairs
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.001, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    mp = similarity.near_dup_pairs_multiprobe(
+        df, signs, threshold=0.5, max_bucket=10
+    ).collect()
+    ids = {(r.a_id, r.b_id) for r in mp}
+    assert (100, 101) in ids
+    assert not any(a < 50 and b < 50 for a, b in ids), "hot bucket not dropped"
+
+    bd = similarity.near_dup_pairs_banded(
+        df, signs, n_bands=2, threshold=0.5, max_bucket=10
+    ).collect()
+    ids = {(r.a_id, r.b_id) for r in bd}
+    assert (100, 101) in ids
+    assert not any(a < 50 and b < 50 for a, b in ids), "hot band not dropped"
+
+    # without the guard binding (cap above population) the hot pairs appear
+    free = similarity.near_dup_pairs_multiprobe(
+        df, signs, threshold=0.5, max_bucket=4096
+    ).count()
+    assert free > len(mp)

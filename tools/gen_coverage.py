@@ -25,12 +25,12 @@ SECTIONS = {
     "§2.7 Array / string / date functions": ["array_stack_channels", "array_slice_2d", "array_concat", "array_transpose", "array_flatten", "str_parse_ts", "str_format_path", "str_replace"],
     "§2.8 UDF / inference": ["udf_vectorized_kernel", "udf_batch_inference", "udf_ensemble_blend", "solve_ridge", "solve_ridge_sum1", "solve_ridge_verified", "crr_combo_switch"],
     "Extensions: dedup (training-data pipeline)": ["dedup_exact", "dedup_minhash_signature", "dedup_minhash_lsh", "dedup_minhash_estimate", "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_embedding_cosine", "dedup_connected_components", "dedup_substring_spans", "dedup_semantic", "dedup_simhash_hamming", "dedup_ngram_containment", "sink_lsh_index", "sink_exact_dedup_index", "graph_pagerank", "graph_triangles"],
-    "Extensions: similarity search": ["sim_cosine_topk", "sim_cosine_topk_blas", "sim_cosine_bucketed", "sim_ivf_topk", "sim_ivf_recall", "sim_hyperplane_lsh", "embed_quantize_int8", "embed_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk", "sink_ivf_index", "sink_ivfpq_index"],
+    "Extensions: similarity search": ["sim_cosine_topk", "sim_cosine_topk_blas", "sim_cosine_bucketed", "sim_ivf_topk", "sim_ivf_recall", "sim_hyperplane_lsh", "sim_lsh_multiprobe", "sim_lsh_banded", "sim_lsh_recall", "embed_quantize_int8", "embed_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk", "sink_ivf_index", "sink_ivfpq_index"],
     "Extensions: multimodal": ["multimodal_image_features", "multimodal_frame_sample", "multimodal_audio_features"],
     "Extensions: text analysis": ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_vocab_topk", "text_unigram_logprob", "text_strip_markup", "text_tfidf_topk", "text_pii_redact", "text_repetition_score", "text_bigram_logprob", "text_inverted_index", "text_pmi_collocations", "quality_model_filter", "text_heavy_hitters_cms"],
     "Extensions: curation wave 3": ["text_decontaminate", "text_decontaminate_bloom", "sample_mixture_weighted", "sample_topk_per_group", "sample_exact_k_per_group", "sample_weighted_priority", "pack_chunked", "text_chunk_overlap", "window_ewma", "agg_winsorize"],
     "Extensions: curation quality battery (r4)": ["text_gopher_rules", "text_c4_rules", "text_dup_line_fraction", "text_top_ngram_char_frac", "text_url_dedup", "curation_quality_gate", "text_dsir_weights", "sample_dsir_resample", "sample_unimax", "text_line_dedup_global", "text_perplexity_buckets", "sink_dsir_model"],
-    "Extensions: relational / windows": ["json_get", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_approx_distinct", "agg_percentile", "window_sessionize", "window_range_trailing", "project_pivot_wide", "join_asof_nearest", "join_range_binned", "join_interval_overlap", "project_unpivot_long", "agg_histogram", "agg_moments", "agg_mode_deterministic", "window_rank_stats", "agg_string_concat", "join_semi_anti", "join_fuzzy_blocked", "window_resample_interpolate"],
+    "Extensions: relational / windows": ["json_get", "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_approx_distinct", "agg_percentile", "agg_percentile_histref", "window_sessionize", "window_range_trailing", "project_pivot_wide", "join_asof_nearest", "join_range_binned", "join_interval_overlap", "project_unpivot_long", "agg_histogram", "agg_moments", "agg_mode_deterministic", "window_rank_stats", "agg_string_concat", "join_semi_anti", "join_fuzzy_blocked", "window_resample_interpolate"],
     "Extensions: scale infrastructure": ["agg_salted", "join_salted", "join_bucketed_colocated", "sample_stratified_split", "scan_jsonl_roundtrip", "scan_csv_roundtrip", "scan_orc_roundtrip", "sink_compacted", "sink_zorder", "project_zorder_key", "sink_merge_upsert", "dim_scd2_build", "join_point_in_time", "audit_constraints", "audit_profile", "agg_entropy"],
     "Extensions: streaming": ["streaming_sliding_windows", "streaming_stateful_assembly", "streaming_running_gram", "streaming_session_windows", "streaming_dedup", "streaming_ewma", "streaming_checkpoint_resume", "streaming_static_enrich", "streaming_lsh_ingest", "streaming_submission_h5", "streaming_exact_dedup_ingest"],
     "Flagship": ["flagship_evaluate", "flagship_star_join", "flagship_pricing_summary", "curation_pipeline", "curation_source_stats", "curation_report"],

@@ -264,3 +264,125 @@ def count_min_expr(
         for j, row in enumerate(table)
     )
     return F.expr(f"cast(least({probes}) as bigint)")
+
+
+def exact_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    ps: Sequence[float],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT interpolated per-group percentiles via histogram-refine
+    (distributed selection), the scale path the sort-buffer
+    ``percentile()`` aggregate cannot take.
+
+    ``percentile()`` is an ObjectAggregate: every partial buffer
+    holds its partition's raw values and is SERIALIZED into the
+    shuffle, and the final merge runs ONE task per group — at 100 TB
+    with a handful of groups that is a handful of tasks each sorting
+    a terabyte. Here the full data is never shuffled at all:
+
+    1. one narrow pass → per-(group, value-bucket) counts (map-side
+       combined; the exchange carries ≤ groups × n_buckets rows);
+    2. tiny-frame math (cumulative bucket starts per group, target
+       ranks pos = (n-1)·p per percentile) locates, for every needed
+       rank, the ONE bucket containing it;
+    3. a second narrow pass extracts only the needed buckets'
+       rows (≈ n/n_buckets each) and ranks them with a per-bucket
+       window — parallelism = number of needed buckets, independent
+       of group cardinality;
+    4. value at rank, then the SAME two-sided linear interpolation
+       Spark's ``percentile()`` applies — ``lo·(⌈pos⌉−pos) +
+       hi·(pos−⌊pos⌋)``, integral pos returning the value directly —
+       so the result is bit-identical to the aggregate (parity
+       test), and matches DuckDB's ``quantile_cont`` under the
+       repo's round(·+1e-9, 6) policy.
+
+    Bounded driver contract: one 2-value min/max collect. Caveat
+    (same spirit as pack_chunked's id-range note): buckets follow the
+    VALUE range, so a pathologically concentrated distribution puts
+    a needed rank in a heavy bucket and step 3's window task grows —
+    recurse with a second histogram level (or raise ``n_buckets``)
+    for adversarial data; NULL values are excluded, matching the
+    aggregate's semantics."""
+    from pyspark.sql import Window
+
+    g = group_col
+    d = df.select(
+        F.col(g), F.col(val_col).cast("double").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    row = d.agg(F.min("_v").alias("lo"), F.max("_v").alias("hi")).collect()
+    if not row or row[0]["lo"] is None:
+        return (
+            d.select(g)
+            .limit(0)
+            .withColumn("p", F.lit(0.0))
+            .withColumn("value", F.lit(0.0))
+        )
+    lo, hi = float(row[0]["lo"]), float(row[0]["hi"])
+    span = (hi - lo) / n_buckets or 1.0
+    d = d.withColumn(
+        "_b",
+        F.least(
+            F.floor((F.col("_v") - F.lit(lo)) / F.lit(span)),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    hist = d.groupBy(g, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    prior = (
+        Window.partitionBy(g)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = hist.withColumn(
+        "_start", F.coalesce(F.sum("_c").over(prior), F.lit(0))
+    )
+    totals = hist.groupBy(g).agg(F.sum("_c").alias("_n"))
+    ps_lit = F.array(*[F.lit(float(p)) for p in ps])
+    targets = (
+        totals.select(F.col(g), F.explode(ps_lit).alias("p"), F.col("_n"))
+        .withColumn("_pos", (F.col("_n") - 1) * F.col("p"))
+        .withColumn("_lo_r", F.floor("_pos").cast("bigint"))
+        .withColumn("_hi_r", F.ceil("_pos").cast("bigint"))
+    )
+    need = targets.select(
+        F.col(g),
+        "p",
+        "_pos",
+        F.explode(F.array_distinct(F.array("_lo_r", "_hi_r"))).alias("_rank"),
+    )
+    # locate each needed rank's bucket — both frames are tiny
+    # (groups × ps × 2 vs groups × n_buckets); broadcast range join
+    needb = need.join(
+        F.broadcast(starts),
+        (need[g] == starts[g])
+        & (F.col("_rank") >= F.col("_start"))
+        & (F.col("_rank") < F.col("_start") + F.col("_c")),
+    ).select(need[g], "p", "_pos", "_rank", "_b", "_start")
+    hot = needb.select(g, "_b").distinct()
+    sel = d.join(F.broadcast(hot), on=[g, "_b"])
+    w = Window.partitionBy(g, "_b").orderBy("_v")
+    ranked = sel.withColumn("_lr", F.row_number().over(w) - 1)
+    vals = ranked.join(
+        F.broadcast(needb.withColumnRenamed(g, "_g")),
+        (ranked[g] == F.col("_g"))
+        & (ranked["_b"] == needb["_b"])
+        & (F.col("_lr") + F.col("_start") == F.col("_rank")),
+    ).select(ranked[g], "p", "_pos", "_rank", "_v")
+    lo_rank_v = F.max(F.when(F.col("_rank") == F.floor("_pos"), F.col("_v")))
+    hi_rank_v = F.max(F.when(F.col("_rank") == F.ceil("_pos"), F.col("_v")))
+    return (
+        vals.groupBy(g, "p", "_pos")
+        .agg(lo_rank_v.alias("_lov"), hi_rank_v.alias("_hiv"))
+        .select(
+            F.col(g),
+            F.col("p"),
+            F.when(F.floor("_pos") == F.ceil("_pos"), F.col("_lov"))
+            .otherwise(
+                F.col("_lov") * (F.ceil("_pos") - F.col("_pos"))
+                + F.col("_hiv") * (F.col("_pos") - F.floor("_pos"))
+            )
+            .alias("value"),
+        )
+    )

@@ -162,19 +162,48 @@ def hyperplane_bucket(vec_col: Column, signs) -> Column:
     collide with probability (1 - θ/π)^P — the textbook complement to
     IVF bucketing. Pure JVM higher-order expressions; the +1e-9 nudge
     keeps the sign decision identical cross-engine when a dot product
-    lands within float noise of zero (numeric policy #3)."""
-    bucket = F.lit(0).cast("bigint")
-    for p, s in enumerate(signs):
-        sv = F.array(*[F.lit(float(x)) for x in s])
+    lands within float noise of zero (numeric policy #3).
+
+    ONE ``aggregate`` over a literal plane TABLE (array of arrays)
+    with a (sum, power-of-two) struct accumulator — not a chain of P
+    per-plane expressions: the chained form built P nested
+    zip_with/aggregate trees through py4j, costing ~4 s of
+    DRIVER-side plan construction at 32 planes before a single row
+    moved (measured on the banded query; the wide adaptive widths
+    made it the dominant cost). Per-plane math is unchanged
+    (left-to-right zip_with dot, +1e-9 nudge), so buckets are
+    bit-identical to the chained form and to the SQL oracle. The
+    plane table is emitted as ONE SQL string (a single JVM parse —
+    per-literal Column construction cost a py4j round trip for each
+    of the P×64 signs, the CMS counter table lesson applied here)."""
+    planes = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)}D" for x in s) + ")" for s in signs
+        )
+        + ")"
+    )
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("s"), F.lit(1).cast("bigint").alias("pw")
+    )
+
+    def step(acc, sv):
         dot = F.aggregate(
             F.zip_with(vec_col, sv, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
-            lambda acc, v: acc + v,
+            lambda a2, v: a2 + v,
         )
-        bucket = bucket + F.when(
-            dot + F.lit(1e-9) >= 0, F.lit(1 << p).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+        return F.struct(
+            (
+                acc["s"]
+                + F.when(dot + F.lit(1e-9) >= 0, acc["pw"]).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("s"),
+            (acc["pw"] * F.lit(2).cast("bigint")).alias("pw"),
+        )
+
+    return F.aggregate(planes, zero, step, lambda acc: acc["s"])
 
 
 def near_dup_pairs_hyperplane(
@@ -214,6 +243,177 @@ def near_dup_pairs_hyperplane(
     return near_dup_pairs(
         bucketed, "hp_bucket", id_col=id_col, vec_col=vec_col, threshold=threshold
     )
+
+
+def near_dup_pairs_multiprobe(
+    df: DataFrame,
+    signs,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Multi-probe extension of :func:`near_dup_pairs_hyperplane` —
+    the RECALL knob the adaptive plane count trades against: a pair
+    is a candidate when its P-bit signatures differ in AT MOST ONE
+    plane (Hamming ≤ 1), not only on exact collision, so a
+    borderline vector that flips a single near-zero dot product
+    still meets its neighbor. Collision probability rises from s^P
+    to s^P + P·s^(P-1)(1-s) (s = 1-θ/π) at the cost of ONE explode
+    replicating each row to P+1 probe keys — candidate volume stays
+    linear (bucket depth × (P+1)), never quadratic.
+
+    Meeting rule: side A carries the exact signature plus its P
+    one-bit flips; side B carries the exact signature only. A pair
+    at distance 0 meets on exact=exact; at distance 1 on A's flip =
+    B's exact — every qualifying unordered pair meets at least once
+    and the final distinct collapses multiplicity. Verification is
+    the same rounded-cosine cut as every sibling.
+
+    Hot-bucket guard (same contract as dedup.lsh_candidate_pairs'
+    census-enforced cap): vectors whose EXACT bucket exceeds
+    ``max_bucket`` are dropped from both sides before pairing — an
+    adversarial corpus that collapses onto one signature can
+    degrade recall (documented, one-sided) but can never make a
+    task's pair work exceed max_bucket², and the adaptive width
+    keeps E[depth] far below the cap on non-adversarial data so the
+    guard never binds at any tested SF (oracle unaffected)."""
+    p = len(signs)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), signs).alias("hp"),
+    )
+    hot = (
+        bucketed.groupBy("hp")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket)
+        .select("hp")
+    )
+    bucketed = bucketed.join(F.broadcast(hot), on="hp", how="left_anti")
+    probes = bucketed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                F.col("hp"),
+                *[
+                    F.col("hp").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                    for i in range(p)
+                ],
+            )
+        ).alias("probe"),
+    )
+    exact = bucketed.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("cv_raw"),
+        F.col("hp").alias("probe"),
+    )
+    cand = (
+        probes.join(exact, on="probe")
+        .where(F.col(id_col) < F.col("item_id"))
+        .select(
+            F.col(id_col).alias("a_id"),
+            F.col("item_id").alias("b_id"),
+            to_double_array(F.col(vec_col)).alias("qv"),
+            to_double_array(F.col("cv_raw")).alias("cv"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias(
+            "cos_sim"
+        ),
+    ).where(F.col("cos_sim") >= F.lit(threshold))
+
+
+def near_dup_pairs_banded(
+    df: DataFrame,
+    signs,
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Banded (multi-signature) hyperplane LSH — the canonical
+    high-recall construction: ONE wide signature of ``len(signs)``
+    planes is sliced into ``n_bands`` disjoint bit-bands, and a pair
+    is a candidate when ANY band matches exactly. Per-band collision
+    s^P (s = 1-θ/π, P = band width) compounds to 1-(1-s^P)^R — the
+    recall knob orthogonal to the adaptive width: width buys
+    precision (bucket depth), bands buy recall, both at linear cost
+    (one explode to R (band, key) rows, equi self-join per band key,
+    distinct). Because bands are bit-slices of the SAME signature,
+    the plane matrix is computed once and the SQL oracle recovers
+    every band key by shifting the one embedded bucket value.
+
+    Hot-bucket guard: (vec, band) rows whose band key's population
+    exceeds ``max_bucket`` are dropped (census groupBy + broadcast
+    anti join) — the vector keeps its other bands, so recall
+    degrades gracefully on adversarial data while per-key pair work
+    stays bounded; on non-adversarial data the adaptive width keeps
+    E[depth] far below the cap and the guard never binds (oracle
+    unaffected at every tested SF)."""
+    total = len(signs)
+    assert total % n_bands == 0, "plane count must divide into bands"
+    p_band = total // n_bands
+    mask = (1 << p_band) - 1
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), signs).alias("hp"),
+    )
+    keyed = bucketed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("band"),
+                        F.shiftright("hp", r * p_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for r in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.band", "bk.key")
+    hot = (
+        keyed.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket)
+        .select("band", "key")
+    )
+    keyed = keyed.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
+    other = keyed.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("cv_raw"),
+        "band",
+        "key",
+    )
+    cand = (
+        keyed.join(other, on=["band", "key"])
+        .where(F.col(id_col) < F.col("item_id"))
+        .select(
+            F.col(id_col).alias("a_id"),
+            F.col("item_id").alias("b_id"),
+            to_double_array(F.col(vec_col)).alias("qv"),
+            to_double_array(F.col("cv_raw")).alias("cv"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias(
+            "cos_sim"
+        ),
+    ).where(F.col("cos_sim") >= F.lit(threshold))
 
 
 def near_dup_pairs_blas(

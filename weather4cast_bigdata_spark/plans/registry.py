@@ -1483,6 +1483,150 @@ def q_sim_hyperplane_lsh(spark, sf_dir):
     )
 
 
+def _adaptive_signs(emb):
+    """Shared adaptive-resolution plane matrix for the LSH family:
+    one bounded count aggregate -> plane count -> deterministic
+    md5-parity matrix (restated bit-exactly in the oracles)."""
+    n = emb.count()
+    return similarity.hyperplane_signs(
+        similarity.adaptive_n_planes(n, target_bucket=8), 64
+    )
+
+
+@qdef(
+    "sim_lsh_multiprobe",
+    )
+def q_sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe hyperplane LSH near-dup pairs: candidates collide
+    on the exact adaptive-width signature OR differ in exactly one
+    plane (Hamming <= 1) — the recall knob the scale-adaptive plane
+    count trades against, at the cost of one explode (P+1 probe keys
+    per row) instead of any quadratic work. The oracle restates the
+    candidate rule as bit_count(xor(sig_a, sig_b)) <= 1 over the
+    identical embedded plane matrix; verification is the shared
+    rounded-cosine cut."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_multiprobe(
+        emb, _adaptive_signs(emb), threshold=0.2
+    )
+
+
+def _banded_signs(emb, n_bands: int = 4):
+    """Plane matrix for the banded construction: n_bands x band
+    width, band width = least(adaptive np, 15) so the full signature
+    stays inside 60 bits of the bigint bucket."""
+    n = emb.count()
+    w = min(similarity.adaptive_n_planes(n, target_bucket=8), 15)
+    return similarity.hyperplane_signs(n_bands * w, 64), w
+
+
+@qdef(
+    "sim_lsh_banded",
+    )
+def q_sim_lsh_banded(spark, sf_dir):
+    """Banded multi-signature hyperplane LSH near-dup pairs: one
+    4x-adaptive-width signature sliced into 4 disjoint bit-bands, a
+    pair qualifying when ANY band matches exactly — the canonical
+    high-recall LSH construction (per-band collision s^P compounds
+    to 1-(1-s^P)^4), completing the family's knob set: adaptive
+    width buys precision, probing buys one bit of slack, bands buy
+    independent retries. Linear cost: one explode to 4 (band, key)
+    rows per vector, equi self-join, distinct, cosine verify. The
+    oracle recovers every band key by shifting the single embedded
+    bucket value."""
+    emb = _t(spark, sf_dir, "embeddings")
+    signs, _ = _banded_signs(emb)
+    return similarity.near_dup_pairs_banded(emb, signs, n_bands=4, threshold=0.2)
+
+
+@qdef(
+    "sim_lsh_recall",
+    )
+def q_sim_lsh_recall(spark, sf_dir):
+    """MEASURED recall of the adaptive hyperplane LSH against the
+    brute-force truth on a deterministic query sample (vec_id % 23):
+    one row of (n_true, n_hit_exact, n_hit_probe, recall_exact,
+    recall_probe). This is the number behind the documented
+    single-signature recall trade — exact-collision recall at the
+    adaptive width, and what one probe bit buys back. The sample
+    keeps the truth computation linear in the corpus (sample x
+    corpus, never corpus x corpus); the LSH memberships are read off
+    the same signatures the candidate queries use. Threshold 0.2 is
+    the measurable regime on this corpus (the synthetic embeddings'
+    pairwise-cosine ceiling is ~0.5, so a near-dup cut has an empty
+    truth set); recall rises steeply with similarity — P planes
+    collide with probability (1-θ/π)^P, ~0.3^P at cos 0.2 vs ~0.86^P
+    at cos 0.9."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # ONE 4x-adaptive-width signature serves all three generators:
+    # exact/probe membership reads the low band (the same planes the
+    # single-signature queries use), banded membership reads every
+    # band slice.
+    signs4, w = _banded_signs(emb)
+    mask = F.lit((1 << w) - 1).cast("bigint")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.hyperplane_bucket(F.col("embedding"), signs4).alias("hp"),
+    )
+    q = sig.where(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("qv_raw"),
+        F.col("hp").alias("hq"),
+    )
+    from weather4cast_bigdata_spark.functions.arrays import cosine, to_double_array
+    from weather4cast_bigdata_spark.partitioning import ensure_min_parallelism
+
+    # the CORPUS side streams through the nested-loop join (the small
+    # query sample broadcasts), so its partition count is the join's
+    # parallelism — without this the brute-force truth runs one task
+    c = ensure_min_parallelism(
+        sig.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("cv_raw"),
+            F.col("hp").alias("hc"),
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "hq",
+            "hc",
+            F.round(
+                cosine(
+                    to_double_array(F.col("qv_raw")),
+                    to_double_array(F.col("cv_raw")),
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    truth = scored.where(F.col("cos_sim") >= F.lit(0.2))
+    x = F.col("hq").bitwiseXOR(F.col("hc"))
+    hit_exact = F.when(x.bitwiseAND(mask) == 0, 1).otherwise(0)
+    hit_probe = F.when(F.bit_count(x.bitwiseAND(mask)) <= 1, 1).otherwise(0)
+    band_zero = [
+        F.shiftright(x, r * w).bitwiseAND(mask) == 0 for r in range(4)
+    ]
+    hit_banded = F.when(
+        band_zero[0] | band_zero[1] | band_zero[2] | band_zero[3], 1
+    ).otherwise(0)
+    n = F.greatest(F.count(F.lit(1)), F.lit(1))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(hit_exact).alias("n_hit_exact"),
+        F.sum(hit_probe).alias("n_hit_probe"),
+        F.sum(hit_banded).alias("n_hit_banded"),
+        F.round(F.sum(hit_exact) / n + F.lit(1e-9), 6).alias("recall_exact"),
+        F.round(F.sum(hit_probe) / n + F.lit(1e-9), 6).alias("recall_probe"),
+        F.round(F.sum(hit_banded) / n + F.lit(1e-9), 6).alias("recall_banded"),
+    )
+
+
 @qdef(
     "embed_pq_codes",
     )

@@ -2367,3 +2367,158 @@ ORACLES["dedup_ngram_containment"] = (
     FROM directed WHERE c >= 0.8
     """
 )
+
+
+# Shared CTE for the adaptive-hyperplane signature over the embeddings
+# corpus (planes table at max resolution, adaptive prefix pl.p < np).
+_HP_SIG_CTE = f"""
+    planes AS (
+        {_HP_PLANES_SQL}
+    ),
+    dots1 AS (
+        SELECT e.vec_id, pl.p,
+               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
+        FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(e.embedding) AND pl.p < {_HP_NP_SQL}
+        GROUP BY 1, 2
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1 << p ELSE 0 END) AS hp
+        FROM dots1 GROUP BY 1
+    )
+"""
+
+ORACLES["sim_lsh_multiprobe"] = (
+f"""
+    WITH {_HP_SIG_CTE},
+    eb AS (SELECT e.vec_id, e.embedding, b.hp
+           FROM embeddings e JOIN bucketed b USING (vec_id)),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               a.embedding AS qv, b.embedding AS cv
+        FROM eb a JOIN eb b
+          ON a.vec_id < b.vec_id
+         AND bit_count(xor(a.hp, b.hp)) <= 1
+    ),
+    dots AS (
+        SELECT a_id, b_id,
+               sum(qv[r.i]::DOUBLE * cv[r.i]::DOUBLE) AS dot,
+               sqrt(sum(qv[r.i]::DOUBLE * qv[r.i]::DOUBLE)) AS nq,
+               sqrt(sum(cv[r.i]::DOUBLE * cv[r.i]::DOUBLE)) AS nc
+        FROM cand, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(qv)
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT a_id, b_id,
+               round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
+        FROM dots
+    ) WHERE cos_sim >= 0.2
+    """
+)
+
+
+
+# Wider master plane table for the BANDED construction (4 bands x
+# band width; band width = least(adaptive np, 15) keeps the full
+# signature inside 60 bits of the bigint bucket).
+_HP_SIGNS96 = similarity.hyperplane_signs(96, 64)
+_HP_PLANES96_SQL = "\n        UNION ALL ".join(
+    f"SELECT {p} AS p, {list(s_)} AS s" for p, s_ in enumerate(_HP_SIGNS96)
+)
+
+# 4-band signature CTE: npv carries the adaptive BAND width; the
+# signature uses 4x that many planes from the 96-row table.
+_HP_SIG4_CTE = f"""
+    npv AS (SELECT least({_HP_NP_SQL}, 15) AS np),
+    planes96 AS (
+        {_HP_PLANES96_SQL}
+    ),
+    dots4 AS (
+        SELECT e.vec_id, pl.p,
+               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
+        FROM embeddings e, planes96 pl, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(e.embedding)
+          AND pl.p < 4 * (SELECT np FROM npv)
+        GROUP BY 1, 2
+    ),
+    bucketed4 AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1::BIGINT << p ELSE 0 END) AS hp
+        FROM dots4 GROUP BY 1
+    )
+"""
+
+ORACLES["sim_lsh_banded"] = (
+f"""
+    WITH {_HP_SIG4_CTE},
+    eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, b.hp
+           FROM embeddings e JOIN bucketed4 b USING (vec_id)),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               any_value(a.v) AS qv, any_value(b.v) AS cv
+        FROM eb a JOIN eb b
+          ON a.vec_id < b.vec_id,
+          (SELECT unnest(range(4)) AS band) r, npv
+        WHERE ((xor(a.hp, b.hp) >> (r.band * npv.np))
+               & ((1::BIGINT << npv.np) - 1)) = 0
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT a_id, b_id,
+               round(list_dot_product(qv, cv)
+                     / (greatest(sqrt(list_dot_product(qv, qv)), 1e-300)
+                        * greatest(sqrt(list_dot_product(cv, cv)), 1e-300))
+                     + 1e-9, 6) AS cos_sim
+        FROM cand
+    ) WHERE cos_sim >= 0.2
+    """
+)
+
+ORACLES["sim_lsh_recall"] = (
+f"""
+    WITH {_HP_SIG4_CTE},
+    q AS (SELECT e.vec_id AS a_id, e.embedding::DOUBLE[] AS qv, b.hp AS hq
+          FROM embeddings e JOIN bucketed4 b USING (vec_id)
+          WHERE e.vec_id % 23 = 0),
+    c AS (SELECT e.vec_id AS b_id, e.embedding::DOUBLE[] AS cv, b.hp AS hc
+          FROM embeddings e JOIN bucketed4 b USING (vec_id)),
+    dots AS (
+        -- list_dot_product: linear in sample x corpus pairs (the
+        -- unnest-per-dimension form cost pairs x 64 rows)
+        SELECT a_id, b_id, hq, hc,
+               list_dot_product(qv, cv) AS dot,
+               sqrt(list_dot_product(qv, qv)) AS nq,
+               sqrt(list_dot_product(cv, cv)) AS nc
+        FROM q, c
+        WHERE a_id != b_id
+    ),
+    truth AS (
+        SELECT a_id, b_id, xor(hq, hc) AS x, (SELECT np FROM npv) AS w FROM (
+            SELECT a_id, b_id, hq, hc,
+                   round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
+            FROM dots
+        ) WHERE cos_sim >= 0.2
+    ),
+    hits AS (
+        SELECT
+            CASE WHEN (x & ((1::BIGINT << w) - 1)) = 0 THEN 1 ELSE 0 END AS he,
+            CASE WHEN bit_count(x & ((1::BIGINT << w) - 1)) <= 1 THEN 1 ELSE 0 END AS hp_,
+            CASE WHEN ((x >> (0 * w)) & ((1::BIGINT << w) - 1)) = 0
+                   OR ((x >> (1 * w)) & ((1::BIGINT << w) - 1)) = 0
+                   OR ((x >> (2 * w)) & ((1::BIGINT << w) - 1)) = 0
+                   OR ((x >> (3 * w)) & ((1::BIGINT << w) - 1)) = 0
+                 THEN 1 ELSE 0 END AS hb
+        FROM truth
+    )
+    SELECT count(*) AS n_true,
+           CAST(sum(he) AS BIGINT) AS n_hit_exact,
+           CAST(sum(hp_) AS BIGINT) AS n_hit_probe,
+           CAST(sum(hb) AS BIGINT) AS n_hit_banded,
+           round(sum(he) * 1.0 / greatest(count(*), 1) + 1e-9, 6) AS recall_exact,
+           round(sum(hp_) * 1.0 / greatest(count(*), 1) + 1e-9, 6) AS recall_probe,
+           round(sum(hb) * 1.0 / greatest(count(*), 1) + 1e-9, 6) AS recall_banded
+    FROM hits
+    """
+)

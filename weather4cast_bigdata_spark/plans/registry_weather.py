@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions import strings
-from weather4cast_bigdata_spark.operators import inference, multimodal, similarity, windows
+from weather4cast_bigdata_spark.operators import aggregates, inference, multimodal, similarity, windows
 from weather4cast_bigdata_spark.plans import registry_oracles, weather
 from weather4cast_bigdata_spark.plans.registry import (
     SLOT_SQL,
@@ -843,8 +843,14 @@ def q_join_asof_nearest(spark, sf_dir):
 def q_agg_percentile(spark, sf_dir):
     """Exact interpolated percentiles per group (both engines use the
     same linear-interpolation definition). The sketch-based
-    percentile_approx is the 100 TB path; this is its correctness
-    anchor."""
+    percentile_approx is one 100 TB path; ``agg_percentile_histref``
+    (histogram-refine distributed selection, no full-data shuffle)
+    is the exact one. Measured finding (r7): at sf0.1/sf1 (0.6M/6M
+    rows, 3 groups) this sort-buffer form is the FASTER of the two
+    (1.2 vs 1.7 s sf0.1; 2.2 vs 2.5 s sf1) — the histref plan's
+    extra stages only amortize when per-group volume outgrows a
+    single task's sort (the regime where this form's
+    one-task-per-group merge becomes the straggler)."""
     li = _t(spark, sf_dir, "lineitem")
     # One percentile(col, array(...)) call: a single sort buffer per
     # group serves all three quantiles (3x less agg memory/CPU than
@@ -859,6 +865,43 @@ def q_agg_percentile(spark, sf_dir):
             r6(F.col("ps")[1]).alias("p90"),
             r6(F.col("ps")[2]).alias("p99"),
         )
+    )
+
+
+@qdef(
+    "agg_percentile_histref",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9) + 1e-9, 6) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_histref(spark, sf_dir):
+    """EXACT percentiles via histogram-refine distributed selection
+    (operators/aggregates.exact_group_percentiles) — the scale twin
+    of ``agg_percentile``, same oracle: the full data is never
+    shuffled (one map-combined histogram pass + a second pass
+    extracting only the ~n/1024-row buckets that contain a needed
+    rank), and parallelism is independent of group cardinality,
+    where the sort-buffer aggregate serializes whole per-group value
+    buffers through the exchange and merges ONE task per group. The
+    crossover is documented at ``agg_percentile``."""
+    li = _t(spark, sf_dir, "lineitem")
+    res = aggregates.exact_group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+    wide = (
+        res.groupBy("l_returnflag")
+        .pivot("p", [0.5, 0.9, 0.99])
+        .agg(F.first("value"))
+    )
+    return wide.select(
+        "l_returnflag",
+        r6(F.col("`0.5`")).alias("p50"),
+        r6(F.col("`0.9`")).alias("p90"),
+        r6(F.col("`0.99`")).alias("p99"),
     )
 
 
