@@ -159,6 +159,17 @@ SHAPES = [
     # distinct — the incremental hash/probe work happened inside
     # foreachBatch (batch-invariance pinned in the streaming tests)
     ("streaming_exact_dedup_ingest", 1, 0),
+    # r7 LSH family: census groupBy + candidate equi-join are the only
+    # exchanges; the hot-bucket guard is a broadcast anti join
+    ("sim_lsh_multiprobe", 2, 0),
+    ("sim_lsh_banded", 2, 0),
+    # brute-force truth side is the declared baseline (1 bnl, like
+    # sim_cosine_topk); the two exchanges are the census + the
+    # sample/corpus repartitions
+    ("sim_lsh_recall", 2, 1),
+    # histogram-refine: every exchange carries either tiny hist rows
+    # or only needed-bucket rows — never a full-data shuffle
+    ("agg_percentile_histref", 7, 0),
 ]
 
 
