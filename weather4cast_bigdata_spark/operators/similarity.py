@@ -235,13 +235,67 @@ def near_dup_pairs_hyperplane(
         signs = hyperplane_signs(
             adaptive_n_planes(n, target_bucket=target_bucket), dim
         )
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), signs).alias("hp_bucket"),
+    bucketed = _cache_signatures(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col), signs).alias("hp_bucket"),
+        )
     )
     return near_dup_pairs(
         bucketed, "hp_bucket", id_col=id_col, vec_col=vec_col, threshold=threshold
+    )
+
+
+
+# One persisted signature frame at a time (the _PREFIX_BASE_CACHE
+# pattern from dedup.py): the census, the anti-join probe, and both
+# self-join sides all consume the bucketed frame, and the P-plane
+# interpreted signature is the family's dominant per-row cost — an
+# unpersisted frame would recompute it once per consumer (measured
+# 3x at sf1). Each new invocation evicts the previous call's cache,
+# so repeated calls hold at most one corpus-sized signature frame.
+_SIG_CACHE: list = []
+
+
+def _cache_signatures(bucketed: DataFrame) -> DataFrame:
+    while _SIG_CACHE:
+        try:
+            _SIG_CACHE.pop().unpersist()
+        except Exception:
+            pass  # stale handle from a stopped session
+    bucketed = bucketed.persist()
+    _SIG_CACHE.append(bucketed)
+    return bucketed
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Attach both vectors to DISTINCT candidate id-pairs and apply
+    the shared rounded-cosine cut — the verify tail common to the
+    probe/band candidate generators."""
+    a = df.select(
+        F.col(id_col).alias("a_id"), to_double_array(F.col(vec_col)).alias("qv")
+    )
+    b = df.select(
+        F.col(id_col).alias("b_id"), to_double_array(F.col(vec_col)).alias("cv")
+    )
+    return (
+        cand.join(a, on="a_id")
+        .join(b, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
     )
 
 
@@ -284,6 +338,7 @@ def near_dup_pairs_multiprobe(
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), signs).alias("hp"),
     )
+    bucketed = _cache_signatures(bucketed)
     hot = (
         bucketed.groupBy("hp")
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -291,9 +346,12 @@ def near_dup_pairs_multiprobe(
         .select("hp")
     )
     bucketed = bucketed.join(F.broadcast(hot), on="hp", how="left_anti")
+    # candidate generation carries BARE IDS: a pair can meet through
+    # several probes, so dedup before the vectors attach — otherwise
+    # every duplicate candidate drags two 64-dim arrays through the
+    # distinct's exchange
     probes = bucketed.select(
         F.col(id_col),
-        F.col(vec_col),
         F.explode(
             F.array(
                 F.col("hp"),
@@ -305,28 +363,15 @@ def near_dup_pairs_multiprobe(
         ).alias("probe"),
     )
     exact = bucketed.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("cv_raw"),
-        F.col("hp").alias("probe"),
+        F.col(id_col).alias("item_id"), F.col("hp").alias("probe")
     )
     cand = (
         probes.join(exact, on="probe")
         .where(F.col(id_col) < F.col("item_id"))
-        .select(
-            F.col(id_col).alias("a_id"),
-            F.col("item_id").alias("b_id"),
-            to_double_array(F.col(vec_col)).alias("qv"),
-            to_double_array(F.col("cv_raw")).alias("cv"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+        .select(F.col(id_col).alias("a_id"), F.col("item_id").alias("b_id"))
+        .distinct()
     )
-    return cand.select(
-        "a_id",
-        "b_id",
-        F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias(
-            "cos_sim"
-        ),
-    ).where(F.col("cos_sim") >= F.lit(threshold))
+    return _verify_pairs(cand, df, id_col, vec_col, threshold)
 
 
 def near_dup_pairs_banded(
@@ -361,10 +406,12 @@ def near_dup_pairs_banded(
     assert total % n_bands == 0, "plane count must divide into bands"
     p_band = total // n_bands
     mask = (1 << p_band) - 1
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), signs).alias("hp"),
+    bucketed = _cache_signatures(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col), signs).alias("hp"),
+        )
     )
     keyed = bucketed.select(
         F.col(id_col),
@@ -390,30 +437,17 @@ def near_dup_pairs_banded(
         .select("band", "key")
     )
     keyed = keyed.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
-    other = keyed.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("cv_raw"),
-        "band",
-        "key",
-    )
+    # bare-id candidates, distinct BEFORE vectors attach (a pair can
+    # match in several bands; see near_dup_pairs_multiprobe)
+    other = keyed.select(F.col(id_col).alias("item_id"), "band", "key")
     cand = (
-        keyed.join(other, on=["band", "key"])
+        keyed.select(id_col, "band", "key")
+        .join(other, on=["band", "key"])
         .where(F.col(id_col) < F.col("item_id"))
-        .select(
-            F.col(id_col).alias("a_id"),
-            F.col("item_id").alias("b_id"),
-            to_double_array(F.col(vec_col)).alias("qv"),
-            to_double_array(F.col("cv_raw")).alias("cv"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+        .select(F.col(id_col).alias("a_id"), F.col("item_id").alias("b_id"))
+        .distinct()
     )
-    return cand.select(
-        "a_id",
-        "b_id",
-        F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias(
-            "cos_sim"
-        ),
-    ).where(F.col("cos_sim") >= F.lit(threshold))
+    return _verify_pairs(cand, df, id_col, vec_col, threshold)
 
 
 def near_dup_pairs_blas(
