@@ -579,17 +579,26 @@ def prefix_filtered_jaccard_pairs(
     cand_big = side_a.join(side_b, ["h32", "_s"]).where(
         F.col("id_a") < F.col("id_b")
     )
-    # PPJoin positional filter: per pair, take the EARLIEST common
-    # prefix token (min (pa, pb) — common tokens appear in the same
-    # relative order on both sides, so one struct-min picks it). No
-    # common token precedes it, hence the true overlap is at most
-    # min(sz_a - pa, sz_b - pb) (that token plus what follows it);
-    # Jaccard >= t needs overlap >= t/(1+t)·(sz_a+sz_b), so pairs
-    # whose bound falls short verify to < t with certainty and are
-    # dropped BEFORE the expensive full-set verify join. The groupBy
-    # replaces the plain distinct (same single exchange); the 1e-9
-    # slack can only ADMIT an extra candidate, never drop a true
-    # pair. (AllPairs -> PPJoin; Xiao et al., WWW'08.)
+    # PPJoin positional filter, count-tightened (the Spark-shaped
+    # stand-in for PPJoin+'s suffix probe): both sides are sorted by
+    # the SAME global order, so a pair's common tokens form one
+    # increasing sequence on both sides simultaneously, and the set
+    # of prefix-common tokens — the rows this groupBy receives — is
+    # exactly the FIRST c common tokens, the last of them at
+    # (max pa, max pb). Every further common token must sit strictly
+    # after both maxima, hence
+    #   overlap <= c + min(sz_a - max_pa - 1, sz_b - max_pb - 1).
+    # For c = 1 this reduces to the classic earliest-token bound
+    # min(sz_a - pa, sz_b - pb); for c >= 2 it is strictly tighter
+    # (each extra shared prefix token advances max_pa by at least 1,
+    # so the bound cannot grow). Jaccard >= t needs overlap >=
+    # t/(1+t)·(sz_a+sz_b); pairs whose bound falls short verify to
+    # < t with certainty and are dropped BEFORE the expensive
+    # full-set verify join. The groupBy replaces the plain distinct
+    # (same single exchange); the 1e-9 slack can only ADMIT an extra
+    # candidate, never drop a true pair. (AllPairs -> PPJoin,
+    # Xiao et al., WWW'08; the count+last-position form plays the
+    # role of §4.2's suffix filter without probing suffix tokens.)
     cand = (
         cand_small.unionByName(
             cand_big.select("id_a", "sz_a", "pa", "id_b", "sz_b", "pb")
@@ -600,18 +609,24 @@ def prefix_filtered_jaccard_pairs(
         )
         .groupBy("id_a", "id_b")
         .agg(
-            # the earliest common token minimizes BOTH positions
-            # simultaneously (both sides sorted by the same global
-            # order), so two scalar mins suffice — no struct min;
+            # c = shared prefix tokens; each (id_a, id_b, token)
+            # triple reaches this aggregate exactly once (small
+            # buckets enumerate each pair once per token; the salted
+            # split meets once per token at side A's salt)
+            F.count(F.lit(1)).alias("_c"),
+            F.max("pa").alias("_pa"),
+            F.max("pb").alias("_pb"),
             # sizes are constant per id, min() is just the cheapest
             # associative carrier
-            F.min("pa").alias("_pa"),
-            F.min("pb").alias("_pb"),
             F.min("sz_a").alias("sz_a"),
             F.min("sz_b").alias("sz_b"),
         )
         .where(
-            F.least(F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb"))
+            F.col("_c")
+            + F.least(
+                F.col("sz_a") - F.col("_pa") - F.lit(1),
+                F.col("sz_b") - F.col("_pb") - F.lit(1),
+            )
             >= (F.col("sz_a") + F.col("sz_b"))
             * F.lit(threshold / (1.0 + threshold))
             - F.lit(1e-9)
