@@ -651,6 +651,52 @@ def test_adaptive_n_planes_python_sql_agree():
             assert got == py, (n, t, py, got)
 
 
+def test_adaptive_total_planes_python_sql_agree():
+    """The fractional (1/4-step) plane chain must be derived
+    identically by the Spark plan (Python loop) and the DuckDB
+    oracle (integer-comparison chain) — the thresholds are irrational
+    powers floored to literals, so both sides must share the SAME
+    literals, including at power-of-two boundaries."""
+    import duckdb
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    con = duckdb.connect()
+    for n in (1, 7, 8, 9, 10, 11, 12, 15, 16, 17, 40, 250, 500, 2000,
+              2001, 20000, 60000, 10**7):
+        py = similarity.adaptive_total_planes(n)
+        sql = similarity.adaptive_total_planes_sql(str(n))
+        got = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == py, (n, py, got)
+
+
+def test_band_layout_fractional_depth_envelope():
+    """band_layout(adaptive_total_planes(n)) must keep every band's
+    E[depth] = n/2^w within [target·2^(-1/4)·0.99, target·2·1.01] —
+    the ~1.19×-step envelope that replaces the integral chain's ±2×
+    sawtooth (widths differ by at most one, geometric mean within
+    one quarter-step of target)."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    t = 8
+    for n in (40, 100, 500, 2000, 6000, 20000, 60000, 200000):
+        total = similarity.adaptive_total_planes(n, target_bucket=t)
+        layout = similarity.band_layout(total, 4)
+        assert sum(w for _, w in layout) == total
+        assert [w for _, w in layout] == sorted(
+            (w for _, w in layout), reverse=True
+        )
+        for _, w in layout:
+            depth = n / (1 << w)
+            assert depth <= t * 2 * 1.01, (n, w, depth)
+        gm = n / (2 ** (total / 4))
+        assert gm <= t * 1.2 and gm >= t * 2 ** (-0.25) * 0.5, (n, total, gm)
+    # past ~8·2^14.75 rows the 60-bit signature cap binds (by design:
+    # the bucket is one bigint); depth then grows linearly again —
+    # the documented point where a two-bigint bucket takes over
+    assert similarity.adaptive_total_planes(10**6, target_bucket=t) == 60
+
+
 def test_adaptive_n_planes_bounds_bucket_depth():
     """E[bucket depth] = n / 2^P must stay <= target for any corpus
     size the comparison chain covers — the invariant that keeps

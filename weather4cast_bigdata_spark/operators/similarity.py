@@ -139,6 +139,74 @@ def adaptive_n_planes_sql(
     return f"(SELECT {base} + {terms} FROM (SELECT ({count_sql}) AS c))"
 
 
+def _fractional_thresholds(
+    n_bands: int, target_bucket: int, max_total: int
+) -> list[int]:
+    """Integer thresholds of the fractional (1/n_bands-step) plane
+    chain: t_k = floor(target · 2^((k-1)/n_bands)). For integer
+    corpus counts ``n > target·2^((k-1)/n_bands)`` ⟺ ``n > t_k``, so
+    the chain is pure integer comparison; both engines embed the SAME
+    Python-computed literals, so a 1-ulp float wobble in the
+    irrational powers cannot diverge them."""
+    return [
+        int(target_bucket * 2.0 ** ((k - 1) / n_bands))
+        for k in range(1, max_total + 1)
+    ]
+
+
+def adaptive_total_planes(
+    n: int, n_bands: int = 4, target_bucket: int = 8, max_total: int = 60
+) -> int:
+    """Fractional-resolution total plane count for the BANDED
+    construction: the smallest total Q with sum-of-band-widths
+    granularity 1 plane — i.e. resolution steps of 2^(1/n_bands) ≈
+    1.19× (n_bands=4) in per-band bucket depth, vs the 2× step of
+    the integral single-signature chain. Q = #{k ≤ max_total :
+    n > target·2^((k-1)/n_bands)}; with :func:`band_layout`
+    splitting Q into widths W/W+1, the geometric-mean band depth
+    stays within 2^(1/n_bands) of target at ANY corpus size — the
+    flattened version of the ±2× sawtooth SCALING.md §7 documents
+    for the integral variants. max_total = 60 keeps the full
+    signature inside 60 bits of the bigint bucket (~8·2^14 rows per
+    band at target 8 before the cap binds; beyond that, raise the
+    bucket to two bigints)."""
+    q = 0
+    for t in _fractional_thresholds(n_bands, target_bucket, max_total):
+        if n > t:
+            q += 1
+        else:
+            break
+    return q
+
+
+def adaptive_total_planes_sql(
+    count_sql: str, n_bands: int = 4, target_bucket: int = 8, max_total: int = 60
+) -> str:
+    """SQL restatement of :func:`adaptive_total_planes` — same
+    literal thresholds, same integer comparisons, summed in a scalar
+    subquery over the same corpus count."""
+    terms = " + ".join(
+        f"(CASE WHEN c > {t} THEN 1 ELSE 0 END)"
+        for t in _fractional_thresholds(n_bands, target_bucket, max_total)
+    )
+    return f"(SELECT {terms} FROM (SELECT ({count_sql}) AS c))"
+
+
+def band_layout(total: int, n_bands: int = 4) -> list[tuple[int, int]]:
+    """Split a total plane count into ``n_bands`` (offset, width)
+    bit-slices whose widths differ by at most one: the first
+    ``total % n_bands`` bands get ``total//n_bands + 1`` planes, the
+    rest ``total//n_bands``. Restated in SQL as
+    off_b = b·(q//4) + least(b, q%4), w_b = q//4 + (b < q%4)."""
+    w, m = divmod(total, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        wi = w + (1 if i < m else 0)
+        out.append((off, wi))
+        off += wi
+    return out
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane matrix: sign p,d is drawn
     from the parity of ``md5(f"{p}_{d}")``. Driver-side constants —
@@ -382,6 +450,7 @@ def near_dup_pairs_banded(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     max_bucket: int = 4096,
+    widths: list[int] | None = None,
 ) -> DataFrame:
     """Banded (multi-signature) hyperplane LSH — the canonical
     high-recall construction: ONE wide signature of ``len(signs)``
@@ -401,11 +470,31 @@ def near_dup_pairs_banded(
     degrades gracefully on adversarial data while per-key pair work
     stays bounded; on non-adversarial data the adaptive width keeps
     E[depth] far below the cap and the guard never binds (oracle
-    unaffected at every tested SF)."""
-    total = len(signs)
-    assert total % n_bands == 0, "plane count must divide into bands"
-    p_band = total // n_bands
-    mask = (1 << p_band) - 1
+    unaffected at every tested SF).
+
+    ``widths`` (optional) makes the resolution FRACTIONAL: band b is
+    the bit-slice [off_b, off_b+widths[b]) of the one signature, with
+    widths allowed to differ (the :func:`band_layout` W/W+1 split of
+    an :func:`adaptive_total_planes` count). One extra plane then
+    moves bucket depth of ONE band by 2× — total candidate work steps
+    by ~2^(1/n_bands) instead of 2×, flattening the integral
+    sawtooth (SCALING.md §7) while everything downstream (census cap,
+    bare-id candidate dedup, verify) is width-agnostic. Default
+    (None) keeps the legacy equal split of ``len(signs)``."""
+    if widths is None:
+        total = len(signs)
+        assert total % n_bands == 0, "plane count must divide into bands"
+        p_band = total // n_bands
+        layout = [(r * p_band, p_band) for r in range(n_bands)]
+    else:
+        # the matrix may carry extra planes past the banded span
+        # (e.g. covering the recall harness's single-signature read)
+        assert len(widths) == n_bands and sum(widths) <= len(signs)
+        layout = []
+        off = 0
+        for w in widths:
+            layout.append((off, w))
+            off += w
     bucketed = _cache_signatures(
         df.select(
             F.col(id_col),
@@ -421,11 +510,11 @@ def near_dup_pairs_banded(
                 *[
                     F.struct(
                         F.lit(r).alias("band"),
-                        F.shiftright("hp", r * p_band)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftright("hp", off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("key"),
                     )
-                    for r in range(n_bands)
+                    for r, (off, w) in enumerate(layout)
                 ]
             )
         ).alias("bk"),

@@ -1512,12 +1512,23 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
 
 
 def _banded_signs(emb, n_bands: int = 4):
-    """Plane matrix for the banded construction: n_bands x band
-    width, band width = least(adaptive np, 15) so the full signature
-    stays inside 60 bits of the bigint bucket."""
+    """Plane matrix + fractional band layout for the banded
+    construction: total plane count from the 1/4-step chain
+    (adaptive_total_planes, 60-bit cap inside), split into W/W+1
+    widths — one extra data octave moves ONE band by one plane, so
+    candidate work steps by ~2^(1/4) instead of the integral chain's
+    2× (the flattened sawtooth, SCALING.md §7). Also returns the
+    capped single-signature width np (exact/probe membership in the
+    recall harness reads the low np bits — the same planes the
+    single-signature queries use); the matrix covers max(total, np)
+    so both reads are defined."""
     n = emb.count()
-    w = min(similarity.adaptive_n_planes(n, target_bucket=8), 15)
-    return similarity.hyperplane_signs(n_bands * w, 64), w
+    total = similarity.adaptive_total_planes(
+        n, n_bands=n_bands, target_bucket=8, max_total=60
+    )
+    widths = [w for _, w in similarity.band_layout(total, n_bands)]
+    np_ = min(similarity.adaptive_n_planes(n, target_bucket=8), 15)
+    return similarity.hyperplane_signs(max(total, np_), 64), widths, np_
 
 
 @qdef(
@@ -1525,18 +1536,24 @@ def _banded_signs(emb, n_bands: int = 4):
     )
 def q_sim_lsh_banded(spark, sf_dir):
     """Banded multi-signature hyperplane LSH near-dup pairs: one
-    4x-adaptive-width signature sliced into 4 disjoint bit-bands, a
-    pair qualifying when ANY band matches exactly — the canonical
+    wide signature sliced into 4 disjoint bit-bands, a pair
+    qualifying when ANY band matches exactly — the canonical
     high-recall LSH construction (per-band collision s^P compounds
     to 1-(1-s^P)^4), completing the family's knob set: adaptive
     width buys precision, probing buys one bit of slack, bands buy
-    independent retries. Linear cost: one explode to 4 (band, key)
-    rows per vector, equi self-join, distinct, cosine verify. The
-    oracle recovers every band key by shifting the single embedded
-    bucket value."""
+    independent retries. Resolution is FRACTIONAL (r7): the total
+    plane count comes from the 1/4-step chain and bands carry W/W+1
+    planes each, so bucket depth tracks the corpus in ~1.19× steps
+    instead of the integral variants' 2× sawtooth. Linear cost: one
+    explode to 4 (band, key) rows per vector, equi self-join,
+    distinct, cosine verify. The oracle recovers every band key by
+    shifting the single embedded bucket value with the same
+    SQL-derived layout (off_b = b·(q//4)+least(b,q%4))."""
     emb = _t(spark, sf_dir, "embeddings")
-    signs, _ = _banded_signs(emb)
-    return similarity.near_dup_pairs_banded(emb, signs, n_bands=4, threshold=0.2)
+    signs, widths, _np = _banded_signs(emb)
+    return similarity.near_dup_pairs_banded(
+        emb, signs, n_bands=4, threshold=0.2, widths=widths
+    )
 
 
 @qdef(
@@ -1558,12 +1575,17 @@ def q_sim_lsh_recall(spark, sf_dir):
     collide with probability (1-θ/π)^P, ~0.3^P at cos 0.2 vs ~0.86^P
     at cos 0.9."""
     emb = _t(spark, sf_dir, "embeddings")
-    # ONE 4x-adaptive-width signature serves all three generators:
-    # exact/probe membership reads the low band (the same planes the
-    # single-signature queries use), banded membership reads every
-    # band slice.
-    signs4, w = _banded_signs(emb)
-    mask = F.lit((1 << w) - 1).cast("bigint")
+    # ONE wide signature serves all three generators: exact/probe
+    # membership reads the low np bits (the exact planes the
+    # single-signature queries use — same matrix prefix), banded
+    # membership reads the fractional W/W+1 band slices.
+    signs4, widths, np_ = _banded_signs(emb)
+    layout = []
+    _off = 0
+    for _w in widths:
+        layout.append((_off, _w))
+        _off += _w
+    mask = F.lit((1 << np_) - 1).cast("bigint")
     sig = emb.select(
         "vec_id",
         "embedding",
@@ -1610,7 +1632,8 @@ def q_sim_lsh_recall(spark, sf_dir):
     hit_exact = F.when(x.bitwiseAND(mask) == 0, 1).otherwise(0)
     hit_probe = F.when(F.bit_count(x.bitwiseAND(mask)) <= 1, 1).otherwise(0)
     band_zero = [
-        F.shiftright(x, r * w).bitwiseAND(mask) == 0 for r in range(4)
+        F.shiftright(x, off).bitwiseAND(F.lit((1 << w) - 1).cast("bigint")) == 0
+        for off, w in layout
     ]
     hit_banded = F.when(
         band_zero[0] | band_zero[1] | band_zero[2] | band_zero[3], 1

@@ -2420,17 +2420,37 @@ f"""
 
 
 
-# Wider master plane table for the BANDED construction (4 bands x
-# band width; band width = least(adaptive np, 15) keeps the full
-# signature inside 60 bits of the bigint bucket).
+# Wider master plane table for the BANDED construction (fractional
+# total ≤ 60 planes keeps the full signature inside 60 bits of the
+# bigint bucket; 96 rows cover it with margin).
 _HP_SIGNS96 = similarity.hyperplane_signs(96, 64)
 _HP_PLANES96_SQL = "\n        UNION ALL ".join(
     f"SELECT {p} AS p, {list(s_)} AS s" for p, s_ in enumerate(_HP_SIGNS96)
 )
 
-# 4-band signature CTE: npv carries the adaptive BAND width; the
-# signature uses 4x that many planes from the 96-row table.
+# Fractional total plane count for the banded construction — the
+# 1/4-step integer-comparison chain (same literal thresholds as
+# similarity.adaptive_total_planes).
+_HP_Q_SQL = similarity.adaptive_total_planes_sql(
+    "SELECT count(*) FROM embeddings", n_bands=4, target_bucket=8, max_total=60
+)
+
+# Band layout restated in SQL from the scalar q: band b covers the
+# bit-slice [b·(q//4) + least(b, q%4), +(q//4 + (b < q%4))).
+def _band_off_sql(b: str, q: str = "qv.q") -> str:
+    return f"({b} * ({q} // 4) + least({b}, {q} % 4))"
+
+
+def _band_w_sql(b: str, q: str = "qv.q") -> str:
+    return f"(({q} // 4) + (CASE WHEN {b} < {q} % 4 THEN 1 ELSE 0 END))"
+
+
+# Banded signature CTE: qv carries the fractional TOTAL plane count;
+# npv the single-signature width (the recall harness's exact/probe
+# read); the signature covers greatest(q, np) planes so both reads
+# are defined off one bucket value.
 _HP_SIG4_CTE = f"""
+    qv AS (SELECT {_HP_Q_SQL} AS q),
     npv AS (SELECT least({_HP_NP_SQL}, 15) AS np),
     planes96 AS (
         {_HP_PLANES96_SQL}
@@ -2440,7 +2460,7 @@ _HP_SIG4_CTE = f"""
                sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
         FROM embeddings e, planes96 pl, (SELECT unnest(range(1, 65)) AS i) r
         WHERE r.i <= len(e.embedding)
-          AND pl.p < 4 * (SELECT np FROM npv)
+          AND pl.p < greatest((SELECT q FROM qv), (SELECT np FROM npv))
         GROUP BY 1, 2
     ),
     bucketed4 AS (
@@ -2460,9 +2480,9 @@ f"""
                any_value(a.v) AS qv, any_value(b.v) AS cv
         FROM eb a JOIN eb b
           ON a.vec_id < b.vec_id,
-          (SELECT unnest(range(4)) AS band) r, npv
-        WHERE ((xor(a.hp, b.hp) >> (r.band * npv.np))
-               & ((1::BIGINT << npv.np) - 1)) = 0
+          (SELECT unnest(range(4)) AS band) r, qv AS qb
+        WHERE ((xor(a.hp, b.hp) >> {_band_off_sql("r.band", "qb.q")})
+               & ((1::BIGINT << {_band_w_sql("r.band", "qb.q")}) - 1)) = 0
         GROUP BY 1, 2
     )
     SELECT a_id, b_id, cos_sim FROM (
@@ -2495,7 +2515,8 @@ f"""
         WHERE a_id != b_id
     ),
     truth AS (
-        SELECT a_id, b_id, xor(hq, hc) AS x, (SELECT np FROM npv) AS w FROM (
+        SELECT a_id, b_id, xor(hq, hc) AS x,
+               (SELECT np FROM npv) AS w, (SELECT q FROM qv) AS q FROM (
             SELECT a_id, b_id, hq, hc,
                    round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
             FROM dots
@@ -2505,10 +2526,10 @@ f"""
         SELECT
             CASE WHEN (x & ((1::BIGINT << w) - 1)) = 0 THEN 1 ELSE 0 END AS he,
             CASE WHEN bit_count(x & ((1::BIGINT << w) - 1)) <= 1 THEN 1 ELSE 0 END AS hp_,
-            CASE WHEN ((x >> (0 * w)) & ((1::BIGINT << w) - 1)) = 0
-                   OR ((x >> (1 * w)) & ((1::BIGINT << w) - 1)) = 0
-                   OR ((x >> (2 * w)) & ((1::BIGINT << w) - 1)) = 0
-                   OR ((x >> (3 * w)) & ((1::BIGINT << w) - 1)) = 0
+            CASE WHEN {" OR ".join(
+                f"((x >> {_band_off_sql(b, 'q')}) & ((1::BIGINT << {_band_w_sql(b, 'q')}) - 1)) = 0"
+                for b in ("0", "1", "2", "3")
+            )}
                  THEN 1 ELSE 0 END AS hb
         FROM truth
     )
