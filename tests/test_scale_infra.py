@@ -690,7 +690,7 @@ def test_band_layout_fractional_depth_envelope():
             depth = n / (1 << w)
             assert depth <= t * 2 * 1.01, (n, w, depth)
         gm = n / (2 ** (total / 4))
-        assert gm <= t * 1.2 and gm >= t * 2 ** (-0.25) * 0.5, (n, total, gm)
+        assert gm <= t * 1.2 and gm >= t * 2 ** (-0.25) * 0.99, (n, total, gm)
     # past ~8·2^14.75 rows the 60-bit signature cap binds (by design:
     # the bucket is one bigint); depth then grows linearly again —
     # the documented point where a two-bigint bucket takes over
@@ -789,3 +789,144 @@ def test_lsh_probe_and_band_caps_bound_pathological_buckets(spark):
         df, signs, threshold=0.5, max_bucket=4096
     ).count()
     assert free > len(mp)
+
+
+def test_fractional_split_flattens_depth_sawtooth():
+    """The (p, r) mixture must hold EXPECTED bucket depth within a
+    ~±19% band of target at every corpus size — the flattened
+    version of the integral chain's ±2× sawtooth (the r7 weak flag).
+    E[depth] = n·(m/2^p + (1-m)/2^(p+1)) with m = (4-r)/4 the merged
+    fraction; the integral chain's n/2^P sweeps [t, 2t) across an
+    octave."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    t = 8
+    for k in range(20, 560):  # n from ~9 to ~8·2^14 (below the 60-bit cap)
+        n = int(t * 2 ** (k / 40.0))
+        p, r = similarity.fractional_split(n, target_bucket=t)
+        m = (4 - r) / 4.0
+        depth = n * (m / 2**p + (1 - m) / 2 ** (p + 1))
+        assert t * 0.70 <= depth <= t * 1.30, (n, p, r, depth)
+
+
+def test_fractional_key_python_matches_sql(spark):
+    """fractional_key's Spark arithmetic and the oracle CTE's SQL
+    restatement must agree bit-for-bit for every (hp, p, r) —
+    including r = 0 (pure prefix), unmerged prefixes keying on the
+    extension bit, and p = 0 degenerates."""
+    import duckdb
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    con = duckdb.connect()
+    cases = [(hp, p, r) for hp in (0, 1, 5, 37, 1023, 4095) for p in (0, 3, 6)
+             for r in (0, 1, 2, 3)]
+    df = spark.createDataFrame(
+        [(hp, p, r) for hp, p, r in cases], ["hp", "p", "r"]
+    )
+    for hp, p, r in cases:
+        got_sql = con.execute(
+            f"""SELECT ({hp} & ((1::BIGINT << {p}) - 1)) * 2
+                 + CASE WHEN (({hp} & ((1::BIGINT << {p}) - 1)) % 4) < {r}
+                        THEN (({hp} >> {p}) & 1) ELSE 0 END"""
+        ).fetchone()[0]
+        got_py = (
+            df.where((F.col("hp") == hp) & (F.col("p") == p) & (F.col("r") == r))
+            .select(similarity.fractional_key(F.col("hp").cast("bigint"), p, r).alias("k"))
+            .collect()[0]["k"]
+        )
+        assert got_py == got_sql, (hp, p, r, got_py, got_sql)
+
+
+def _np_brute_pairs(vecs, signs, p, r, threshold, probe):
+    """Driver-side reference for the fractional candidate rules:
+    signature by the same plane matrix, exact = fractional-key
+    equality, probe = (prefix distance 0) OR (distance 1 AND
+    (merged_a OR merged_b OR ext_a = ext_b)); then the cosine cut."""
+    import numpy as np
+
+    s = np.asarray(signs, dtype=float)  # (P+1, dim)
+    v = np.asarray([x[1] for x in vecs], dtype=float)
+    sig = ((v @ s.T) + 1e-9 >= 0).astype(int)  # (n, P+1)
+    hp = (sig * (1 << np.arange(sig.shape[1]))).sum(axis=1)
+    pref = hp & ((1 << p) - 1)
+    ext = (hp >> p) & 1
+    merged = (pref % 4) >= r
+    key = pref * 2 + np.where(~merged, ext, 0)
+    out = set()
+    norms = np.linalg.norm(v, axis=1)
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            d = bin(int(pref[i]) ^ int(pref[j])).count("1")
+            if probe:
+                ok = d == 0 or (
+                    d == 1 and (merged[i] or merged[j] or ext[i] == ext[j])
+                )
+            else:
+                ok = key[i] == key[j]
+            if not ok:
+                continue
+            cos = round(
+                float(v[i] @ v[j]) / max(norms[i] * norms[j], 1e-300) + 1e-9, 6
+            )
+            if cos >= threshold:
+                a, b = vecs[i][0], vecs[j][0]
+                out.add((min(a, b), max(a, b)))
+    return out
+
+
+@pytest.mark.parametrize("r", [0, 1, 2, 3])
+def test_fractional_multiprobe_matches_brute_force(spark, r):
+    """near_dup_pairs_multiprobe at every split r (including the
+    NONZERO r the sf0.01/0.1 gates never reach — their corpus counts
+    land on r = 0) must emit exactly the declared candidate-rule
+    pairs: the probe-explode meeting rule is an implementation of the
+    symmetric predicate, and any missed meeting path would surface
+    here as a lost pair."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(1234 + r)
+    dim, p = 6, 4
+    signs = similarity.hyperplane_signs(p + 1, dim)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {
+        (a, b)
+        for a, b in similarity.near_dup_pairs_multiprobe(
+            df, signs, threshold=0.1, prefix_planes=p, split_r=r
+        ).select("a_id", "b_id").collect()
+    }
+    want = _np_brute_pairs(vecs, signs, p, r, 0.1, probe=True)
+    assert got == want, (r, len(got), len(want), got ^ want)
+
+
+@pytest.mark.parametrize("r", [0, 1, 2, 3])
+def test_fractional_exact_key_matches_brute_force(spark, r):
+    """The fractional-key exact-collision generator (the
+    sim_hyperplane_lsh path) must emit exactly the key-equality
+    pairs at every split r."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(987 + r)
+    dim, p = 6, 4
+    signs = similarity.hyperplane_signs(p + 1, dim)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    key = similarity.fractional_key(
+        similarity.hyperplane_bucket(F.col("embedding"), signs), p, r
+    )
+    bucketed = df.select("vec_id", "embedding", key.alias("hp_bucket"))
+    got = {
+        (a, b)
+        for a, b in similarity.near_dup_pairs(
+            bucketed, "hp_bucket", threshold=0.1
+        ).select("a_id", "b_id").collect()
+    }
+    want = _np_brute_pairs(vecs, signs, p, r, 0.1, probe=False)
+    assert got == want, (r, len(got), len(want), got ^ want)

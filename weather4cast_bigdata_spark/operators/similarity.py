@@ -192,6 +192,53 @@ def adaptive_total_planes_sql(
     return f"(SELECT {terms} FROM (SELECT ({count_sql}) AS c))"
 
 
+def fractional_split(
+    n: int, n_bands: int = 4, target_bucket: int = 8, max_total: int = 60
+) -> tuple[int, int]:
+    """Fractional resolution for the SINGLE-SIGNATURE constructions
+    (exact-collision and multiprobe) — the r7 weak-flag port: derive
+    the 1/4-step total Q from :func:`adaptive_total_planes` and split
+    it as ``(p, r) = (Q // 4, Q % 4)``. The signature reads ``p + 1``
+    planes; ``p`` low bits form the bucket PREFIX and bit ``p`` is an
+    EXTENSION bit that only the ``r/4`` fraction of prefixes selected
+    by ``prefix % 4 < r`` actually key on (see
+    :func:`fractional_key`). One quarter-octave of corpus growth
+    increments Q by one, moving only ``r`` — i.e. splitting one more
+    quarter of the buckets in two — so E[bucket depth] steps by
+    ~2^(1/4) ≈ 1.19× instead of the integral chain's 2× sawtooth
+    (SCALING.md §7; measured 3.21×/4.07× wall at 3× data for the
+    integral variants vs 2.35× for the fractional banded sibling).
+
+    ``prefix % 4`` (the signs of planes 0 and 1) is the split
+    selector because it is a pure function of the bucket id that both
+    engines restate with one modulo — on sign-balanced data each
+    residue class holds ~1/4 of the rows; a corpus collapsed onto one
+    side of planes 0/1 degrades the mixture toward pure-``p`` or
+    pure-``p+1`` width, which is exactly the old integral behavior
+    (never worse), and the hot-bucket census cap still bounds the
+    worst key."""
+    q = adaptive_total_planes(
+        n, n_bands=n_bands, target_bucket=target_bucket, max_total=max_total
+    )
+    return q // n_bands, q % n_bands
+
+
+def fractional_key(hp_col: Column, p: int, r: int) -> Column:
+    """Bucket key of the fractional single-signature construction:
+    ``prefix·2 + (unmerged(prefix) ? bit_p : 0)`` where ``prefix`` is
+    the low ``p`` bits of the (p+1)-plane signature and
+    ``unmerged(prefix) ⟺ prefix % 4 < r``. Merged prefixes key on
+    ``p`` planes (depth n/2^p), unmerged ones on ``p+1`` (depth
+    n/2^(p+1)); the r/4 mixture holds the EXPECTED depth within ±6%
+    of target across a whole octave. ``p``/``r`` are Python literals
+    (derived driver-side from one bounded count), so the SQL oracle
+    restates the key with the same integer arithmetic."""
+    prefix = hp_col.bitwiseAND(F.lit(((1 << p) - 1)).cast("bigint"))
+    ext = F.shiftright(hp_col, p).bitwiseAND(F.lit(1).cast("bigint"))
+    unmerged = (prefix % 4) < F.lit(r)
+    return prefix * 2 + F.when(unmerged, ext).otherwise(F.lit(0).cast("bigint"))
+
+
 def band_layout(total: int, n_bands: int = 4) -> list[tuple[int, int]]:
     """Split a total plane count into ``n_bands`` (offset, width)
     bit-slices whose widths differ by at most one: the first
@@ -290,25 +337,31 @@ def near_dup_pairs_hyperplane(
     :func:`near_dup_pairs`; recall is tuned by P (fewer planes = more
     candidates) or by multi-probe/banding at very high P.
 
-    ``signs=None`` (the default) derives P from the corpus count via
-    :func:`adaptive_n_planes` — one bounded driver action (a count
-    aggregate) buys a resolution that keeps E[bucket depth] constant
-    as the corpus grows, so verify work scales ~linearly instead of
-    quadratically (the r6 sf1 sweep's only super-linear cell). The
-    single-signature recall trade (genuine near-dups collide with
-    probability (1-θ/π)^P) is the documented cost; multi-probe or
-    banding over the same signature is the production recall knob."""
+    ``signs=None`` (the default) derives the resolution from the
+    corpus count via :func:`fractional_split` — one bounded driver
+    action (a count aggregate) buys a FRACTIONAL (1/4-step) width:
+    the signature reads p+1 planes, merged prefixes bucket on p bits
+    and the ``prefix % 4 < r`` quarter-fraction on p+1, so E[bucket
+    depth] — and with it per-bucket verify work — stays within ±6%
+    of target at ANY corpus size instead of sawtoothing ±2× per data
+    octave (the r7 weak flag, SCALING.md §7). The single-signature
+    recall trade (genuine near-dups collide with probability
+    ≈(1-θ/π)^p) is the documented cost; multi-probe or banding over
+    the same signature is the production recall knob. An explicit
+    ``signs`` keeps the legacy exact-collision-on-len(signs)-planes
+    semantics (used by callers that manage their own resolution,
+    e.g. the label-composite dedup_embedding_cosine)."""
     if signs is None:
         n = df.count()
-        signs = hyperplane_signs(
-            adaptive_n_planes(n, target_bucket=target_bucket), dim
+        p, r = fractional_split(n, target_bucket=target_bucket)
+        signs = hyperplane_signs(p + 1, dim)
+        key = fractional_key(
+            hyperplane_bucket(F.col(vec_col), signs), p, r
         )
+    else:
+        key = hyperplane_bucket(F.col(vec_col), signs)
     bucketed = _cache_signatures(
-        df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            hyperplane_bucket(F.col(vec_col), signs).alias("hp_bucket"),
-        )
+        df.select(F.col(id_col), F.col(vec_col), key.alias("hp_bucket"))
     )
     return near_dup_pairs(
         bucketed, "hp_bucket", id_col=id_col, vec_col=vec_col, threshold=threshold
@@ -374,46 +427,78 @@ def near_dup_pairs_multiprobe(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     max_bucket: int = 4096,
+    prefix_planes: int | None = None,
+    split_r: int = 0,
 ) -> DataFrame:
     """Multi-probe extension of :func:`near_dup_pairs_hyperplane` —
     the RECALL knob the adaptive plane count trades against: a pair
-    is a candidate when its P-bit signatures differ in AT MOST ONE
-    plane (Hamming ≤ 1), not only on exact collision, so a
-    borderline vector that flips a single near-zero dot product
-    still meets its neighbor. Collision probability rises from s^P
-    to s^P + P·s^(P-1)(1-s) (s = 1-θ/π) at the cost of ONE explode
-    replicating each row to P+1 probe keys — candidate volume stays
-    linear (bucket depth × (P+1)), never quadratic.
+    is a candidate when its bucket PREFIXES differ in AT MOST ONE
+    plane, not only on exact collision, so a borderline vector that
+    flips a single near-zero dot product still meets its neighbor —
+    at the cost of ONE explode replicating each row to p+2 probe
+    keys. Candidate volume stays linear (bucket depth × (p+2)),
+    never quadratic.
 
-    Meeting rule: side A carries the exact signature plus its P
-    one-bit flips; side B carries the exact signature only. A pair
-    at distance 0 meets on exact=exact; at distance 1 on A's flip =
-    B's exact — every qualifying unordered pair meets at least once
-    and the final distinct collapses multiplicity. Verification is
-    the same rounded-cosine cut as every sibling.
+    FRACTIONAL resolution (``prefix_planes=p`` + ``split_r=r``, the
+    r7 weak-flag port): keys are :func:`fractional_key` over a
+    (p+1)-plane signature — merged prefixes (``prefix % 4 >= r``)
+    bucket on p bits, the rest on p+1 — so E[depth], and with it
+    per-probe join work, steps by ~1.19× per quarter-octave instead
+    of the integral 2× sawtooth that measured 4.07× wall at 3× data
+    (SCALING.md §7). The candidate rule in signature terms: with
+    d = Hamming(prefix_a, prefix_b),
+      d = 0  → candidate (the extension-flip probe covers unmerged
+               pairs whose extension bits differ);
+      d = 1  → candidate iff merged(prefix_a) OR merged(prefix_b)
+               OR ext_a = ext_b;
+      d ≥ 2  → not a candidate.
+    ``prefix_planes=None`` keeps the legacy integral semantics
+    (p = len(signs), r = 0: plain Hamming ≤ 1 on the full
+    signature).
+
+    Meeting rule: side A carries its exact fractional key, the p
+    keys obtained by flipping each prefix bit (re-deriving the
+    FLIPPED prefix's merged status — the target bucket's layout,
+    not the prober's), and the extension-flip key (a no-op
+    duplicate for merged prefixes); side B carries the exact key
+    only. Every qualifying unordered pair meets at least once
+    through A→B or B→A and the bare-id distinct collapses
+    multiplicity. Verification is the same rounded-cosine cut as
+    every sibling.
 
     Hot-bucket guard (same contract as dedup.lsh_candidate_pairs'
-    census-enforced cap): vectors whose EXACT bucket exceeds
+    census-enforced cap): vectors whose EXACT key's bucket exceeds
     ``max_bucket`` are dropped from both sides before pairing — an
     adversarial corpus that collapses onto one signature can
     degrade recall (documented, one-sided) but can never make a
     task's pair work exceed max_bucket², and the adaptive width
     keeps E[depth] far below the cap on non-adversarial data so the
     guard never binds at any tested SF (oracle unaffected)."""
-    p = len(signs)
+    p = len(signs) if prefix_planes is None else prefix_planes
+    r = split_r
+    hp = hyperplane_bucket(F.col(vec_col), signs)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), signs).alias("hp"),
+        hp.alias("hp"),
+        fractional_key(hp, p, r).alias("hpk"),
     )
     bucketed = _cache_signatures(bucketed)
     hot = (
-        bucketed.groupBy("hp")
+        bucketed.groupBy("hpk")
         .agg(F.count(F.lit(1)).alias("_bn"))
         .where(F.col("_bn") > max_bucket)
-        .select("hp")
+        .select("hpk")
     )
-    bucketed = bucketed.join(F.broadcast(hot), on="hp", how="left_anti")
+    bucketed = bucketed.join(F.broadcast(hot), on="hpk", how="left_anti")
+    prefix = F.col("hp").bitwiseAND(F.lit((1 << p) - 1).cast("bigint"))
+    ext = F.shiftright(F.col("hp"), p).bitwiseAND(F.lit(1).cast("bigint"))
+
+    def keyed(pref: Column, e: Column) -> Column:
+        return pref * 2 + F.when((pref % 4) < F.lit(r), e).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
     # candidate generation carries BARE IDS: a pair can meet through
     # several probes, so dedup before the vectors attach — otherwise
     # every duplicate candidate drags two 64-dim arrays through the
@@ -422,21 +507,32 @@ def near_dup_pairs_multiprobe(
         F.col(id_col),
         F.explode(
             F.array(
-                F.col("hp"),
+                F.col("hpk"),
+                keyed(prefix, F.lit(1).cast("bigint") - ext),
                 *[
-                    F.col("hp").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                    keyed(
+                        prefix.bitwiseXOR(F.lit(1 << i).cast("bigint")), ext
+                    )
                     for i in range(p)
                 ],
             )
         ).alias("probe"),
     )
     exact = bucketed.select(
-        F.col(id_col).alias("item_id"), F.col("hp").alias("probe")
+        F.col(id_col).alias("item_id"), F.col("hpk").alias("probe")
     )
+    # A pair may meet in only ONE direction (a merged prefix's exact
+    # key is reachable from its unmerged neighbor's probe, but not
+    # vice versa when the extension bits differ), so canonicalize
+    # with least/greatest rather than filtering probe_id < exact_id —
+    # the directional filter would drop the one meeting path.
     cand = (
         probes.join(exact, on="probe")
-        .where(F.col(id_col) < F.col("item_id"))
-        .select(F.col(id_col).alias("a_id"), F.col("item_id").alias("b_id"))
+        .where(F.col(id_col) != F.col("item_id"))
+        .select(
+            F.least(F.col(id_col), F.col("item_id")).alias("a_id"),
+            F.greatest(F.col(id_col), F.col("item_id")).alias("b_id"),
+        )
         .distinct()
     )
     return _verify_pairs(cand, df, id_col, vec_col, threshold)
@@ -488,7 +584,13 @@ def near_dup_pairs_banded(
         layout = [(r * p_band, p_band) for r in range(n_bands)]
     else:
         # the matrix may carry extra planes past the banded span
-        # (e.g. covering the recall harness's single-signature read)
+        # (e.g. covering the recall harness's single-signature read).
+        # Zero-width bands (adaptive_total_planes < n_bands, i.e.
+        # corpus ≤ target·2^((n_bands-1)/n_bands) ≈ 13 rows at the
+        # defaults) degenerate to mask 0 = one all-pairs bucket —
+        # benign at those sizes, mirrored bit-exactly by the oracle's
+        # shifted-slice restatement, and bounded by max_bucket like
+        # any other key.
         assert len(widths) == n_bands and sum(widths) <= len(signs)
         layout = []
         off = 0

@@ -1471,26 +1471,30 @@ def q_sim_hyperplane_lsh(spark, sf_dir):
     """Random-hyperplane LSH near-dup search: a SimHash signature
     over the embedding column buckets the candidate space
     (data-independent — no labels, no trained centroids), cosine
-    verified within buckets. The signature WIDTH is derived from the
-    corpus count (adaptive_n_planes, target depth 8) so E[bucket
-    depth] — and with it per-bucket verify work — stays constant as
-    the corpus grows; the oracle recomputes the identical plane
-    matrix from embedded constants and the identical width from the
-    same integer-comparison chain over count(*)."""
+    verified within buckets. Resolution is FRACTIONAL (r8, the r7
+    weak-flag port): the 1/4-step chain (adaptive_total_planes)
+    yields (p, r) = (Q//4, Q%4); merged prefixes bucket on p planes
+    and the ``prefix % 4 < r`` quarter-fraction on p+1, so E[bucket
+    depth] steps by ~1.19× per quarter-octave of data instead of
+    the integral 2× sawtooth (3.21× wall at 3× data, SCALING.md §7).
+    The oracle recomputes the identical plane matrix from embedded
+    constants, the identical Q from the same integer-comparison
+    chain over count(*), and the identical split key with one
+    modulo."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs_hyperplane(
         emb, threshold=0.2, target_bucket=8
     )
 
 
-def _adaptive_signs(emb):
-    """Shared adaptive-resolution plane matrix for the LSH family:
-    one bounded count aggregate -> plane count -> deterministic
-    md5-parity matrix (restated bit-exactly in the oracles)."""
+def _fractional_signs(emb):
+    """Shared fractional-resolution parameters for the
+    single-signature LSH queries: one bounded count aggregate ->
+    (p, r) quarter-step split -> deterministic md5-parity matrix of
+    p+1 planes (all three restated bit-exactly in the oracles)."""
     n = emb.count()
-    return similarity.hyperplane_signs(
-        similarity.adaptive_n_planes(n, target_bucket=8), 64
-    )
+    p, r = similarity.fractional_split(n, target_bucket=8)
+    return similarity.hyperplane_signs(p + 1, 64), p, r
 
 
 @qdef(
@@ -1498,37 +1502,43 @@ def _adaptive_signs(emb):
     )
 def q_sim_lsh_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH near-dup pairs: candidates collide
-    on the exact adaptive-width signature OR differ in exactly one
-    plane (Hamming <= 1) — the recall knob the scale-adaptive plane
-    count trades against, at the cost of one explode (P+1 probe keys
-    per row) instead of any quadratic work. The oracle restates the
-    candidate rule as bit_count(xor(sig_a, sig_b)) <= 1 over the
-    identical embedded plane matrix; verification is the shared
-    rounded-cosine cut."""
+    on the exact FRACTIONAL bucket key OR differ in exactly one
+    prefix plane — the recall knob the scale-adaptive resolution
+    trades against, at the cost of one explode (p+2 probe keys per
+    row) instead of any quadratic work. Fractional resolution (r8,
+    the r7 weak-flag port) replaces the integral Hamming<=1 rule
+    whose probe fan-out amplified the resolution sawtooth to 4.07×
+    wall at 3× data (SCALING.md §7): prefix distance 0 always
+    qualifies, distance 1 qualifies unless BOTH prefixes are
+    unmerged AND the extension bits differ. The oracle restates the
+    rule as a pure predicate over xor of the embedded-plane
+    signatures; verification is the shared rounded-cosine cut."""
     emb = _t(spark, sf_dir, "embeddings")
+    signs, p, r = _fractional_signs(emb)
     return similarity.near_dup_pairs_multiprobe(
-        emb, _adaptive_signs(emb), threshold=0.2
+        emb, signs, threshold=0.2, prefix_planes=p, split_r=r
     )
 
 
 def _banded_signs(emb, n_bands: int = 4):
     """Plane matrix + fractional band layout for the banded
     construction: total plane count from the 1/4-step chain
-    (adaptive_total_planes, 60-bit cap inside), split into W/W+1
-    widths — one extra data octave moves ONE band by one plane, so
-    candidate work steps by ~2^(1/4) instead of the integral chain's
-    2× (the flattened sawtooth, SCALING.md §7). Also returns the
-    capped single-signature width np (exact/probe membership in the
-    recall harness reads the low np bits — the same planes the
-    single-signature queries use); the matrix covers max(total, np)
-    so both reads are defined."""
+    (adaptive_total_planes, 60-bit cap inside), split by
+    similarity.band_layout into W/W+1 (offset, width) slices — one
+    extra data octave moves ONE band by one plane, so candidate work
+    steps by ~2^(1/4) instead of the integral chain's 2× (the
+    flattened sawtooth, SCALING.md §7). Also returns the fractional
+    single-signature split (p, r) = (total//4, total%4) (exact/probe
+    membership in the recall harness reads the low p+1 bits — the
+    same planes the single-signature queries use); the matrix covers
+    max(total, p+1) so both reads are defined."""
     n = emb.count()
     total = similarity.adaptive_total_planes(
         n, n_bands=n_bands, target_bucket=8, max_total=60
     )
-    widths = [w for _, w in similarity.band_layout(total, n_bands)]
-    np_ = min(similarity.adaptive_n_planes(n, target_bucket=8), 15)
-    return similarity.hyperplane_signs(max(total, np_), 64), widths, np_
+    layout = similarity.band_layout(total, n_bands)
+    p, r = similarity.fractional_split(n, n_bands=n_bands, target_bucket=8)
+    return similarity.hyperplane_signs(max(total, p + 1), 64), layout, p, r
 
 
 @qdef(
@@ -1550,9 +1560,9 @@ def q_sim_lsh_banded(spark, sf_dir):
     shifting the single embedded bucket value with the same
     SQL-derived layout (off_b = b·(q//4)+least(b,q%4))."""
     emb = _t(spark, sf_dir, "embeddings")
-    signs, widths, _np = _banded_signs(emb)
+    signs, layout, _p, _r = _banded_signs(emb)
     return similarity.near_dup_pairs_banded(
-        emb, signs, n_bands=4, threshold=0.2, widths=widths
+        emb, signs, n_bands=4, threshold=0.2, widths=[w for _, w in layout]
     )
 
 
@@ -1562,10 +1572,13 @@ def q_sim_lsh_banded(spark, sf_dir):
 def q_sim_lsh_recall(spark, sf_dir):
     """MEASURED recall of the adaptive hyperplane LSH against the
     brute-force truth on a deterministic query sample (vec_id % 23):
-    one row of (n_true, n_hit_exact, n_hit_probe, recall_exact,
-    recall_probe). This is the number behind the documented
-    single-signature recall trade — exact-collision recall at the
-    adaptive width, and what one probe bit buys back. The sample
+    one row of (n_true, n_hit_exact, n_hit_probe, n_hit_banded,
+    recall_exact, recall_probe, recall_banded). This is the number
+    behind the documented single-signature recall trade —
+    fractional-key collision recall at the adaptive (p, r) split,
+    what the prefix-flip probes buy back, and the banded OR's
+    compounding — membership restated with the exact rules the three
+    candidate generators use. The sample
     keeps the truth computation linear in the corpus (sample x
     corpus, never corpus x corpus); the LSH memberships are read off
     the same signatures the candidate queries use. Threshold 0.2 is
@@ -1576,16 +1589,15 @@ def q_sim_lsh_recall(spark, sf_dir):
     at cos 0.9."""
     emb = _t(spark, sf_dir, "embeddings")
     # ONE wide signature serves all three generators: exact/probe
-    # membership reads the low np bits (the exact planes the
+    # membership reads the low p+1 bits through the fractional
+    # (p, r) split (the exact planes and key rule the
     # single-signature queries use — same matrix prefix), banded
-    # membership reads the fractional W/W+1 band slices.
-    signs4, widths, np_ = _banded_signs(emb)
-    layout = []
-    _off = 0
-    for _w in widths:
-        layout.append((_off, _w))
-        _off += _w
-    mask = F.lit((1 << np_) - 1).cast("bigint")
+    # membership reads the fractional W/W+1 band slices (layout
+    # comes straight from similarity.band_layout — the same helper
+    # near_dup_pairs_banded rides — so the harness can never
+    # desynchronize from the candidate generator).
+    signs4, layout, p_, r_ = _banded_signs(emb)
+    mask = F.lit((1 << p_) - 1).cast("bigint")
     sig = emb.select(
         "vec_id",
         "embedding",
@@ -1629,8 +1641,16 @@ def q_sim_lsh_recall(spark, sf_dir):
     )
     truth = scored.where(F.col("cos_sim") >= F.lit(0.2))
     x = F.col("hq").bitwiseXOR(F.col("hc"))
-    hit_exact = F.when(x.bitwiseAND(mask) == 0, 1).otherwise(0)
-    hit_probe = F.when(F.bit_count(x.bitwiseAND(mask)) <= 1, 1).otherwise(0)
+    xp = x.bitwiseAND(mask)
+    merged_q = (F.col("hq").bitwiseAND(mask) % 4) >= F.lit(r_)
+    merged_c = (F.col("hc").bitwiseAND(mask) % 4) >= F.lit(r_)
+    ext_same = F.shiftright(x, p_).bitwiseAND(F.lit(1).cast("bigint")) == 0
+    hit_exact = F.when((xp == 0) & (merged_q | ext_same), 1).otherwise(0)
+    hit_probe = F.when(
+        (xp == 0)
+        | ((F.bit_count(xp) == 1) & (merged_q | merged_c | ext_same)),
+        1,
+    ).otherwise(0)
     band_zero = [
         F.shiftright(x, off).bitwiseAND(F.lit((1 << w) - 1).cast("bigint")) == 0
         for off, w in layout

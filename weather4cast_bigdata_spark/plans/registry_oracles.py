@@ -103,12 +103,6 @@ _HP_PLANES_SQL = "\n        UNION ALL ".join(
     f"SELECT {p} AS p, {list(s)} AS s" for p, s in enumerate(_HP_SIGNS)
 )
 
-# adaptive plane count for the data-independent LSH query (target
-# E[bucket depth] 8 over the whole corpus)
-_HP_NP_SQL = similarity.adaptive_n_planes_sql(
-    "SELECT count(*) FROM embeddings", target_bucket=8,
-    max_extra=_HP_MAX_PLANES,
-)
 # adaptive plane count for the label-composite near-dup query (labels
 # already split the corpus 10-way; target 250 keeps per-(label,hp)
 # depth ~25 at every SF)
@@ -116,6 +110,54 @@ _HP_NP250_SQL = similarity.adaptive_n_planes_sql(
     "SELECT count(*) FROM embeddings", target_bucket=250,
     max_extra=_HP_MAX_PLANES,
 )
+
+# Fractional total plane count over the embeddings corpus — the
+# 1/4-step integer-comparison chain (same literal thresholds as
+# similarity.adaptive_total_planes). Shared by the banded oracle
+# (band widths W/W+1 summing to q) and, since r8, the
+# single-signature family through the (fp, fr) = (q//4, q%4) split.
+_HP_Q_SQL = similarity.adaptive_total_planes_sql(
+    "SELECT count(*) FROM embeddings", n_bands=4, target_bucket=8, max_total=60
+)
+
+# Fractional single-signature CTE (the r7 weak-flag port, mirroring
+# similarity.fractional_split/fractional_key bit-exactly): pv carries
+# the (fp, fr) split from the SAME quarter-step chain the Spark plan
+# counts; the signature reads fp+1 planes; keyed derives the mixture
+# bucket key pref*2 + (pref % 4 < fr ? ext : 0), where merged
+# prefixes (pref % 4 >= fr) collapse the extension bit — one extra
+# quarter-octave of corpus splits one more quarter of the buckets,
+# stepping E[depth] by ~1.19x instead of the integral chain's 2x.
+_HP_FRAC_CTE = f"""
+    pv AS (SELECT CAST(({_HP_Q_SQL}) // 4 AS BIGINT) AS fp,
+                  CAST(({_HP_Q_SQL}) % 4 AS BIGINT) AS fr),
+    planes AS (
+        {_HP_PLANES_SQL}
+    ),
+    dots1 AS (
+        SELECT e.vec_id, pl.p,
+               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
+        FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(e.embedding)
+          AND pl.p < (SELECT fp FROM pv) + 1
+        GROUP BY 1, 2
+    ),
+    bucketed AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1::BIGINT << p ELSE 0 END) AS hp
+        FROM dots1 GROUP BY 1
+    ),
+    keyed AS (
+        SELECT b.vec_id,
+               (b.hp & ((1::BIGINT << pv.fp) - 1)) AS pref,
+               ((b.hp >> pv.fp) & 1) AS ext,
+               ((b.hp & ((1::BIGINT << pv.fp) - 1)) % 4) >= pv.fr AS merged,
+               (b.hp & ((1::BIGINT << pv.fp) - 1)) * 2
+               + CASE WHEN ((b.hp & ((1::BIGINT << pv.fp) - 1)) % 4) < pv.fr
+                      THEN ((b.hp >> pv.fp) & 1) ELSE 0 END AS k
+        FROM bucketed b, pv
+    )
+"""
 
 def _pq_l2_terms_sql(a: str, b: str, d_sub: int = 8) -> str:
     """Squared-L2 between 8-dim subvectors of two list columns at
@@ -1103,39 +1145,22 @@ ORACLES["sim_cosine_bucketed"] = (
 
 ORACLES["sim_hyperplane_lsh"] = (
 f"""
-    WITH planes AS (
-        {_HP_PLANES_SQL}
-    ),
-    dots1 AS (
-        SELECT e.vec_id, pl.p,
-               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
-        FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
-        WHERE r.i <= len(e.embedding) AND pl.p < {_HP_NP_SQL}
-        GROUP BY 1, 2
-    ),
-    bucketed AS (
-        SELECT vec_id,
-               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1 << p ELSE 0 END) AS hp_bucket
-        FROM dots1 GROUP BY 1
-    ),
-    q AS (SELECT e.vec_id AS query_id, b.hp_bucket, e.embedding AS qv
-          FROM embeddings e JOIN bucketed b ON b.vec_id = e.vec_id),
-    c AS (SELECT e.vec_id AS item_id, b.hp_bucket, e.embedding AS cv
-          FROM embeddings e JOIN bucketed b ON b.vec_id = e.vec_id),
-    dots2 AS (
-        SELECT query_id, item_id,
-               sum(q.qv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE) AS dot,
-               sqrt(sum(q.qv[r.i]::DOUBLE * q.qv[r.i]::DOUBLE)) AS nq,
-               sqrt(sum(c.cv[r.i]::DOUBLE * c.cv[r.i]::DOUBLE)) AS nc
-        FROM q, c, (SELECT unnest(range(1, 65)) AS i) r
-        WHERE r.i <= len(q.qv) AND q.hp_bucket = c.hp_bucket
-          AND query_id < item_id
-        GROUP BY 1, 2
+    WITH {_HP_FRAC_CTE},
+    eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, k.k
+           FROM embeddings e JOIN keyed k USING (vec_id)),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               a.v AS qv, b.v AS cv
+        FROM eb a JOIN eb b
+          ON a.k = b.k AND a.vec_id < b.vec_id
     )
-    SELECT query_id AS a_id, item_id AS b_id, cos_sim FROM (
-        SELECT query_id, item_id,
-               round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
-        FROM dots2
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT a_id, b_id,
+               round(list_dot_product(qv, cv)
+                     / (greatest(sqrt(list_dot_product(qv, qv)), 1e-300)
+                        * greatest(sqrt(list_dot_product(cv, cv)), 1e-300))
+                     + 1e-9, 6) AS cos_sim
+        FROM cand
     ) WHERE cos_sim >= 0.2
     """
 )
@@ -2369,51 +2394,34 @@ ORACLES["dedup_ngram_containment"] = (
 )
 
 
-# Shared CTE for the adaptive-hyperplane signature over the embeddings
-# corpus (planes table at max resolution, adaptive prefix pl.p < np).
-_HP_SIG_CTE = f"""
-    planes AS (
-        {_HP_PLANES_SQL}
-    ),
-    dots1 AS (
-        SELECT e.vec_id, pl.p,
-               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
-        FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
-        WHERE r.i <= len(e.embedding) AND pl.p < {_HP_NP_SQL}
-        GROUP BY 1, 2
-    ),
-    bucketed AS (
-        SELECT vec_id,
-               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1 << p ELSE 0 END) AS hp
-        FROM dots1 GROUP BY 1
-    )
-"""
-
+# Multi-probe candidate rule over the fractional split (mirrors
+# near_dup_pairs_multiprobe's probe construction as a pure symmetric
+# predicate): prefix distance 0 always qualifies (the extension-flip
+# probe covers unmerged pairs whose extension bits differ); distance
+# 1 qualifies unless BOTH prefixes are unmerged AND the extension
+# bits differ; distance >= 2 never.
 ORACLES["sim_lsh_multiprobe"] = (
 f"""
-    WITH {_HP_SIG_CTE},
-    eb AS (SELECT e.vec_id, e.embedding, b.hp
-           FROM embeddings e JOIN bucketed b USING (vec_id)),
+    WITH {_HP_FRAC_CTE},
+    eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                  k.pref, k.ext, k.merged
+           FROM embeddings e JOIN keyed k USING (vec_id)),
     cand AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               a.embedding AS qv, b.embedding AS cv
+               a.v AS qv, b.v AS cv
         FROM eb a JOIN eb b
           ON a.vec_id < b.vec_id
-         AND bit_count(xor(a.hp, b.hp)) <= 1
-    ),
-    dots AS (
-        SELECT a_id, b_id,
-               sum(qv[r.i]::DOUBLE * cv[r.i]::DOUBLE) AS dot,
-               sqrt(sum(qv[r.i]::DOUBLE * qv[r.i]::DOUBLE)) AS nq,
-               sqrt(sum(cv[r.i]::DOUBLE * cv[r.i]::DOUBLE)) AS nc
-        FROM cand, (SELECT unnest(range(1, 65)) AS i) r
-        WHERE r.i <= len(qv)
-        GROUP BY 1, 2
+         AND (xor(a.pref, b.pref) = 0
+              OR (bit_count(xor(a.pref, b.pref)) = 1
+                  AND (a.merged OR b.merged OR a.ext = b.ext)))
     )
     SELECT a_id, b_id, cos_sim FROM (
         SELECT a_id, b_id,
-               round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
-        FROM dots
+               round(list_dot_product(qv, cv)
+                     / (greatest(sqrt(list_dot_product(qv, qv)), 1e-300)
+                        * greatest(sqrt(list_dot_product(cv, cv)), 1e-300))
+                     + 1e-9, 6) AS cos_sim
+        FROM cand
     ) WHERE cos_sim >= 0.2
     """
 )
@@ -2428,15 +2436,10 @@ _HP_PLANES96_SQL = "\n        UNION ALL ".join(
     f"SELECT {p} AS p, {list(s_)} AS s" for p, s_ in enumerate(_HP_SIGNS96)
 )
 
-# Fractional total plane count for the banded construction — the
-# 1/4-step integer-comparison chain (same literal thresholds as
-# similarity.adaptive_total_planes).
-_HP_Q_SQL = similarity.adaptive_total_planes_sql(
-    "SELECT count(*) FROM embeddings", n_bands=4, target_bucket=8, max_total=60
-)
-
 # Band layout restated in SQL from the scalar q: band b covers the
 # bit-slice [b·(q//4) + least(b, q%4), +(q//4 + (b < q%4))).
+# (_HP_Q_SQL — the shared fractional total — is defined at the top of
+# the module next to the single-signature split CTE.)
 def _band_off_sql(b: str, q: str = "qv.q") -> str:
     return f"({b} * ({q} // 4) + least({b}, {q} % 4))"
 
@@ -2446,12 +2449,11 @@ def _band_w_sql(b: str, q: str = "qv.q") -> str:
 
 
 # Banded signature CTE: qv carries the fractional TOTAL plane count;
-# npv the single-signature width (the recall harness's exact/probe
-# read); the signature covers greatest(q, np) planes so both reads
-# are defined off one bucket value.
+# the signature covers greatest(q, q//4 + 1) planes so both the band
+# slices and the recall harness's single-signature (fp, fr) reads are
+# defined off one bucket value (q//4 + 1 > q only when q = 0).
 _HP_SIG4_CTE = f"""
     qv AS (SELECT {_HP_Q_SQL} AS q),
-    npv AS (SELECT least({_HP_NP_SQL}, 15) AS np),
     planes96 AS (
         {_HP_PLANES96_SQL}
     ),
@@ -2460,7 +2462,7 @@ _HP_SIG4_CTE = f"""
                sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
         FROM embeddings e, planes96 pl, (SELECT unnest(range(1, 65)) AS i) r
         WHERE r.i <= len(e.embedding)
-          AND pl.p < greatest((SELECT q FROM qv), (SELECT np FROM npv))
+          AND pl.p < greatest((SELECT q FROM qv), (SELECT q FROM qv) // 4 + 1)
         GROUP BY 1, 2
     ),
     bucketed4 AS (
@@ -2515,17 +2517,29 @@ f"""
         WHERE a_id != b_id
     ),
     truth AS (
-        SELECT a_id, b_id, xor(hq, hc) AS x,
-               (SELECT np FROM npv) AS w, (SELECT q FROM qv) AS q FROM (
+        SELECT a_id, b_id, hq, hc, xor(hq, hc) AS x,
+               (SELECT q FROM qv) // 4 AS fp,
+               (SELECT q FROM qv) % 4 AS fr,
+               (SELECT q FROM qv) AS q FROM (
             SELECT a_id, b_id, hq, hc,
                    round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
             FROM dots
         ) WHERE cos_sim >= 0.2
     ),
+    -- exact/probe membership restated with the fractional (fp, fr)
+    -- split rules the single-signature candidate generators use
     hits AS (
         SELECT
-            CASE WHEN (x & ((1::BIGINT << w) - 1)) = 0 THEN 1 ELSE 0 END AS he,
-            CASE WHEN bit_count(x & ((1::BIGINT << w) - 1)) <= 1 THEN 1 ELSE 0 END AS hp_,
+            CASE WHEN (x & ((1::BIGINT << fp) - 1)) = 0
+                  AND (((hq & ((1::BIGINT << fp) - 1)) % 4) >= fr
+                       OR ((x >> fp) & 1) = 0)
+                 THEN 1 ELSE 0 END AS he,
+            CASE WHEN (x & ((1::BIGINT << fp) - 1)) = 0
+                  OR (bit_count(x & ((1::BIGINT << fp) - 1)) = 1
+                      AND (((hq & ((1::BIGINT << fp) - 1)) % 4) >= fr
+                           OR ((hc & ((1::BIGINT << fp) - 1)) % 4) >= fr
+                           OR ((x >> fp) & 1) = 0))
+                 THEN 1 ELSE 0 END AS hp_,
             CASE WHEN {" OR ".join(
                 f"((x >> {_band_off_sql(b, 'q')}) & ((1::BIGINT << {_band_w_sql(b, 'q')}) - 1)) = 0"
                 for b in ("0", "1", "2", "3")
