@@ -421,6 +421,19 @@ def prefix_filtered_jaccard_pairs(
     verify the true Jaccard on the full hash sets and filter ≥ t —
     no recall loss, bit-identical to the brute-force join.
 
+    Role split (PPJoin's indexing prefix, Xiao et al. WWW'08 §3.2):
+    pairs are oriented by the global (size, id) order — the smaller
+    doc is the INDEXED side and needs only its first
+    ``|x| − ceil(2t/(1+t)·|x|) + 1`` tokens in buckets (~1/3 shorter
+    at t = 0.5), because overlap ≥ ceil(2t/(1+t)·|x|) whenever
+    |y| ≥ |x| and J ≥ t; the larger doc probes with the full
+    prefix.  Per-bucket candidate volume drops from pref² to
+    pi·pref, and the Jaccard length filter (|y| ≤ |x|/t) is applied
+    INSIDE both candidate branches so size-incompatible pairs never
+    reach an exchange.  Lossless: every J ≥ t pair shares a token
+    inside smaller-index × larger-probe windows by the pigeonhole
+    above.
+
     Why it scales where bucket enumeration doesn't: rare-first
     ordering pushes boilerplate shingles ("all rights reserved",
     df ~ 1e6) to the END of every document, so they enter a prefix
@@ -492,17 +505,50 @@ def prefix_filtered_jaccard_pairs(
         - F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
         + F.lit(1)
     ).cast("int")
+    # PPJoin indexing prefix (Xiao et al. WWW'08 §3.2 / Bayardo
+    # AllPairs): when the pair's roles are fixed so the SMALLER doc is
+    # the indexed side, overlap >= ceil(2t/(1+t)·|x|) for |y| >= |x|,
+    # so only the first |x| - ceil(2t/(1+t)·|x|) + 1 tokens of x need
+    # indexing (~1/3 shorter at t=0.5 than the probing prefix) — the
+    # r7 "length-banded prefix index" lever: candidate volume per
+    # bucket drops from pref² to pi·pref. The 1e-9 guard can only
+    # LENGTHEN the index prefix (admit extra candidates), never drop
+    # a true pair.
+    pilen = (
+        F.col("sz")
+        - F.ceil(
+            F.col("sz") * F.lit(2.0 * threshold / (1.0 + threshold))
+            - F.lit(1e-9)
+        )
+        + F.lit(1)
+    ).cast("int")
     # posexplode: each prefix token carries its 0-based position in
     # the doc's df-ordered shingle list — the PPJoin positional
     # filter's input (every common token of a pair sits at or after
     # the pair's EARLIEST common token, so overlap <= min over sides
-    # of "elements from that token onward" = min(sz - pos)).
-    pref = ordered.select(
-        F.col(id_col),
-        F.col("sz"),
-        F.posexplode(
-            F.transform(F.slice("_ord", F.lit(1), plen), lambda s: s["h32"])
-        ).alias("pos", "h32"),
+    # of "elements from that token onward" = min(sz - pos)); `ix`
+    # marks the tokens inside the shorter INDEX prefix.
+    pref = (
+        ordered.select(
+            F.col(id_col),
+            F.col("sz"),
+            F.posexplode(F.slice("_ord", F.lit(1), plen)).alias("pos", "_t"),
+            pilen.alias("_pil"),
+        )
+        # df = 1 tokens occupy a position in the order (pos/pa/pb are
+        # assigned BEFORE this filter, so the positional bound is
+        # untouched) but their buckets are singletons — they cannot
+        # produce a pair, so dropping them here is lossless and
+        # removes the (Zipf-dominant) rare-token tail from the
+        # census, the bucket groupBy, and both big-bucket join sides.
+        .where(F.col("_t")["df"] > 1)
+        .select(
+            F.col(id_col),
+            "sz",
+            "pos",
+            F.col("_t")["h32"].alias("h32"),
+            (F.col("pos") < F.col("_pil")).alias("ix"),
+        )
     )
     # Bucket census: a map-side-combinable groupBy count (shuffles
     # depth-1 partial counts, not rows), keeping ONLY the oversized
@@ -528,12 +574,21 @@ def prefix_filtered_jaccard_pairs(
         .where(F.col("_bn") > split_bucket)
     )
     pref = pref.join(_big_keys, "h32", "left")
+    # Bucket members sort by (sz, id): the earlier element of any
+    # pair is the SMALLER doc (ties by id) — the indexed side of the
+    # PPJoin role split. x contributes a candidate only when this
+    # token lies in x's index prefix (x.ix), and the Jaccard length
+    # filter (|y| <= |x|/t, the only direction left once sz_y >=
+    # sz_x) prunes INSIDE the enumeration — incompatible pairs never
+    # reach the exchange (previously filtered post-union).
     buckets = (
         pref.where(F.col("_bn").isNull())
         .groupBy("h32")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col(id_col), F.col("sz"), F.col("pos")))
+                F.collect_list(
+                    F.struct(F.col("sz"), F.col(id_col), F.col("pos"), F.col("ix"))
+                )
             ).alias("ms")
         )
         .where(F.size("ms") > 1)
@@ -545,7 +600,14 @@ def prefix_filtered_jaccard_pairs(
                     F.transform(
                         "ms",
                         lambda x, i: F.transform(
-                            F.slice("ms", i + F.lit(2), F.size("ms")),
+                            F.filter(
+                                F.slice("ms", i + F.lit(2), F.size("ms")),
+                                lambda y: x["ix"]
+                                & (
+                                    y["sz"] * F.lit(threshold) - F.lit(1e-9)
+                                    <= x["sz"]
+                                ),
+                            ),
                             lambda y: F.struct(
                                 x[id_col].alias("id_a"),
                                 x["sz"].alias("sz_a"),
@@ -562,7 +624,8 @@ def prefix_filtered_jaccard_pairs(
         .select("p.*")
     )
     big = pref.where(F.col("_bn").isNotNull())
-    side_a = big.select(
+    # index side: only index-prefix tokens of the (to-be) smaller doc
+    side_a = big.where(F.col("ix")).select(
         "h32",
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
@@ -577,16 +640,23 @@ def prefix_filtered_jaccard_pairs(
         F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("_s"),
     )
     cand_big = side_a.join(side_b, ["h32", "_s"]).where(
-        F.col("id_a") < F.col("id_b")
+        (
+            (F.col("sz_a") < F.col("sz_b"))
+            | ((F.col("sz_a") == F.col("sz_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        & (F.col("sz_b") * F.lit(threshold) - F.lit(1e-9) <= F.col("sz_a"))
     )
     # PPJoin positional filter, count-tightened (the Spark-shaped
     # stand-in for PPJoin+'s suffix probe): both sides are sorted by
     # the SAME global order, so a pair's common tokens form one
     # increasing sequence on both sides simultaneously, and the set
-    # of prefix-common tokens — the rows this groupBy receives — is
-    # exactly the FIRST c common tokens, the last of them at
-    # (max pa, max pb). Every further common token must sit strictly
-    # after both maxima, hence
+    # of window-common tokens — the rows this groupBy receives, now
+    # a's INDEX window × b's probe window — is still exactly the
+    # FIRST c common tokens (a common token is received iff BOTH its
+    # coordinates are inside the windows, and coordinates increase
+    # together, so the received set is a prefix of the common
+    # sequence), the last of them at (max pa, max pb). Every further
+    # common token must sit strictly after both maxima, hence
     #   overlap <= c + min(sz_a - max_pa - 1, sz_b - max_pb - 1).
     # For c = 1 this reduces to the classic earliest-token bound
     # min(sz_a - pa, sz_b - pb); for c >= 2 it is strictly tighter
@@ -599,19 +669,18 @@ def prefix_filtered_jaccard_pairs(
     # candidate, never drop a true pair. (AllPairs -> PPJoin,
     # Xiao et al., WWW'08; the count+last-position form plays the
     # role of §4.2's suffix filter without probing suffix tokens.)
+    # (the Jaccard length filter already ran inside both candidate
+    # branches — size-incompatible pairs never entered the union)
     cand = (
         cand_small.unionByName(
             cand_big.select("id_a", "sz_a", "pa", "id_b", "sz_b", "pb")
         )
-        .where(
-            F.least("sz_a", "sz_b")
-            >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
-        )
         .groupBy("id_a", "id_b")
         .agg(
-            # c = shared prefix tokens; each (id_a, id_b, token)
-            # triple reaches this aggregate exactly once (small
-            # buckets enumerate each pair once per token; the salted
+            # c = shared window tokens; each (id_a, id_b, token)
+            # triple reaches this aggregate exactly once (roles are
+            # fixed by the global (sz, id) order, small buckets
+            # enumerate each pair once per token, and the salted
             # split meets once per token at side A's salt)
             F.count(F.lit(1)).alias("_c"),
             F.max("pa").alias("_pa"),
@@ -646,7 +715,13 @@ def prefix_filtered_jaccard_pairs(
             / (F.size("_hs_a") + F.size("_hs_b") - F.col("inter")),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+        # internal roles are size-ordered (id_a = smaller doc);
+        # restore the id-ordered output contract
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
