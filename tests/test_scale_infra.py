@@ -930,3 +930,46 @@ def test_fractional_exact_key_matches_brute_force(spark, r):
     }
     want = _np_brute_pairs(vecs, signs, p, r, 0.1, probe=False)
     assert got == want, (r, len(got), len(want), got ^ want)
+
+
+def test_digest_exprs_cross_engine_canonical(spark, tmp_path):
+    """testing.digest_exprs must produce the SAME (n_rows, digest)
+    from Spark and DuckDB over identical data covering every
+    supported canonical form — ints, doubles (incl. NaN and values
+    float-formatting would diverge on), strings, booleans, dates,
+    timestamps, and NULLs of each. This is the instrument behind the
+    sf1 digest rows; a silent canonicalization divergence here would
+    fake value mismatches (or worse, mask them) at exactly the scale
+    the driver can't re-check."""
+    import datetime as dt
+
+    import duckdb
+
+    from weather4cast_bigdata_spark.testing import digest_exprs
+
+    rows = [
+        (1, 1.5, "a", True, dt.date(2020, 1, 2), dt.datetime(2020, 1, 2, 3, 4, 5, 123456)),
+        (2, 0.30000000000000004, "b|with|seps", False, dt.date(1999, 12, 31), dt.datetime(2020, 1, 2, 3, 4, 5)),
+        (3, float("nan"), None, None, None, None),
+        (None, None, "", True, dt.date(2020, 1, 2), dt.datetime(1970, 1, 1)),
+        (5, -12345678.9012345, "unicode ß", False, dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 23, 59, 59, 999999)),
+    ]
+    df = spark.createDataFrame(
+        rows, "i bigint, d double, s string, b boolean, dt date, ts timestamp_ntz"
+    )
+    sel_s, sel_d = digest_exprs(df.schema)
+    df.createOrReplaceTempView("_digest_test")
+    srow = spark.sql(f"SELECT {sel_s} FROM _digest_test").collect()[0]
+
+    p = str(tmp_path / "digest.parquet")
+    df.write.parquet(p)
+    con = duckdb.connect()
+    orow = con.execute(
+        f"SELECT {sel_d} FROM (SELECT * FROM read_parquet('{p}/*.parquet'))"
+    ).fetchone()
+    assert int(srow[0]) == int(orow[0]) == len(rows)
+    assert str(srow[1]) == str(orow[1])
+
+    # unsupported column types must decline, not guess
+    arr_df = spark.createDataFrame([(1, [1.0])], "i bigint, v array<double>")
+    assert digest_exprs(arr_df.schema) is None

@@ -9,10 +9,15 @@ BASELINE.md / SCALING.md §6 (VERDICT r5 item 1).
 Modes per query (one JSONL row each):
 - hash: the driver's dtype-strict compare (rows + schema + value
   hash) against DuckDB running the same oracle SQL on the same lake.
-- count-only-at-sf1: results wider than ``--max-compare-rows`` (e.g.
-  join_interval_overlap emits 51.7M rows at sf1) compare row COUNTS
-  engine-vs-oracle instead of materializing both result sets in the
-  driver — the value semantics are already hash-pinned at sf0.01/0.1.
+- digest-at-sf1: results wider than ``--max-compare-rows`` (e.g.
+  join_interval_overlap emits 51.7M rows at sf1) compare row count
+  PLUS an order-invariant value digest (sum of per-row 60-bit md5
+  hashes over canonicalized columns, computed in-engine on BOTH
+  sides — testing.digest_exprs) instead of materializing either
+  result set in the driver.
+- count-only-at-sf1: digest fallback when a column type has no
+  cross-engine canonical form (arrays/structs); the row records the
+  reason.
 - rows-only: queries with no oracle (RNG order / sketch internals /
   iterative training); each has a hash-verified sibling in the
   registry.
@@ -68,13 +73,39 @@ def main() -> None:
                 continue
             n = fn(spark, args.sf_dir).count()
             if n > args.max_compare_rows:
+                from weather4cast_bigdata_spark.testing import digest_exprs
+
+                sdf = fn(spark, args.sf_dir)
+                exprs = digest_exprs(sdf.schema)
                 con = duckdb_conn(args.sf_dir)
-                on = con.execute(f"SELECT count(*) FROM ({os_[name]})").fetchone()[0]
-                con.close()
-                ok = n == int(on)
+                try:
+                    if exprs is None:
+                        # no cross-engine canonical form for a column
+                        # type: weakest check, and the row says so
+                        on = con.execute(
+                            f"SELECT count(*) FROM ({os_[name]})"
+                        ).fetchone()[0]
+                        ok = n == int(on)
+                        fails += 0 if ok else 1
+                        emit({"q": name, "mode": "count-only-at-sf1", "ok": ok,
+                              "rows": n, "oracle_rows": int(on),
+                              "reason": "column type without canonical digest form",
+                              "sec": round(time.time() - t0, 2)})
+                        continue
+                    sel_s, sel_d = exprs
+                    sdf.createOrReplaceTempView("_digest_in")
+                    srow = spark.sql(f"SELECT {sel_s} FROM _digest_in").collect()[0]
+                    orow = con.execute(
+                        f"SELECT {sel_d} FROM ({os_[name]})"
+                    ).fetchone()
+                finally:
+                    con.close()
+                ok = int(srow[0]) == int(orow[0]) and str(srow[1]) == str(orow[1])
                 fails += 0 if ok else 1
-                emit({"q": name, "mode": "count-only-at-sf1", "ok": ok, "rows": n,
-                      "oracle_rows": int(on), "sec": round(time.time() - t0, 2)})
+                emit({"q": name, "mode": "digest-at-sf1", "ok": ok, "rows": n,
+                      "oracle_rows": int(orow[0]), "digest": str(srow[1]),
+                      "oracle_digest": str(orow[1]),
+                      "sec": round(time.time() - t0, 2)})
                 continue
             r = compare_query(name, spark, args.sf_dir, fn, os_[name])
             fails += 0 if r.ok else 1

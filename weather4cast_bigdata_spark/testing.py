@@ -138,6 +138,79 @@ def _values_equal(a, b, strict: bool, tol=1e-9) -> bool:
     return a == b
 
 
+#: Modulus of the order-invariant value digest (Mersenne 2^61-1):
+#: per-row 60-bit hashes sum without overflow inside DECIMAL(38,0)
+#: (Spark) / HUGEINT (DuckDB) up to ~1e18 rows before the fold.
+DIGEST_MOD = 2_305_843_009_213_693_951
+
+
+def digest_exprs(schema) -> tuple[str, str] | None:
+    """Order-invariant value digest for results too wide to
+    materialize in the driver (the sf1 sweep's >2M-row queries,
+    VERDICT r7 item 3): both engines canonicalize every column to a
+    deterministic string, md5 each row, keep 60 bits, and SUM them —
+    a commutative fold, so row order never matters and neither side
+    collects anything. Returns ``(spark_select, duckdb_select)``
+    aggregate select-lists producing one ``(n_rows, digest)`` row, or
+    ``None`` when a column type has no cross-engine canonical form
+    (the caller falls back to count-only and says why).
+
+    Canonical forms (cross-engine bit-identical):
+    - integers/dates: plain decimal / ISO text casts.
+    - doubles: ``floor(v·1e6 + 0.5)`` — both engines do the same
+      IEEE multiply+floor on the same double, so equality holds
+      regardless of the value's magnitude; NaN maps to 'nan'.
+      (round() is avoided: its half-up/half-even tie rules differ.)
+    - timestamps: explicit fixed-width microsecond formatting
+      (engine-default casts disagree on trailing fraction zeros).
+    - NULL: a sentinel outside the md5 alphabet.
+    """
+    spark_cols, duck_cols = [], []
+    for f in sorted(schema.fields, key=lambda f: f.name):
+        t = f.dataType.simpleString()
+        c_s, c_d = f"`{f.name}`", f'"{f.name}"'
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            s, d = f"CAST({c_s} AS STRING)", f"CAST({c_d} AS VARCHAR)"
+        elif t in ("double", "float"):
+            s = (
+                f"CASE WHEN isnan(CAST({c_s} AS DOUBLE)) THEN 'nan' "
+                f"ELSE CAST(CAST(floor(CAST({c_s} AS DOUBLE) * 1e6 + 0.5) "
+                f"AS BIGINT) AS STRING) END"
+            )
+            d = (
+                f"CASE WHEN isnan(CAST({c_d} AS DOUBLE)) THEN 'nan' "
+                f"ELSE CAST(CAST(floor(CAST({c_d} AS DOUBLE) * 1e6 + 0.5) "
+                f"AS BIGINT) AS VARCHAR) END"
+            )
+        elif t == "string":
+            s, d = c_s, c_d
+        elif t == "boolean":
+            s = f"CAST(CAST({c_s} AS INT) AS STRING)"
+            d = f"CAST(CAST({c_d} AS INT) AS VARCHAR)"
+        elif t == "date":
+            s, d = f"CAST({c_s} AS STRING)", f"CAST({c_d} AS VARCHAR)"
+        elif t in ("timestamp", "timestamp_ntz"):
+            s = f"date_format({c_s}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+            d = f"strftime({c_d}, '%Y-%m-%d %H:%M:%S.%f')"
+        else:
+            return None  # arrays/structs/decimals: no canonical form yet
+        spark_cols.append(f"coalesce({s}, '~N~')")
+        duck_cols.append(f"coalesce({d}, '~N~')")
+    row_s = f"concat_ws('|', {', '.join(spark_cols)})"
+    row_d = f"concat_ws('|', {', '.join(duck_cols)})"
+    h_s = f"CAST(conv(substring(md5({row_s}), 1, 15), 16, 10) AS BIGINT)"
+    h_d = f"CAST(('0x' || substring(md5({row_d}), 1, 15)) AS BIGINT)"
+    sel_s = (
+        f"count(*) AS n_rows, coalesce(CAST(CAST(sum(CAST({h_s} AS "
+        f"DECIMAL(38,0))) % {DIGEST_MOD} AS BIGINT) AS STRING), '0') AS digest"
+    )
+    sel_d = (
+        f"count(*) AS n_rows, coalesce(CAST(CAST(sum(CAST({h_d} AS "
+        f"HUGEINT)) % {DIGEST_MOD} AS BIGINT) AS VARCHAR), '0') AS digest"
+    )
+    return sel_s, sel_d
+
+
 def compare_query(
     name: str, spark, sf_dir: str, fn, oracle: str, strict: bool = True
 ) -> CompareResult:
