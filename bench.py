@@ -129,6 +129,65 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _run_one(name: str, sf_dir: str, n_runs: int) -> None:
+    """Child-process entry for --fresh-process mode: measure ONE
+    headline query (or the canary pair) in a brand-new JVM — the
+    r7 pooled-session finding (SCALING.md §7: unreclaimed shuffle
+    files inflate later queries up to ~2.2x) made protocol, applied
+    to the headline harness. Prints one JSON line {name: samples}."""
+    spark = get_spark("w4c-bench-one")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans = (
+        _canaries(spark)
+        if name == "__canaries__"
+        else {name: None}
+    )
+    out: dict[str, list[float]] = {}
+    for qname in plans:
+        mk = (
+            (lambda: plans[qname])
+            if name == "__canaries__"
+            else (lambda: REGISTRY[qname].fn(spark, sf_dir))
+        )
+        force(mk())  # warm-up: codegen + JIT + parquet footers
+        ts = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            force(mk())
+            ts.append(round(time.perf_counter() - t0, 3))
+        out[qname] = ts
+    print(json.dumps(out))
+
+
+def _fresh_process_samples(
+    sf_dir: str, n_runs: int
+) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+    """Spawn one python/JVM per headline query (plus one for the
+    canaries) and collect their sample lists. Wall cost ~10 s of JVM
+    startup per query on top of the measurements — the load-proof
+    mode for close-of-round records; the pooled default stays for
+    iteration."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    samples: dict[str, list[float]] = {}
+    canary_samples: dict[str, list[float]] = {}
+    for name in HEADLINE + ["__canaries__"]:
+        proc = subprocess.run(
+            [sys.executable, here, "--one", name],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": str(n_runs)},
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        got = json.loads(line)
+        if name == "__canaries__":
+            canary_samples.update(got)
+        else:
+            samples.update(got)
+    return samples, canary_samples
+
+
 def _canaries(spark) -> dict:
     """Fixed trivial plans timed alongside the headline set each round.
 
@@ -157,48 +216,59 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("w4c-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm up each headline plan once at the TARGET SF: whole-stage
-    # codegen compiles per plan, the JVM's C2 JIT needs a few
-    # executions of the expression-eval paths, and parquet footer /
-    # AQE statistics are per-lake — a warm-up at a smaller sibling SF
-    # (the round-1/2 protocol) left the first measured sf0.1 run
-    # paying those one-off costs, so best-of-2 recorded warm-up tail
-    # rather than steady state for the heavier plans.
-    for name in HEADLINE:
-        try:
-            force(REGISTRY[name].fn(spark, sf_dir))
-        except Exception as e:
-            # a SYSTEMATIC failure must be visible, not swallowed, or
-            # it resurfaces only as a confusing timing
-            print(f"warm-up skipped {name}: {type(e).__name__}: {e}", file=sys.stderr)
-
-    # n >= 3 samples per query, full distribution persisted: the
-    # headline number stays best-of-n (steady-state throughput), but
-    # the recorded spread is what lets cross-round deltas be read
-    # without load-variance caveats (VERDICT r4 item 8). Samples are
-    # interleaved round-robin (all queries once, then again) so a
-    # transient background-load spike degrades one SAMPLE of many
-    # queries, not every sample of one query.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    canary_plans = _canaries(spark)
-    for df in canary_plans.values():  # same one-off warm-up as queries
-        force(df)
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    canary_samples: dict[str, list[float]] = {n: [] for n in canary_plans}
-    for _ in range(n_runs):
+    if "--one" in sys.argv:  # --fresh-process child
+        _run_one(sys.argv[sys.argv.index("--one") + 1], sf_dir, n_runs)
+        return
+    fresh = (
+        "--fresh-process" in sys.argv
+        or os.environ.get("SPARK_GRAFT_BENCH_FRESH") == "1"
+    )
+
+    if fresh:
+        samples, canary_samples = _fresh_process_samples(sf_dir, n_runs)
+    else:
+        spark = get_spark("w4c-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        # Warm up each headline plan once at the TARGET SF: whole-stage
+        # codegen compiles per plan, the JVM's C2 JIT needs a few
+        # executions of the expression-eval paths, and parquet footer /
+        # AQE statistics are per-lake — a warm-up at a smaller sibling SF
+        # (the round-1/2 protocol) left the first measured sf0.1 run
+        # paying those one-off costs, so best-of-2 recorded warm-up tail
+        # rather than steady state for the heavier plans.
         for name in HEADLINE:
-            t0 = time.perf_counter()
-            force(REGISTRY[name].fn(spark, sf_dir))
-            samples[name].append(round(time.perf_counter() - t0, 3))
-        # canaries ride the same round-robin window so they sample the
-        # same machine state the queries saw
-        for cname, cdf in canary_plans.items():
-            t0 = time.perf_counter()
-            force(cdf)
-            canary_samples[cname].append(round(time.perf_counter() - t0, 3))
+            try:
+                force(REGISTRY[name].fn(spark, sf_dir))
+            except Exception as e:
+                # a SYSTEMATIC failure must be visible, not swallowed, or
+                # it resurfaces only as a confusing timing
+                print(f"warm-up skipped {name}: {type(e).__name__}: {e}", file=sys.stderr)
+
+        # n >= 3 samples per query, full distribution persisted: the
+        # headline number stays best-of-n (steady-state throughput), but
+        # the recorded spread is what lets cross-round deltas be read
+        # without load-variance caveats (VERDICT r4 item 8). Samples are
+        # interleaved round-robin (all queries once, then again) so a
+        # transient background-load spike degrades one SAMPLE of many
+        # queries, not every sample of one query.
+        canary_plans = _canaries(spark)
+        for df in canary_plans.values():  # same one-off warm-up as queries
+            force(df)
+        samples = {name: [] for name in HEADLINE}
+        canary_samples = {n: [] for n in canary_plans}
+        for _ in range(n_runs):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                force(REGISTRY[name].fn(spark, sf_dir))
+                samples[name].append(round(time.perf_counter() - t0, 3))
+            # canaries ride the same round-robin window so they sample the
+            # same machine state the queries saw
+            for cname, cdf in canary_plans.items():
+                t0 = time.perf_counter()
+                force(cdf)
+                canary_samples[cname].append(round(time.perf_counter() - t0, 3))
 
     timings = {name: min(s) for name, s in samples.items()}
     canaries = {n: min(s) for n, s in canary_samples.items()}
@@ -209,8 +279,23 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n": n_runs,
+        # which protocol produced this record (VERDICT r7 item 5): the
+        # pooled session is the iteration default; fresh-process spawns
+        # one JVM per query so session-state accumulation CANNOT leak
+        # between queries (the SCALING.md §7 pooled-sweep trap).
+        "mode": "fresh-process" if fresh else "pooled-session",
         "canary": canaries,
         "aggregation": "best-of-n after warm-up; per-query samples recorded round-robin; full distributions in BENCH_LATEST.json",
+    }
+    # Intra-run drift (VERDICT r7 item 5): the canaries sample the
+    # same round-robin passes the queries ride, so last-pass/first-pass
+    # exposes WITHIN-record accumulation (GC pressure, unreclaimed
+    # shuffle state) that cross-round canary comparison cannot see.
+    # ~1.0 = clean; >1.25 on canary_cpu means later samples ran in a
+    # degraded session and best-of-n is doing real work.
+    result["canary_intra_run_drift"] = {
+        n: round(s[-1] / s[0], 3) if len(s) >= 2 and s[0] > 0 else None
+        for n, s in canary_samples.items()
     }
     # Canary gate + inline cross-round normalization (VERDICT r6 item
     # 3): the r6 close record shipped from a loaded window (canary_cpu
