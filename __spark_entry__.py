@@ -26,92 +26,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_evaluate(spark, "/root/testdata/sf0.001")
 
 
-# Verification rotation (round 7): rounds 1-6 driver-checked 199
-# registry queries cumulatively, 0 value failures ever; after r6 no
-# query's latest green hash row is older than r3.  Round 7's
-# first-50 window = the three queries whose SEMANTICS or ORACLE
-# changed this round (the streaming exact-dedup oracle restated over
-# the union corpus per ADVICE r6; the two embedding queries moved to
-# scale-adaptive LSH resolution) plus the one NEW query
-# (agg_percentile_histref), then 46 of the 48 r3-stale queries,
-# exactly filling the 50 slots; the two left out (window_sessionize —
-# a bench headline oracle-replayed every test session — and
-# solve_ridge_verified — a pinned-constant deterministic solve) are
-# the least rot-prone entries and lead the r8 rotation.  The 8
-# genuinely rows-only
-# entries (RNG order / sketch estimates / k-means training / RNG
-# fixtures) stay pinned to the END of the ordering so they never burn
-# a window slot — each is covered by a hash-verified sibling or
-# invariant tests (tests/test_registry_oracle.py re-checks every
-# rotated-out query with the same dtype-strict compare each session).
-_ROUND7_PRIORITY = [
-    # -- new in r7 (never driver-checked) --------------------------------
-    "agg_percentile_histref",
-    # -- r7 semantic/oracle changes (must re-green under the new form):
-    # exact-dedup oracle restated over the union corpus; the two
-    # embedding queries moved to scale-adaptive LSH resolution -----------
-    "streaming_exact_dedup_ingest",
-    "dedup_embedding_cosine",
-    "sim_hyperplane_lsh",
-    # -- re-verification: the r3-stale set (46 of 48) --------------------
-    "agg_mode_deterministic",
-    "agg_moments",
-    "agg_string_concat",
-    "agg_winsorize",
-    "audit_constraints",
-    "audit_profile",
-    "curation_report",
-    "curation_source_stats",
-    "dedup_minhash_estimate",
-    "dedup_substring_spans",
-    "dim_scd2_build",
-    "embed_quantize_int8",
-    "flagship_pricing_summary",
-    "flagship_star_join",
-    "graph_triangles",
-    "join_fuzzy_blocked",
-    "join_interval_overlap",
-    "join_point_in_time",
-    "join_range_binned",
-    "join_salted",
-    "join_semi_anti",
-    "pack_chunked",
-    "project_unpivot_long",
-    "project_zorder_key",
-    "sample_exact_k_per_group",
-    "sample_mixture_weighted",
-    "sample_topk_per_group",
-    "sink_compacted",
-    "sink_ivf_index",
-    "sink_merge_upsert",
-    "sink_zorder",
-    "streaming_checkpoint_resume",
-    "streaming_ewma",
-    "streaming_static_enrich",
-    "text_bigram_logprob",
-    "text_chunk_overlap",
-    "text_decontaminate",
-    "text_inverted_index",
-    "text_pii_redact",
-    "text_pmi_collocations",
-    "text_repetition_score",
-    "text_tfidf_topk",
-    "window_ewma",
-    "window_range_trailing",
-    "window_rank_stats",
-    "window_resample_interpolate",
-    # ---- 50-entry window boundary ------------------------------------
-    # r8 head: the two r7 LSH additions verified only by the session
-    # gate so far, then the two stale entries that didn't fit
-    # (window_sessionize is a bench headline oracle-replayed every test
-    # session; solve_ridge_verified is a pinned-constant solve)
+# Verification rotation (round 8): rounds 1-7 driver-checked 200
+# registry queries cumulatively, 0 value failures ever.  Round 8's
+# first-50 window: (1) the NEW query (dedup_minhash_recall) and the
+# four LSH queries whose SEMANTICS/ORACLES changed this round (the
+# fractional (p, r) split replacing the integral chain — three of
+# them also never driver-verified before), (2) the two r3-stale
+# deferrals (window_sessionize, solve_ridge_verified — after these,
+# every oracle-bearing query has a driver-green row at least once),
+# (3) dedup_jaccard_prefix (implementation changed: PPJoin index
+# prefix + df>1 prune; oracle unchanged), then (4) 42 of the 49
+# remaining r4-green entries — after r8 nothing oracle-bearing is
+# older than r4, and the 7 r4 leftovers lead r9:
+# sim_ivf_recall, udf_vectorized_kernel, text_top_ngram_char_frac,
+# scan_binary_roundtrip_verified, project_pivot_wide,
+# partition_subset_select, shuffle_seeded_verified.
+# The 8 genuinely rows-only entries (RNG order / sketch estimates /
+# k-means training / RNG fixtures) stay pinned to the END of the
+# ordering so they never burn a window slot — each is covered by a
+# hash-verified sibling or invariant tests
+# (tests/test_registry_oracle.py re-checks every rotated-out query
+# with the same dtype-strict compare each session).
+_ROUND8_PRIORITY = [
+    # -- new in r8 / changed semantics / never driver-verified ----------
+    "dedup_minhash_recall",
     "sim_lsh_multiprobe",
     "sim_lsh_recall",
+    "sim_lsh_banded",
+    "sim_hyperplane_lsh",
     "window_sessionize",
     "solve_ridge_verified",
-    # r7-changed implementation (shingle kernel + census join), r4 green;
-    # next in line if the window ever widens
     "dedup_jaccard_prefix",
+    # -- re-verification: 42 of the 49 remaining r4-green entries --------
+    "embed_pq_codes",
+    "graph_pagerank_verified",
+    "text_url_dedup",
+    "agg_approx_distinct_verified",
+    "sample_weighted_priority",
+    "multimodal_audio_features",
+    "sink_lsh_index",
+    "streaming_lsh_ingest",
+    "scan_netcdf_decode",
+    "dedup_simhash_hamming",
+    "text_dsir_weights",
+    "multimodal_plumbing_verified",
+    "flagship_evaluate",
+    "text_dup_line_fraction",
+    "sample_dsir_resample",
+    "text_perplexity_buckets",
+    "scan_static_netcdf",
+    "join_asof_offset",
+    "sample_random_crop",
+    "scan_static_raw",
+    "dedup_semantic_verified",
+    "sim_pq_adc_topk",
+    "quantize_halfeven_parity",
+    "join_time_intersect",
+    "curation_quality_gate",
+    "join_static_broadcast",
+    "join_fallback_day",
+    "cache_decoded",
+    "multimodal_image_features",
+    "sim_ivfpq_topk",
+    "text_decontaminate_bloom",
+    "sink_quantized_partitioned",
+    "udf_scatter_roundtrip_verified",
+    "text_heavy_hitters_cms",
+    "solve_ridge_sum1_verified",
+    "sink_ivfpq_index",
+    "text_c4_rules",
+    "scan_orc_roundtrip",
+    "text_line_dedup_global",
+    "text_gopher_rules",
+    "sink_dsir_model",
+    "sample_unimax",
+    # ---- 50-entry window boundary ------------------------------------
 ]
 
 # Single source of truth: registry.py's import-time coverage gate
@@ -124,7 +113,7 @@ _ROWS_ONLY_LAST = sorted(ROWS_ONLY)
 def _ordered_names() -> list[str]:
     seen = set()
     ordered: list[str] = []
-    for name in _ROUND7_PRIORITY:
+    for name in _ROUND8_PRIORITY:
         if name in REGISTRY and name not in seen:
             ordered.append(name)
             seen.add(name)

@@ -223,6 +223,69 @@ def fractional_split(
     return q // n_bands, q % n_bands
 
 
+#: Work budget of the multiprobe rule per row: fan-out × depth.
+#: 104 = 8 (the family's target bucket depth) × 13 (the probe
+#: fan-out p+2 at the 20 k-vector reference corpus), so the
+#: normalized split leaves the reference scale's behavior unchanged.
+MULTIPROBE_WORK_TARGET = 104
+
+
+def fractional_split_multiprobe(
+    n: int, n_bands: int = 4, max_total: int = 60
+) -> tuple[int, int]:
+    """Fan-out-normalized fractional split for the MULTIPROBE rule.
+
+    :func:`fractional_split` holds E[bucket depth] constant — right
+    for exact collision (work/row = depth), but multiprobe work/row
+    is ``(p+2)·depth``: the p prefix flips + extension flip each
+    probe a depth-sized bucket, so constant depth still drifts
+    super-linear by the log-n fan-out (measured 3.45× wall at 3×
+    data AFTER the sawtooth fix — the fan-out term isolated).
+    Normalization: run the same quarter-step integer chain with the
+    COUNT side multiplied by the fan-out, against thresholds scaled
+    by the work target —
+
+        Q = #{k ≤ max: n·(p₁+2) > floor(104·2^((k-1)/4))},
+        p₁ = fractional_split(n)'s prefix width
+
+    — giving depth ≈ 104/(p₁+2), i.e. work/row ≈ 104 = const at
+    every corpus size. Still pure integer comparisons (both factors
+    are integers, thresholds are Python-computed literals), so the
+    SQL oracle restates it from the same count. Depth shrinks only
+    as 1/log(n) (13 → 6.9 from 20 k to 60 k), and at gate scales
+    the split is COARSER than the exact-collision one (depth 13 vs
+    8 at n=500), so per-pair recall only rises vs the
+    depth-constant form."""
+    q1 = adaptive_total_planes(n, n_bands=n_bands, max_total=max_total)
+    p1 = q1 // n_bands
+    return fractional_split(
+        n * (p1 + 2),
+        n_bands=n_bands,
+        target_bucket=MULTIPROBE_WORK_TARGET,
+        max_total=max_total,
+    )
+
+
+def fractional_split_multiprobe_sql(
+    count_sql: str, n_bands: int = 4, max_total: int = 60
+) -> str:
+    """SQL restatement of :func:`fractional_split_multiprobe`'s
+    TOTAL (the caller derives p = Q//4, r = Q%4): the inner chain
+    computes p₁ from the same thresholds as
+    :func:`adaptive_total_planes_sql`, the outer chain compares the
+    fan-out-multiplied count against the work-target thresholds."""
+    q1 = adaptive_total_planes_sql(count_sql, n_bands=n_bands, max_total=max_total)
+    boosted = (
+        f"SELECT (SELECT ({count_sql})) * ((({q1}) // {n_bands}) + 2)"
+    )
+    return adaptive_total_planes_sql(
+        boosted,
+        n_bands=n_bands,
+        target_bucket=MULTIPROBE_WORK_TARGET,
+        max_total=max_total,
+    )
+
+
 def fractional_key(hp_col: Column, p: int, r: int) -> Column:
     """Bucket key of the fractional single-signature construction:
     ``prefix·2 + (unmerged(prefix) ? bit_p : 0)`` where ``prefix`` is

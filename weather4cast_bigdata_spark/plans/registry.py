@@ -1124,6 +1124,77 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 @qdef(
+    "dedup_minhash_recall",
+    )
+def q_dedup_minhash_recall(spark, sf_dir):
+    """MEASURED recall of the MinHash LSH banding (2 bands × 2
+    hashes, the dedup_minhash_lsh construction) against the
+    brute-force n-gram Jaccard truth on a deterministic sample
+    (doc_id % 3): one row of (n_true, n_hit, recall) — the number
+    behind the banding's assumed S-curve, 1-(1-s²)² at true Jaccard
+    s, the dedup twin of sim_lsh_recall (VERDICT r7 item 6). Truth
+    pairs (J ≥ 0.5, the production threshold) come from the exact
+    shingle-bucket intersection restricted to the sample side — the
+    truth computation is sample × co-bucketed-corpus, never corpus²;
+    LSH membership is read off the same four signature mins the
+    candidate query banding uses."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(dedup.tokens(F.col("text")), 3)
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(sh, dedup.md5_hash32)).alias("_hs"),
+    ).where(F.size("_hs") > 0)
+    a = base.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.size("_hs").alias("sz_a"),
+        F.explode("_hs").alias("h32"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.size("_hs").alias("sz_b"),
+        F.explode("_hs").alias("h32"),
+    )
+    inter = (
+        a.join(b, "h32")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = inter.where(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        >= F.lit(0.5)
+    ).select("id_a", "id_b")
+    sig = dedup.minhash_signatures_docs(docs)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hit = F.when(
+        ((F.col("a0") == F.col("b0")) & (F.col("a1") == F.col("b1")))
+        | ((F.col("a2") == F.col("b2")) & (F.col("a3") == F.col("b3"))),
+        1,
+    ).otherwise(0)
+    return (
+        truth.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.coalesce(F.sum(hit), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum(hit), F.lit(0))
+                / F.greatest(F.count(F.lit(1)), F.lit(1))
+                + F.lit(1e-9),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@qdef(
     "sink_lsh_index",
     )
 def q_sink_lsh_index(spark, sf_dir):
@@ -1497,6 +1568,17 @@ def _fractional_signs(emb):
     return similarity.hyperplane_signs(p + 1, 64), p, r
 
 
+def _multiprobe_signs(emb):
+    """Fan-out-normalized split for the multiprobe query: work/row
+    = (p+2)·depth held at the 104 work target
+    (similarity.fractional_split_multiprobe), so the probe join's
+    cost per row stays constant as the corpus grows instead of
+    drifting by the log-n fan-out."""
+    n = emb.count()
+    p, r = similarity.fractional_split_multiprobe(n)
+    return similarity.hyperplane_signs(p + 1, 64), p, r
+
+
 @qdef(
     "sim_lsh_multiprobe",
     )
@@ -1512,9 +1594,14 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
     qualifies, distance 1 qualifies unless BOTH prefixes are
     unmerged AND the extension bits differ. The oracle restates the
     rule as a pure predicate over xor of the embedded-plane
-    signatures; verification is the shared rounded-cosine cut."""
+    signatures; verification is the shared rounded-cosine cut.
+    Resolution is additionally FAN-OUT-NORMALIZED (the residual
+    super-linearity after the sawtooth fix): the (p, r) split holds
+    (p+2)·depth — probe work per row — at the 104 work target
+    instead of holding depth alone, so the measured 3× ratio stays
+    ~linear instead of drifting by the log-n fan-out."""
     emb = _t(spark, sf_dir, "embeddings")
-    signs, p, r = _fractional_signs(emb)
+    signs, p, r = _multiprobe_signs(emb)
     return similarity.near_dup_pairs_multiprobe(
         emb, signs, threshold=0.2, prefix_planes=p, split_r=r
     )
@@ -1528,17 +1615,21 @@ def _banded_signs(emb, n_bands: int = 4):
     extra data octave moves ONE band by one plane, so candidate work
     steps by ~2^(1/4) instead of the integral chain's 2× (the
     flattened sawtooth, SCALING.md §7). Also returns the fractional
-    single-signature split (p, r) = (total//4, total%4) (exact/probe
-    membership in the recall harness reads the low p+1 bits — the
-    same planes the single-signature queries use); the matrix covers
-    max(total, p+1) so both reads are defined."""
+    single-signature split (p, r) (the exact-collision key rule) and
+    the fan-out-normalized multiprobe split (p2, r2) — the recall
+    harness reads exact membership with the former and probe
+    membership with the latter, the same rules the candidate queries
+    use; the matrix covers max(total, p+1, p2+1) so every read is
+    defined."""
     n = emb.count()
     total = similarity.adaptive_total_planes(
         n, n_bands=n_bands, target_bucket=8, max_total=60
     )
     layout = similarity.band_layout(total, n_bands)
     p, r = similarity.fractional_split(n, n_bands=n_bands, target_bucket=8)
-    return similarity.hyperplane_signs(max(total, p + 1), 64), layout, p, r
+    p2, r2 = similarity.fractional_split_multiprobe(n, n_bands=n_bands)
+    signs = similarity.hyperplane_signs(max(total, p + 1, p2 + 1), 64)
+    return signs, layout, (p, r), (p2, r2)
 
 
 @qdef(
@@ -1560,7 +1651,7 @@ def q_sim_lsh_banded(spark, sf_dir):
     shifting the single embedded bucket value with the same
     SQL-derived layout (off_b = b·(q//4)+least(b,q%4))."""
     emb = _t(spark, sf_dir, "embeddings")
-    signs, layout, _p, _r = _banded_signs(emb)
+    signs, layout, _pr, _pr2 = _banded_signs(emb)
     return similarity.near_dup_pairs_banded(
         emb, signs, n_bands=4, threshold=0.2, widths=[w for _, w in layout]
     )
@@ -1588,16 +1679,18 @@ def q_sim_lsh_recall(spark, sf_dir):
     collide with probability (1-θ/π)^P, ~0.3^P at cos 0.2 vs ~0.86^P
     at cos 0.9."""
     emb = _t(spark, sf_dir, "embeddings")
-    # ONE wide signature serves all three generators: exact/probe
+    # ONE wide signature serves all three generators: exact
     # membership reads the low p+1 bits through the fractional
-    # (p, r) split (the exact planes and key rule the
+    # (p, r) split, probe membership the fan-out-normalized
+    # (p2, r2) split (the exact planes and key rules the
     # single-signature queries use — same matrix prefix), banded
     # membership reads the fractional W/W+1 band slices (layout
     # comes straight from similarity.band_layout — the same helper
     # near_dup_pairs_banded rides — so the harness can never
-    # desynchronize from the candidate generator).
-    signs4, layout, p_, r_ = _banded_signs(emb)
+    # desynchronize from the candidate generators).
+    signs4, layout, (p_, r_), (p2_, r2_) = _banded_signs(emb)
     mask = F.lit((1 << p_) - 1).cast("bigint")
+    mask2 = F.lit((1 << p2_) - 1).cast("bigint")
     sig = emb.select(
         "vec_id",
         "embedding",
@@ -1643,12 +1736,15 @@ def q_sim_lsh_recall(spark, sf_dir):
     x = F.col("hq").bitwiseXOR(F.col("hc"))
     xp = x.bitwiseAND(mask)
     merged_q = (F.col("hq").bitwiseAND(mask) % 4) >= F.lit(r_)
-    merged_c = (F.col("hc").bitwiseAND(mask) % 4) >= F.lit(r_)
     ext_same = F.shiftright(x, p_).bitwiseAND(F.lit(1).cast("bigint")) == 0
     hit_exact = F.when((xp == 0) & (merged_q | ext_same), 1).otherwise(0)
+    xp2 = x.bitwiseAND(mask2)
+    merged2_q = (F.col("hq").bitwiseAND(mask2) % 4) >= F.lit(r2_)
+    merged2_c = (F.col("hc").bitwiseAND(mask2) % 4) >= F.lit(r2_)
+    ext2_same = F.shiftright(x, p2_).bitwiseAND(F.lit(1).cast("bigint")) == 0
     hit_probe = F.when(
-        (xp == 0)
-        | ((F.bit_count(xp) == 1) & (merged_q | merged_c | ext_same)),
+        (xp2 == 0)
+        | ((F.bit_count(xp2) == 1) & (merged2_q | merged2_c | ext2_same)),
         1,
     ).otherwise(0)
     band_zero = [

@@ -120,17 +120,30 @@ _HP_Q_SQL = similarity.adaptive_total_planes_sql(
     "SELECT count(*) FROM embeddings", n_bands=4, target_bucket=8, max_total=60
 )
 
-# Fractional single-signature CTE (the r7 weak-flag port, mirroring
-# similarity.fractional_split/fractional_key bit-exactly): pv carries
-# the (fp, fr) split from the SAME quarter-step chain the Spark plan
-# counts; the signature reads fp+1 planes; keyed derives the mixture
-# bucket key pref*2 + (pref % 4 < fr ? ext : 0), where merged
-# prefixes (pref % 4 >= fr) collapse the extension bit — one extra
-# quarter-octave of corpus splits one more quarter of the buckets,
-# stepping E[depth] by ~1.19x instead of the integral chain's 2x.
-_HP_FRAC_CTE = f"""
-    pv AS (SELECT CAST(({_HP_Q_SQL}) // 4 AS BIGINT) AS fp,
-                  CAST(({_HP_Q_SQL}) % 4 AS BIGINT) AS fr),
+# Fan-out-normalized quarter-step total for the MULTIPROBE split:
+# same integer-comparison chain with the count side multiplied by
+# the probe fan-out p1+2 against work-target thresholds, so
+# (p+2)·depth stays constant (similarity.fractional_split_multiprobe).
+_HP_Q2_SQL = similarity.fractional_split_multiprobe_sql(
+    "SELECT count(*) FROM embeddings", n_bands=4, max_total=60
+)
+
+
+def _hp_frac_cte(q_sql: str) -> str:
+    """Fractional single-signature CTE (the r7 weak-flag port,
+    mirroring similarity.fractional_split/fractional_key
+    bit-exactly): pv carries the (fp, fr) split from the SAME
+    quarter-step chain the Spark plan counts (``q_sql`` — the
+    depth-constant chain for the exact-collision query, the
+    fan-out-normalized one for multiprobe); the signature reads fp+1
+    planes; keyed derives the mixture bucket key
+    pref*2 + (pref % 4 < fr ? ext : 0), where merged prefixes
+    (pref % 4 >= fr) collapse the extension bit — one extra
+    quarter-octave of corpus splits one more quarter of the buckets,
+    stepping E[depth] by ~1.19x instead of the integral chain's 2x."""
+    return f"""
+    pv AS (SELECT CAST(({q_sql}) // 4 AS BIGINT) AS fp,
+                  CAST(({q_sql}) % 4 AS BIGINT) AS fr),
     planes AS (
         {_HP_PLANES_SQL}
     ),
@@ -158,6 +171,10 @@ _HP_FRAC_CTE = f"""
         FROM bucketed b, pv
     )
 """
+
+
+_HP_FRAC_CTE = _hp_frac_cte(_HP_Q_SQL)
+_HP_FRAC_MP_CTE = _hp_frac_cte(_HP_Q2_SQL)
 
 def _pq_l2_terms_sql(a: str, b: str, d_sub: int = 8) -> str:
     """Squared-L2 between 8-dim subvectors of two list columns at
@@ -887,6 +904,49 @@ f"""
     FROM banded l JOIN banded r
       ON l.band_idx = r.band_idx AND l.band_key = r.band_key
      AND l.doc_id < r.doc_id
+    """
+)
+
+ORACLES["dedup_minhash_recall"] = (
+f"""
+    {_SHINGLES_SQL},
+    hashed AS (
+        SELECT DISTINCT doc_id, {_H32_SQL.format(expr='shingle')} AS h32 FROM shingled
+    ),
+    szq AS (SELECT doc_id, count(*) AS sz FROM hashed GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM hashed a JOIN hashed b
+          ON a.h32 = b.h32 AND a.doc_id % 3 = 0 AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+        JOIN szq x ON x.doc_id = id_a
+        JOIN szq y ON y.doc_id = id_b
+        WHERE inter * 1.0 / (x.sz + y.sz - inter) >= 0.5
+    ),
+    sig AS (
+        SELECT doc_id,
+               min(({_H32_SQL.format(expr='shingle')} * 1103515245 + 12345) % 2147483647) AS mh_0,
+               min(({_H32_SQL.format(expr='shingle')} * 214013 + 2531011) % 2147483647) AS mh_1,
+               min(({_H32_SQL.format(expr='shingle')} * 69069 + 362437) % 2147483647) AS mh_2,
+               min(({_H32_SQL.format(expr='shingle')} * 1664525 + 1013904223) % 2147483647) AS mh_3
+        FROM shingled GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT CASE WHEN (sa.mh_0 = sb.mh_0 AND sa.mh_1 = sb.mh_1)
+                      OR (sa.mh_2 = sb.mh_2 AND sa.mh_3 = sb.mh_3)
+                    THEN 1 ELSE 0 END AS hit
+        FROM truth t
+        JOIN sig sa ON sa.doc_id = t.id_a
+        JOIN sig sb ON sb.doc_id = t.id_b
+    )
+    SELECT count(*) AS n_true,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hit,
+           round(coalesce(sum(hit), 0) * 1.0 / greatest(count(*), 1) + 1e-9, 6)
+               AS recall
+    FROM hits
     """
 )
 
@@ -2402,7 +2462,7 @@ ORACLES["dedup_ngram_containment"] = (
 # bits differ; distance >= 2 never.
 ORACLES["sim_lsh_multiprobe"] = (
 f"""
-    WITH {_HP_FRAC_CTE},
+    WITH {_HP_FRAC_MP_CTE},
     eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
                   k.pref, k.ext, k.merged
            FROM embeddings e JOIN keyed k USING (vec_id)),
@@ -2448,12 +2508,15 @@ def _band_w_sql(b: str, q: str = "qv.q") -> str:
     return f"(({q} // 4) + (CASE WHEN {b} < {q} % 4 THEN 1 ELSE 0 END))"
 
 
-# Banded signature CTE: qv carries the fractional TOTAL plane count;
-# the signature covers greatest(q, q//4 + 1) planes so both the band
-# slices and the recall harness's single-signature (fp, fr) reads are
-# defined off one bucket value (q//4 + 1 > q only when q = 0).
+# Banded signature CTE: qv carries the fractional TOTAL plane count
+# (q2v the fan-out-normalized multiprobe total); the signature covers
+# greatest(q, q//4 + 1, q2//4 + 1) planes so the band slices and both
+# of the recall harness's single-signature reads — exact via (fp, fr),
+# probe via the normalized (fp2, fr2) — are defined off one bucket
+# value.
 _HP_SIG4_CTE = f"""
     qv AS (SELECT {_HP_Q_SQL} AS q),
+    q2v AS (SELECT {_HP_Q2_SQL} AS q2),
     planes96 AS (
         {_HP_PLANES96_SQL}
     ),
@@ -2462,7 +2525,9 @@ _HP_SIG4_CTE = f"""
                sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
         FROM embeddings e, planes96 pl, (SELECT unnest(range(1, 65)) AS i) r
         WHERE r.i <= len(e.embedding)
-          AND pl.p < greatest((SELECT q FROM qv), (SELECT q FROM qv) // 4 + 1)
+          AND pl.p < greatest((SELECT q FROM qv),
+                              (SELECT q FROM qv) // 4 + 1,
+                              (SELECT q2 FROM q2v) // 4 + 1)
         GROUP BY 1, 2
     ),
     bucketed4 AS (
@@ -2520,25 +2585,28 @@ f"""
         SELECT a_id, b_id, hq, hc, xor(hq, hc) AS x,
                (SELECT q FROM qv) // 4 AS fp,
                (SELECT q FROM qv) % 4 AS fr,
+               (SELECT q2 FROM q2v) // 4 AS fp2,
+               (SELECT q2 FROM q2v) % 4 AS fr2,
                (SELECT q FROM qv) AS q FROM (
             SELECT a_id, b_id, hq, hc,
                    round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
             FROM dots
         ) WHERE cos_sim >= 0.2
     ),
-    -- exact/probe membership restated with the fractional (fp, fr)
-    -- split rules the single-signature candidate generators use
+    -- exact membership restated with the depth-constant (fp, fr)
+    -- split; probe membership with the fan-out-normalized
+    -- (fp2, fr2) split — the same rules the candidate queries use
     hits AS (
         SELECT
             CASE WHEN (x & ((1::BIGINT << fp) - 1)) = 0
                   AND (((hq & ((1::BIGINT << fp) - 1)) % 4) >= fr
                        OR ((x >> fp) & 1) = 0)
                  THEN 1 ELSE 0 END AS he,
-            CASE WHEN (x & ((1::BIGINT << fp) - 1)) = 0
-                  OR (bit_count(x & ((1::BIGINT << fp) - 1)) = 1
-                      AND (((hq & ((1::BIGINT << fp) - 1)) % 4) >= fr
-                           OR ((hc & ((1::BIGINT << fp) - 1)) % 4) >= fr
-                           OR ((x >> fp) & 1) = 0))
+            CASE WHEN (x & ((1::BIGINT << fp2) - 1)) = 0
+                  OR (bit_count(x & ((1::BIGINT << fp2) - 1)) = 1
+                      AND (((hq & ((1::BIGINT << fp2) - 1)) % 4) >= fr2
+                           OR ((hc & ((1::BIGINT << fp2) - 1)) % 4) >= fr2
+                           OR ((x >> fp2) & 1) = 0))
                  THEN 1 ELSE 0 END AS hp_,
             CASE WHEN {" OR ".join(
                 f"((x >> {_band_off_sql(b, 'q')}) & ((1::BIGINT << {_band_w_sql(b, 'q')}) - 1)) = 0"
