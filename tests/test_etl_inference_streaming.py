@@ -734,3 +734,77 @@ def test_exact_dedup_ingest_replay_idempotent(spark, tmp_path, exdup_docs):
     streaming.exact_dedup_ingest(*args, str(d / "ckpt_replay"))
     assert spark.read.parquet(str(d / "matches")).count() == before_m
     assert spark.read.parquet(str(d / "index")).count() == before_i
+
+
+def test_watermark_boundary_drops_beyond_late_frame(spark, tmp_path):
+    """The drop/keep boundary of the 24h-class watermark, pinned
+    across TWO triggers (VERDICT r7 item 7): a frame later than the
+    watermark allows is DROPPED from the state-bound windowed
+    aggregation (its window was already finalized and emitted), while
+    the batch twin of the same union corpus retains it. Wave 1
+    advances the watermark past window A's end; wave 2 delivers one
+    frame INSIDE window A but beyond the watermark plus one fresh
+    in-watermark frame. Append mode + checkpoint restart = the
+    production replay path."""
+    t0 = dt.datetime(2019, 7, 23, 21, 0, 0)
+    m = dt.timedelta(minutes=15)
+    src = str(tmp_path / "wm_in")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    wave1 = [
+        ("R1", t0, 1.0),                       # window A [21:00, 21:15)
+        ("R1", t0 + dt.timedelta(minutes=5), 2.0),  # window A
+        ("R1", t0 + 4 * m, 3.0),               # [22:00, 22:15)
+        ("R1", t0 + 10 * m, 4.0),              # 23:30 -> watermark 22:30
+    ]
+    df1 = spark.createDataFrame(wave1, ["region", "ts", "value"])
+    df1.coalesce(1).write.parquet(src)
+
+    def drain():
+        st = streaming.frame_stream(spark, src, df1.schema)
+        win = streaming.sliding_sequence_windows(
+            st, span="15 minutes", slide="15 minutes", watermark="1 hour"
+        ).select("region", "win.start", "win.end", "n_frames")
+        q = (
+            win.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # wave 1: watermark advances to 22:30 at batch end
+    wave2 = [
+        # inside window A but OLDER than the watermark -> must be
+        # dropped from the aggregation state (window A already final)
+        ("R1", t0 + dt.timedelta(minutes=10), 99.0),
+        # fresh frame, advances the watermark past every open window
+        ("R1", t0 + 16 * m, 5.0),  # 01:00 next day -> watermark 00:00
+    ]
+    df2 = spark.createDataFrame(wave2, ["region", "ts", "value"])
+    df2.coalesce(1).write.mode("append").parquet(src)
+    drain()  # wave 2: late frame filtered, finalized windows emitted
+
+    got = {
+        r["start"]: r["n_frames"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # window A was finalized with its two in-watermark frames; the
+    # beyond-watermark frame did NOT resurrect or grow it
+    assert got[t0] == 2
+    # the 22:00 and 23:30 windows finalized with their single frames
+    assert got[t0 + 4 * m] == 1 and got[t0 + 10 * m] == 1
+    assert list(got.values()).count(2) == 1
+    # the batch twin over the SAME union corpus retains the late
+    # frame — the documented batch/streaming divergence at the
+    # watermark boundary
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("region", F.window("ts", "15 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .where(F.col("win.start") == t0)
+        .collect()
+    )
+    assert batch[0]["n_frames"] == 3
