@@ -224,10 +224,15 @@ def fractional_split(
 
 
 #: Work budget of the multiprobe rule per row: fan-out × depth.
-#: 104 = 8 (the family's target bucket depth) × 13 (the probe
-#: fan-out p+2 at the 20 k-vector reference corpus), so the
-#: normalized split leaves the reference scale's behavior unchanged.
-MULTIPROBE_WORK_TARGET = 104
+#: 80 = 8 (the family's target bucket depth) × 10 (the probe
+#: fan-out p+2 at the 2 k-vector bench-reference corpus), so the
+#: normalized split reproduces the depth-constant split exactly at
+#: the bench SF (n=2000 → (8, 0) either way) and gets gently FINER
+#: beyond it (depth 6.1 at 20 k, 5.5 at 60 k) — constant probe work
+#: per row, paid in the recall knob, which stays above the integral
+#: r7 rule at every measured scale (its over-resolved chain ran
+#: depth 4.9 at 20 k; see SCALING.md §7b).
+MULTIPROBE_WORK_TARGET = 80
 
 
 def fractional_split_multiprobe(
@@ -417,7 +422,10 @@ def near_dup_pairs_hyperplane(
     if signs is None:
         n = df.count()
         p, r = fractional_split(n, target_bucket=target_bucket)
-        signs = hyperplane_signs(p + 1, dim)
+        # r = 0 never keys on the extension bit — skip its plane (the
+        # signature is the dominant per-row cost; one unused plane is
+        # +1/p of it for nothing)
+        signs = hyperplane_signs(p + (1 if r else 0), dim)
         key = fractional_key(
             hyperplane_bucket(F.col(vec_col), signs), p, r
         )
@@ -588,7 +596,11 @@ def near_dup_pairs_multiprobe(
     # key is reachable from its unmerged neighbor's probe, but not
     # vice versa when the extension bits differ), so canonicalize
     # with least/greatest rather than filtering probe_id < exact_id —
-    # the directional filter would drop the one meeting path.
+    # the directional filter would drop the one meeting path. (A
+    # two-branch split that `<`-filters the equal-key component and
+    # least/greatests only the flip meetings was measured at all
+    # three SFs: no win — the distinct is not the binding stage — so
+    # the simpler single join stays.)
     cand = (
         probes.join(exact, on="probe")
         .where(F.col(id_col) != F.col("item_id"))

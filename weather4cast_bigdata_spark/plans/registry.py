@@ -1565,7 +1565,7 @@ def _fractional_signs(emb):
     p+1 planes (all three restated bit-exactly in the oracles)."""
     n = emb.count()
     p, r = similarity.fractional_split(n, target_bucket=8)
-    return similarity.hyperplane_signs(p + 1, 64), p, r
+    return similarity.hyperplane_signs(p + (1 if r else 0), 64), p, r
 
 
 def _multiprobe_signs(emb):
@@ -1576,7 +1576,7 @@ def _multiprobe_signs(emb):
     drifting by the log-n fan-out."""
     n = emb.count()
     p, r = similarity.fractional_split_multiprobe(n)
-    return similarity.hyperplane_signs(p + 1, 64), p, r
+    return similarity.hyperplane_signs(p + (1 if r else 0), 64), p, r
 
 
 @qdef(

@@ -152,7 +152,9 @@ def _hp_frac_cte(q_sql: str) -> str:
                sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
         FROM embeddings e, planes pl, (SELECT unnest(range(1, 65)) AS i) r
         WHERE r.i <= len(e.embedding)
-          AND pl.p < (SELECT fp FROM pv) + 1
+          -- fr = 0 never keys on the extension bit: its plane is
+          -- skipped on both engines (the ext read below then yields 0)
+          AND pl.p < (SELECT fp + CASE WHEN fr > 0 THEN 1 ELSE 0 END FROM pv)
         GROUP BY 1, 2
     ),
     bucketed AS (
