@@ -311,7 +311,17 @@ def main() -> None:
             rec = json.load(open(path))
             tail = rec.get("tail")
             if tail and "queries" not in rec:
-                rec = json.loads(tail[tail.rindex('{"metric"'):].strip().splitlines()[-1])
+                line = tail.strip().splitlines()[-1]
+                if '{"metric"' in line:
+                    rec = json.loads(line[line.rindex('{"metric"'):])
+                else:
+                    # the driver's stdout capture front-truncates long
+                    # records (r7's lost its opening `{"metric": "...`);
+                    # rebuild by re-heading at the first string-value
+                    # boundary — the truncation always lands inside the
+                    # leading metric string
+                    cut = line.find('", "')
+                    rec = json.loads('{"metric": "x' + line[cut:])
             if rec.get("queries"):
                 prev_rounds.append((os.path.basename(path), rec))
         except Exception:
