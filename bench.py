@@ -349,17 +349,32 @@ def main() -> None:
         raw = sum(timings[q] for q in common) / max(
             sum(prev_q[q] for q in common), 1e-9
         )
-        drift = (
-            canaries["canary_cpu"] / prev_c["canary_cpu"]
-            if prev_c.get("canary_cpu")
-            else None
-        )
+        # Per-canary drift + a geomean-normalized ratio: the two
+        # canaries span different cost regimes (pure codegen CPU vs
+        # shuffle/scheduling), and they can drift APART — the r8
+        # window read canary_cpu 15% faster than r7 while
+        # canary_shuffle and every query stayed flat, so normalizing
+        # by CPU alone inflated a flat round to 1.17x "slower".
+        # Read the one whose regime matches the question, or the
+        # geomean when unsure; raw is always alongside.
+        drift = {
+            n: canaries[n] / prev_c[n] for n in canaries if prev_c.get(n)
+        }
+        gm = None
+        if drift:
+            gm = 1.0
+            for v in drift.values():
+                gm *= v
+            gm = gm ** (1.0 / len(drift))
         result["vs_prev"] = {
             "record": prev_name,
             "common_queries": len(common),
             "raw_total_ratio": round(raw, 3),
-            "canary_drift_cpu": round(drift, 3) if drift else None,
-            "normalized_total_ratio": round(raw / drift, 3) if drift else None,
+            "canary_drift": {n: round(v, 3) for n, v in drift.items()},
+            "normalized_total_ratio": {
+                **{n: round(raw / v, 3) for n, v in drift.items()},
+                **({"geomean": round(raw / gm, 3)} if gm else {}),
+            },
         }
     # Full record (with per-sample distributions) goes to a repo file:
     # the driver captures stdout's tail, and r5's giant single line got
