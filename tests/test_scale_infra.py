@@ -973,3 +973,46 @@ def test_digest_exprs_cross_engine_canonical(spark, tmp_path):
     # unsupported column types must decline, not guess
     arr_df = spark.createDataFrame([(1, [1.0])], "i bigint, v array<double>")
     assert digest_exprs(arr_df.schema) is None
+
+
+def test_fractional_split_multiprobe_python_sql_agree():
+    """The fan-out-normalized quarter-step chain must be derived
+    identically by the Spark plan (two-stage Python computation) and
+    the DuckDB oracle (nested integer-comparison chains) at every
+    corpus size — a desynchronization here would silently split the
+    multiprobe query and its oracle onto different bucket layouts."""
+    import duckdb
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    con = duckdb.connect()
+    for n in (1, 7, 8, 9, 13, 16, 100, 500, 2000, 2001, 20000, 60000,
+              10**6, 10**8):
+        py = similarity.fractional_split_multiprobe(n)
+        sql = similarity.fractional_split_multiprobe_sql(str(n))
+        q = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert (q // 4, q % 4) == py, (n, py, q)
+
+
+def test_multiprobe_split_bounds_work_per_row():
+    """The normalized split must hold probe work per row —
+    (p+2)·E[depth] — inside a ~±25% band of the 80 work target at
+    every corpus size the 60-plane cap covers (above the cap depth
+    grows linearly again, the documented bigint-bucket limit). The
+    depth-constant split's work/row grows like log n — the measured
+    3.45x residual this bound exists to prevent."""
+    from weather4cast_bigdata_spark.operators import similarity
+
+    t = similarity.MULTIPROBE_WORK_TARGET
+    for k in range(40, 480):  # n ~ 16 .. ~8·2^12 (inside the cap)
+        n = int(8 * 2 ** (k / 40.0))
+        p, r = similarity.fractional_split_multiprobe(n)
+        m = (4 - r) / 4.0
+        depth = n * (m / 2**p + (1 - m) / 2 ** (p + 1))
+        work = (p + 2) * depth
+        # the upper bound is the scale contract; the lower bound only
+        # binds once the corpus can fill a whole work budget (below
+        # ~3t the split correctly leaves everything in few buckets)
+        assert work <= t * 1.3, (n, p, r, depth, work)
+        if n >= 3 * t:
+            assert work >= t * 0.7, (n, p, r, depth, work)
