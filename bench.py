@@ -122,6 +122,11 @@ HEADLINE = [
     "sim_hyperplane_lsh",
     "sim_lsh_multiprobe",
     "agg_percentile_histref",
+    # r8: the banded (any-band OR) recall knob — the family member
+    # that already rode the fractional chain; headline so the three
+    # hyperplane-LSH cost regimes (exact / probe / banded) are all
+    # wall-tracked per round.
+    "sim_lsh_banded",
 ]
 
 

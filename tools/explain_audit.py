@@ -32,7 +32,8 @@ from weather4cast_bigdata_spark.session import get_spark  # noqa: E402
 # so its registry entry's final plan is a checkpoint scan; what scales
 # is the *per-round* label-propagation plan, built lazily here.
 AUDIT_EXTRA = ["streaming_exact_dedup_ingest", "streaming_lsh_ingest",
-    "sim_lsh_multiprobe", "sim_lsh_recall", "sim_lsh_banded", "agg_percentile_histref",
+    "sim_lsh_multiprobe", "sim_lsh_recall", "agg_percentile_histref",
+    "dedup_minhash_recall",
     "sim_hyperplane_lsh", "sample_stratified_split", "text_vocab_topk", "join_range_binned", "text_tfidf_topk", "audit_constraints", "agg_histogram", "project_unpivot_long", "sink_merge_upsert", "text_decontaminate", "text_repetition_score", "pack_chunked", "window_ewma", "agg_winsorize", "sample_mixture_weighted", "dedup_substring_spans", "join_interval_overlap", "text_bigram_logprob", "text_chunk_overlap", "audit_profile", "agg_entropy", "sample_topk_per_group", "window_range_trailing", "text_inverted_index", "dedup_semantic", "embed_quantize_int8", "join_salted", "project_pivot_wide", "join_fuzzy_blocked", "window_resample_interpolate", "agg_moments", "dim_scd2_build", "join_point_in_time", "sample_exact_k_per_group", "text_pmi_collocations", "text_dup_line_fraction", "text_top_ngram_char_frac", "text_c4_rules", "curation_quality_gate", "sample_dsir_resample", "sample_unimax", "text_line_dedup_global", "text_perplexity_buckets", "sink_dsir_model", "dedup_simhash_hamming", "quality_model_filter_verified", "agg_approx_percentile_verified", "dedup_ngram_containment"]
 
 
