@@ -291,6 +291,17 @@ def fractional_split_multiprobe_sql(
     )
 
 
+def fractional_key_parts(prefix: Column, ext: Column, r: int) -> Column:
+    """The key rule of the fractional construction from its parts:
+    ``prefix·2 + (unmerged(prefix) ? ext : 0)`` with
+    ``unmerged(prefix) ⟺ prefix % 4 < r`` — the ONE place the rule
+    lives, so the probe generator (which flips prefixes and
+    extension bits before keying) cannot desynchronize from the
+    exact-collision key."""
+    unmerged = (prefix % 4) < F.lit(r)
+    return prefix * 2 + F.when(unmerged, ext).otherwise(F.lit(0).cast("bigint"))
+
+
 def fractional_key(hp_col: Column, p: int, r: int) -> Column:
     """Bucket key of the fractional single-signature construction:
     ``prefix·2 + (unmerged(prefix) ? bit_p : 0)`` where ``prefix`` is
@@ -303,8 +314,7 @@ def fractional_key(hp_col: Column, p: int, r: int) -> Column:
     restates the key with the same integer arithmetic."""
     prefix = hp_col.bitwiseAND(F.lit(((1 << p) - 1)).cast("bigint"))
     ext = F.shiftright(hp_col, p).bitwiseAND(F.lit(1).cast("bigint"))
-    unmerged = (prefix % 4) < F.lit(r)
-    return prefix * 2 + F.when(unmerged, ext).otherwise(F.lit(0).cast("bigint"))
+    return fractional_key_parts(prefix, ext, r)
 
 
 def band_layout(total: int, n_bands: int = 4) -> list[tuple[int, int]]:
@@ -564,11 +574,7 @@ def near_dup_pairs_multiprobe(
     bucketed = bucketed.join(F.broadcast(hot), on="hpk", how="left_anti")
     prefix = F.col("hp").bitwiseAND(F.lit((1 << p) - 1).cast("bigint"))
     ext = F.shiftright(F.col("hp"), p).bitwiseAND(F.lit(1).cast("bigint"))
-
-    def keyed(pref: Column, e: Column) -> Column:
-        return pref * 2 + F.when((pref % 4) < F.lit(r), e).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    keyed = lambda pref, e: fractional_key_parts(pref, e, r)  # noqa: E731
 
     # candidate generation carries BARE IDS: a pair can meet through
     # several probes, so dedup before the vectors attach — otherwise
