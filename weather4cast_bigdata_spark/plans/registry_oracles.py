@@ -2539,28 +2539,34 @@ _HP_SIG4_CTE = f"""
     )
 """
 
+# Band membership as an EQUI self-join on exploded (band, key) rows
+# — the declarative twin of the Spark plan's shape, and a hash join
+# for DuckDB instead of the previous all-pairs nested loop with a
+# shifted-xor predicate (509 s of the r7 sf1 sweep for this one row;
+# identical pair set: any band matches ⟺ some (band, key) collides).
 ORACLES["sim_lsh_banded"] = (
 f"""
     WITH {_HP_SIG4_CTE},
-    eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v, b.hp
-           FROM embeddings e JOIN bucketed4 b USING (vec_id)),
+    bands AS (
+        SELECT b.vec_id, r.band,
+               ((b.hp >> {_band_off_sql("r.band", "qb.q")})
+                & ((1::BIGINT << {_band_w_sql("r.band", "qb.q")}) - 1)) AS key
+        FROM bucketed4 b, (SELECT unnest(range(4)) AS band) r, qv AS qb
+    ),
     cand AS (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               any_value(a.v) AS qv, any_value(b.v) AS cv
-        FROM eb a JOIN eb b
-          ON a.vec_id < b.vec_id,
-          (SELECT unnest(range(4)) AS band) r, qv AS qb
-        WHERE ((xor(a.hp, b.hp) >> {_band_off_sql("r.band", "qb.q")})
-               & ((1::BIGINT << {_band_w_sql("r.band", "qb.q")}) - 1)) = 0
-        GROUP BY 1, 2
-    )
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a_id, b_id, cos_sim FROM (
         SELECT a_id, b_id,
-               round(list_dot_product(qv, cv)
-                     / (greatest(sqrt(list_dot_product(qv, qv)), 1e-300)
-                        * greatest(sqrt(list_dot_product(cv, cv)), 1e-300))
+               round(list_dot_product(qa.v, qb2.v)
+                     / (greatest(sqrt(list_dot_product(qa.v, qa.v)), 1e-300)
+                        * greatest(sqrt(list_dot_product(qb2.v, qb2.v)), 1e-300))
                      + 1e-9, 6) AS cos_sim
-        FROM cand
+        FROM cand JOIN eb qa ON qa.vec_id = cand.a_id
+                  JOIN eb qb2 ON qb2.vec_id = cand.b_id
     ) WHERE cos_sim >= 0.2
     """
 )
