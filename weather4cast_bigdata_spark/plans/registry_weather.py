@@ -907,35 +907,60 @@ def q_agg_percentile_histref(spark, sf_dir):
 
 @qdef(
     "multimodal_audio_features",
+    # Per-BLOCK restatement of the per-sample original (one md5 per
+    # 16-sample block instead of one per sample, and the
+    # zero-crossing LAG runs over n/16 block rows instead of n sample
+    # rows — 1726 s -> minutes for this one row of the sf1 sweep).
+    # Bit-identical by exact-integer intermediates: sum(v²) and the
+    # crossing counts are integers, so per-block partial sums equal
+    # the per-sample totals exactly, and the REAL cast chain on the
+    # final ratios is unchanged. Within-block crossings come from the
+    # parsed value list; block-boundary crossings from LAG of each
+    # block's last value.
     oracle="""
     WITH d AS (
         SELECT doc_id AS media_id, md5(text) AS key,
                greatest(CAST(n_chars * 2 AS BIGINT) * 16, 1) AS n
         FROM documents
     ),
-    s AS (
-        SELECT media_id, n, unnest(range(0, n)) AS i FROM d
+    blk AS (
+        SELECT media_id, n, unnest(range(0, (n + 15) // 16)) AS j FROM d
     ),
     w AS (
-        SELECT media_id, n, i,
-               ('0x' || substring(md5(key || '|' || (i // 16)),
-                                  CAST((i % 16) * 2 + 1 AS INT), 2))::BIGINT
-                 % 7 - 3 AS v
-        FROM s JOIN d USING (media_id, n)
+        SELECT media_id, n, j,
+               list_transform(
+                   range(0, CAST(least(16, n - j * 16) AS INT)),
+                   k -> ('0x' || substring(md5(key || '|' || j),
+                                           CAST(k * 2 + 1 AS INT), 2))::BIGINT
+                        % 7 - 3
+               ) AS vs
+        FROM blk JOIN d USING (media_id, n)
     ),
-    tr AS (
-        SELECT media_id, n, v,
-               lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+    per_block AS (
+        SELECT media_id, j,
+               len(vs) AS m,
+               list_sum(list_transform(vs, v -> v * v)) AS s2,
+               len(list_filter(range(2, len(vs) + 1),
+                               k -> (vs[k] < 0) != (vs[k - 1] < 0))) AS cr,
+               vs[1] AS first_v,
+               vs[len(vs)] AS last_v
         FROM w
+    ),
+    with_prev AS (
+        SELECT media_id, m, s2, cr, first_v,
+               lag(last_v) OVER (PARTITION BY media_id ORDER BY j) AS prev_last
+        FROM per_block
     )
     SELECT media_id,
-           CAST(count(*) AS INT) AS n_samples,
-           CAST(sqrt(CAST(CAST(sum(v * v) AS REAL) / CAST(count(*) AS REAL)
+           CAST(sum(m) AS INT) AS n_samples,
+           CAST(sqrt(CAST(CAST(sum(s2) AS REAL) / CAST(sum(m) AS REAL)
                           AS REAL)) AS REAL) AS rms,
-           CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
-                         THEN 1 ELSE 0 END) / (count(*) - 1) AS REAL)
+           CAST((sum(cr)
+                 + sum(CASE WHEN prev_last IS NOT NULL
+                             AND ((first_v < 0) != (prev_last < 0))
+                            THEN 1 ELSE 0 END)) / (sum(m) - 1) AS REAL)
                AS zero_crossing_rate
-    FROM tr GROUP BY media_id
+    FROM with_prev GROUP BY media_id
     """,
 )
 def q_multimodal_audio_features(spark, sf_dir):
