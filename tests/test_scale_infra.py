@@ -953,6 +953,11 @@ def test_digest_exprs_cross_engine_canonical(spark, tmp_path):
         (3, float("nan"), None, None, None, None),
         (None, None, "", True, dt.date(2020, 1, 2), dt.datetime(1970, 1, 1)),
         (5, -12345678.9012345, "unicode ß", False, dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 23, 59, 59, 999999)),
+        # magnitude bands: micro-scaled / unit-floored / sign-bucketed
+        (6, 8.9e12, "band-lo", True, None, None),
+        (7, -3.7e15, "band-mid", False, None, None),
+        (8, 2.5e200, "band-huge", None, None, None),
+        (9, float("-inf"), "band-inf", True, None, None),
     ]
     df = spark.createDataFrame(
         rows, "i bigint, d double, s string, b boolean, dt date, ts timestamp_ntz"

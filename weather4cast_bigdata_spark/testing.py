@@ -172,16 +172,26 @@ def digest_exprs(schema) -> tuple[str, str] | None:
         if t in ("tinyint", "smallint", "int", "bigint"):
             s, d = f"CAST({c_s} AS STRING)", f"CAST({c_d} AS VARCHAR)"
         elif t in ("double", "float"):
-            s = (
-                f"CASE WHEN isnan(CAST({c_s} AS DOUBLE)) THEN 'nan' "
-                f"ELSE CAST(CAST(floor(CAST({c_s} AS DOUBLE) * 1e6 + 0.5) "
-                f"AS BIGINT) AS STRING) END"
-            )
-            d = (
-                f"CASE WHEN isnan(CAST({c_d} AS DOUBLE)) THEN 'nan' "
-                f"ELSE CAST(CAST(floor(CAST({c_d} AS DOUBLE) * 1e6 + 0.5) "
-                f"AS BIGINT) AS VARCHAR) END"
-            )
+            # three magnitude bands, all pure IEEE ops + integer
+            # casts (identical cross-engine): micro-scaled below
+            # 9e12 (where *1e6 fits int64), unit floor below 9e18
+            # (double spacing > 1 there anyway), sign bucket beyond
+            # (covers ±inf) — without the bands, DuckDB's overflow
+            # cast ERRORS while Spark's saturates, a silent
+            # cross-engine divergence on extreme values
+            def _canon_double(col: str, cast: str) -> str:
+                v = f"CAST({col} AS DOUBLE)"
+                return (
+                    f"CASE WHEN isnan({v}) THEN 'nan' "
+                    f"WHEN abs({v}) < 9.0e12 THEN "
+                    f"CAST(CAST(floor({v} * 1e6 + 0.5) AS BIGINT) AS {cast}) "
+                    f"WHEN abs({v}) < 9.0e18 THEN "
+                    f"'g' || CAST(CAST(floor({v}) AS BIGINT) AS {cast}) "
+                    f"WHEN {v} > 0 THEN 'huge+' ELSE 'huge-' END"
+                )
+
+            s = _canon_double(c_s, "STRING")
+            d = _canon_double(c_d, "VARCHAR")
         elif t == "string":
             s, d = c_s, c_d
         elif t == "boolean":
