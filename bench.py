@@ -185,7 +185,19 @@ def _fresh_process_samples(
             env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": str(n_runs)},
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-        got = json.loads(line)
+        try:
+            got = json.loads(line)
+        except ValueError:
+            got = {}
+        if not got:
+            # a child crash must be visible, not a KeyError at
+            # aggregation time — mirror the pooled warm-up contract
+            print(
+                f"fresh-process child failed for {name}: rc={proc.returncode} "
+                f"stderr tail: {proc.stderr[-300:] if proc.stderr else ''}",
+                file=sys.stderr,
+            )
+            continue
         if name == "__canaries__":
             canary_samples.update(got)
         else:
