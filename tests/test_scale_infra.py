@@ -1021,3 +1021,36 @@ def test_multiprobe_split_bounds_work_per_row():
         assert work <= t * 1.3, (n, p, r, depth, work)
         if n >= 3 * t:
             assert work >= t * 0.7, (n, p, r, depth, work)
+
+
+def test_hyperplane_bucket_arrow_matches_expression(spark):
+    """The Arrow-vectorized signature kernel must produce the SAME
+    bucket as the declarative higher-order-function form (the form
+    the SQL oracle textually mirrors) for every vector — including
+    near-zero dot products where the +1e-9 nudge decides the sign,
+    and the zero-plane degenerate. numpy's reassociated summation is
+    inside the nudge's tolerance by design; this is the pin."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(42)
+    dim = 16
+    signs = similarity.hyperplane_signs(9, dim)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(300)]
+    # adversarial near-orthogonal rows: tiny components, sums near 0
+    rows += [(1000 + i, [rng.gauss(0, 1e-12) for _ in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    both = df.select(
+        "vec_id",
+        similarity.hyperplane_bucket(F.col("embedding"), signs).alias("he"),
+        similarity.hyperplane_bucket_arrow(F.col("embedding"), signs).alias("ha"),
+    )
+    bad = both.where(F.col("he") != F.col("ha")).count()
+    assert bad == 0
+    assert (
+        df.select(similarity.hyperplane_bucket_arrow(F.col("embedding"), []).alias("h"))
+        .where(F.col("h") != 0)
+        .count()
+        == 0
+    )

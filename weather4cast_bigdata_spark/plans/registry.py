@@ -1694,7 +1694,7 @@ def q_sim_lsh_recall(spark, sf_dir):
     sig = emb.select(
         "vec_id",
         "embedding",
-        similarity.hyperplane_bucket(F.col("embedding"), signs4).alias("hp"),
+        similarity.hyperplane_bucket_arrow(F.col("embedding"), signs4).alias("hp"),
     )
     q = sig.where(F.col("vec_id") % 23 == 0).select(
         F.col("vec_id").alias("a_id"),
