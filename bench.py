@@ -178,12 +178,23 @@ def _fresh_process_samples(
     samples: dict[str, list[float]] = {}
     canary_samples: dict[str, list[float]] = {}
     for name in HEADLINE + ["__canaries__"]:
-        proc = subprocess.run(
-            [sys.executable, here, "--one", name],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": str(n_runs)},
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--one", name],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": str(n_runs)},
+                # one hung JVM must not block the whole close-of-round
+                # record — report it through the same failure path as a
+                # crash (generous: the slowest headline child measures
+                # ~30 s wall including startup)
+                timeout=int(os.environ.get("SPARK_GRAFT_BENCH_CHILD_TIMEOUT", "900")),
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"fresh-process child timed out for {name}", file=sys.stderr
+            )
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
             got = json.loads(line)
@@ -335,10 +346,21 @@ def main() -> None:
                     # the driver's stdout capture front-truncates long
                     # records (r7's lost its opening `{"metric": "...`);
                     # rebuild by re-heading at the first string-value
-                    # boundary — the truncation always lands inside the
-                    # leading metric string
+                    # boundary. The truncation USUALLY lands inside the
+                    # leading metric string — when it doesn't, the
+                    # rebuilt record could parse but carry garbage, so
+                    # require the keys a real record always has (and a
+                    # plausible query count) before trusting it.
                     cut = line.find('", "')
+                    if cut == -1:
+                        continue
                     rec = json.loads('{"metric": "x' + line[cut:])
+                    if not (
+                        isinstance(rec.get("queries"), dict)
+                        and len(rec["queries"]) >= 10
+                        and "canary" in rec
+                    ):
+                        continue
             if rec.get("queries"):
                 prev_rounds.append((os.path.basename(path), rec))
         except Exception:

@@ -691,10 +691,16 @@ def test_band_layout_fractional_depth_envelope():
             assert depth <= t * 2 * 1.01, (n, w, depth)
         gm = n / (2 ** (total / 4))
         assert gm <= t * 1.2 and gm >= t * 2 ** (-0.25) * 0.99, (n, total, gm)
-    # past ~8·2^14.75 rows the 60-bit signature cap binds (by design:
-    # the bucket is one bigint); depth then grows linearly again —
-    # the documented point where a two-bigint bucket takes over
-    assert similarity.adaptive_total_planes(10**6, target_bucket=t) == 60
+    # r9: the chain runs past the old one-bigint 60-plane cap (the
+    # measured binding constraint at the 100× lake, SCALING.md §7c)
+    # — a 10^6-row corpus now resolves to 68 quarter-steps, carried
+    # as a two-word signature by the banded construction; the new
+    # cap is MAX_QUARTER_STEPS = 120 (~7×10^9 rows per band)
+    assert similarity.adaptive_total_planes(10**6, target_bucket=t) == 68
+    assert similarity.MAX_QUARTER_STEPS == 120
+    assert (
+        similarity.adaptive_total_planes(10**12, target_bucket=t) == 120
+    )
 
 
 def test_adaptive_n_planes_bounds_bucket_depth():
@@ -1002,14 +1008,16 @@ def test_fractional_split_multiprobe_python_sql_agree():
 def test_multiprobe_split_bounds_work_per_row():
     """The normalized split must hold probe work per row —
     (p+2)·E[depth] — inside a ~±25% band of the 80 work target at
-    every corpus size the 60-plane cap covers (above the cap depth
-    grows linearly again, the documented bigint-bucket limit). The
-    depth-constant split's work/row grows like log n — the measured
-    3.45x residual this bound exists to prevent."""
+    every corpus size the MAX_QUARTER_STEPS=120 cap covers (above
+    the cap depth grows linearly again). The depth-constant split's
+    work/row grows like log n — the measured 3.45x residual this
+    bound exists to prevent; the r8 measurement of the OLD 60-step
+    cap binding at 200 k vectors (12.8× wall per decade, SCALING.md
+    §7c) is why the range below runs far past it."""
     from weather4cast_bigdata_spark.operators import similarity
 
     t = similarity.MULTIPROBE_WORK_TARGET
-    for k in range(40, 480):  # n ~ 16 .. ~8·2^12 (inside the cap)
+    for k in range(40, 1000):  # n ~ 16 .. ~3·10^9 (inside the new cap)
         n = int(8 * 2 ** (k / 40.0))
         p, r = similarity.fractional_split_multiprobe(n)
         m = (4 - r) / 4.0
@@ -1054,3 +1062,164 @@ def test_hyperplane_bucket_arrow_matches_expression(spark):
         .count()
         == 0
     )
+
+
+def test_hyperplane_bucket_words_arrow_matches_expression(spark):
+    """The multi-word Arrow signature kernel (the r9 extension past
+    the one-bigint 60-plane cap) must produce the SAME word values as
+    the declarative per-word expression form for every vector — at
+    the production word size (70 planes → two words) AND at a small
+    word size (word_bits=8 → 9 words) that forces every straddle and
+    tail-width case through both kernels."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(7)
+    dim = 16
+    signs = similarity.hyperplane_signs(70, dim)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for wb in (similarity.SIGNATURE_WORD_BITS, 8):
+        both = df.select(
+            similarity.hyperplane_bucket_words(
+                F.col("embedding"), signs, word_bits=wb
+            ).alias("we"),
+            similarity.hyperplane_bucket_words_arrow(
+                F.col("embedding"), signs, word_bits=wb
+            ).alias("wa"),
+        )
+        assert both.where(F.col("we") != F.col("wa")).count() == 0
+        n_words = similarity.signature_n_words(70, wb)
+        assert (
+            both.where(F.size("wa") != F.lit(n_words)).count() == 0
+        )
+
+
+def test_band_key_words_matches_python_slice(spark):
+    """band_key_words must extract the bit-slice [off, off+w) of the
+    multi-word signature exactly as integer arithmetic on the full
+    Python int — including slices inside word 0, inside word 1, and
+    straddling the 60-bit boundary."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(11)
+    sigs = [rng.getrandbits(115) for _ in range(64)]
+    wb = similarity.SIGNATURE_WORD_BITS
+    rows = [
+        (i, s & ((1 << wb) - 1), s >> wb) for i, s in enumerate(sigs)
+    ]
+    df = spark.createDataFrame(rows, ["i", "w0", "w1"])
+    cases = [(0, 17), (50, 14), (59, 2), (60, 20), (61, 31), (88, 27), (40, 31)]
+    sel = df.select(
+        "i",
+        *[
+            similarity.band_key_words(
+                [F.col("w0"), F.col("w1")], off, w
+            ).alias(f"k{j}")
+            for j, (off, w) in enumerate(cases)
+        ],
+    )
+    got = {r["i"]: r for r in sel.collect()}
+    for i, s in enumerate(sigs):
+        for j, (off, w) in enumerate(cases):
+            want = (s >> off) & ((1 << w) - 1)
+            assert got[i][f"k{j}"] == want, (i, off, w)
+
+
+def test_band_key2_sql_matches_python_slice():
+    """_band_key2_sql (the DuckDB restatement of band_key_words) must
+    agree with Python integer slicing for every band of layouts whose
+    totals span the one-word, boundary, and two-word regimes — the
+    oracle-side half of the r9 two-word extension."""
+    import random
+
+    import duckdb
+
+    from weather4cast_bigdata_spark.operators import similarity
+    from weather4cast_bigdata_spark.plans.registry_oracles import (
+        _band_key2_sql,
+    )
+
+    rng = random.Random(13)
+    con = duckdb.connect()
+    for q in (3, 14, 59, 60, 61, 62, 80, 119, 120):
+        layout = similarity.band_layout(q, 4)
+        for s in (rng.getrandbits(max(q, 1)) for _ in range(16)):
+            hp0 = s & ((1 << 60) - 1)
+            hp1 = s >> 60
+            row = con.execute(
+                "SELECT "
+                + ", ".join(
+                    _band_key2_sql(str(hp0), str(hp1), str(b), str(q))
+                    for b in range(4)
+                )
+            ).fetchone()
+            for b, (off, w) in enumerate(layout):
+                want = (s >> off) & ((1 << w) - 1)
+                assert row[b] == want, (q, b, off, w)
+
+
+def test_banded_near_dup_two_word_parity(spark):
+    """near_dup_pairs_banded with a >60-plane signature (two words,
+    one band straddling the boundary) must emit exactly the pairs a
+    driver-side numpy reference derives from the same planes, layout,
+    and rounded-cosine cut — the end-to-end pin of the r9 two-word
+    path that no sf ≤ 10 lake reaches organically."""
+    import random
+
+    import numpy as np
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(23)
+    dim = 16
+    total = 82  # band_layout -> widths [21, 21, 20, 20]; band 2 = [42, 62)
+    signs = similarity.hyperplane_signs(total, dim)
+    layout = similarity.band_layout(total, 4)
+    assert any(off < 60 < off + w for off, w in layout)
+    # clustered corpus so same-band collisions actually occur at 82 planes
+    centers = [
+        np.array([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(12)
+    ]
+    vecs = [
+        centers[i % 12] + np.array([rng.gauss(0, 0.02) for _ in range(dim)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.near_dup_pairs_banded(
+            df, signs, n_bands=4, threshold=0.2,
+            widths=[w for _, w in layout],
+        ).collect()
+    }
+    s_m = np.asarray(signs, dtype=np.float64)
+    sig = [
+        sum(
+            1 << p
+            for p in range(total)
+            if float(s_m[p] @ v) + 1e-9 >= 0
+        )
+        for v in vecs
+    ]
+    want = set()
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            x = sig[a] ^ sig[b]
+            if not any(
+                (x >> off) & ((1 << w) - 1) == 0 for off, w in layout
+            ):
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb) / max(
+                float(np.sqrt(va @ va)) * float(np.sqrt(vb @ vb)), 1e-300
+            )
+            if round(cos + 1e-9, 6) >= 0.2:
+                want.add((a, b))
+    assert got == want and len(want) > 0

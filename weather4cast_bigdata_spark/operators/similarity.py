@@ -139,6 +139,27 @@ def adaptive_n_planes_sql(
     return f"(SELECT {base} + {terms} FROM (SELECT ({count_sql}) AS c))"
 
 
+#: Planes carried per bigint word of a WIDE signature. A single
+#: bigint key holds ≤60 sign bits; wider signatures (the banded
+#: construction's total plane count past ~8·2^14.75 rows) split into
+#: ceil(P / 60) words — see hyperplane_bucket_words /
+#: band_key_words. 60 (not 62) leaves shift arithmetic comfortably
+#: inside the sign bit on both engines.
+SIGNATURE_WORD_BITS = 60
+
+#: Cap of the fractional (1/4-step) plane chains. r8's cap was 60 —
+#: one bigint word — and measured as the REAL binding constraint at
+#: the 100× lake (SCALING.md §7c: sim_lsh_multiprobe's chain wanted
+#: depth 80/17 ≈ 4.7 at 200 k vectors but clamped at Q=60, work/row
+#: growing by the uncompensated probe fan-out, 12.8× wall per
+#: decade). 120 quarter-steps = two words for the banded
+#: construction (its total plane count is Q) and still ONE word for
+#: the single-signature keys (they read only Q//4 + 1 ≤ 31 planes),
+#: covering ~8·2^29.75 ≈ 7×10⁹ rows per band at target 8 before the
+#: cap binds again.
+MAX_QUARTER_STEPS = 120
+
+
 def _fractional_thresholds(
     n_bands: int, target_bucket: int, max_total: int
 ) -> list[int]:
@@ -155,7 +176,7 @@ def _fractional_thresholds(
 
 
 def adaptive_total_planes(
-    n: int, n_bands: int = 4, target_bucket: int = 8, max_total: int = 60
+    n: int, n_bands: int = 4, target_bucket: int = 8, max_total: int = MAX_QUARTER_STEPS
 ) -> int:
     """Fractional-resolution total plane count for the BANDED
     construction: the smallest total Q with sum-of-band-widths
@@ -166,10 +187,12 @@ def adaptive_total_planes(
     splitting Q into widths W/W+1, the geometric-mean band depth
     stays within 2^(1/n_bands) of target at ANY corpus size — the
     flattened version of the ±2× sawtooth SCALING.md §7 documents
-    for the integral variants. max_total = 60 keeps the full
-    signature inside 60 bits of the bigint bucket (~8·2^14 rows per
-    band at target 8 before the cap binds; beyond that, raise the
-    bucket to two bigints)."""
+    for the integral variants. max_total = MAX_QUARTER_STEPS (120,
+    raised from one bigint word's 60 in r9): the banded
+    construction's Q-plane signature spans ceil(Q/60) bigint words
+    (hyperplane_bucket_words) while the single-signature keys read
+    only Q//4 + 1 ≤ 31 planes — always word 0. The 60 cap was
+    measured binding at the 100× lake (SCALING.md §7c)."""
     q = 0
     for t in _fractional_thresholds(n_bands, target_bucket, max_total):
         if n > t:
@@ -180,20 +203,28 @@ def adaptive_total_planes(
 
 
 def adaptive_total_planes_sql(
-    count_sql: str, n_bands: int = 4, target_bucket: int = 8, max_total: int = 60
+    count_sql: str, n_bands: int = 4, target_bucket: int = 8, max_total: int = MAX_QUARTER_STEPS
 ) -> str:
     """SQL restatement of :func:`adaptive_total_planes` — same
     literal thresholds, same integer comparisons, summed in a scalar
-    subquery over the same corpus count."""
-    terms = " + ".join(
+    subquery over the same corpus count. The sum is CHUNKED into
+    parenthesized groups of 32: integer addition is associative, and
+    a flat 120-term left-nested chain exceeds DuckDB's 128-deep
+    expression-binder recursion limit (the r9 cap raise tripped
+    it)."""
+    terms = [
         f"(CASE WHEN c > {t} THEN 1 ELSE 0 END)"
         for t in _fractional_thresholds(n_bands, target_bucket, max_total)
-    )
-    return f"(SELECT {terms} FROM (SELECT ({count_sql}) AS c))"
+    ]
+    chunks = [
+        "(" + " + ".join(terms[i : i + 32]) + ")"
+        for i in range(0, len(terms), 32)
+    ]
+    return f"(SELECT {' + '.join(chunks)} FROM (SELECT ({count_sql}) AS c))"
 
 
 def fractional_split(
-    n: int, n_bands: int = 4, target_bucket: int = 8, max_total: int = 60
+    n: int, n_bands: int = 4, target_bucket: int = 8, max_total: int = MAX_QUARTER_STEPS
 ) -> tuple[int, int]:
     """Fractional resolution for the SINGLE-SIGNATURE constructions
     (exact-collision and multiprobe) — the r7 weak-flag port: derive
@@ -236,7 +267,7 @@ MULTIPROBE_WORK_TARGET = 80
 
 
 def fractional_split_multiprobe(
-    n: int, n_bands: int = 4, max_total: int = 60
+    n: int, n_bands: int = 4, max_total: int = MAX_QUARTER_STEPS
 ) -> tuple[int, int]:
     """Fan-out-normalized fractional split for the MULTIPROBE rule.
 
@@ -250,10 +281,11 @@ def fractional_split_multiprobe(
     COUNT side multiplied by the fan-out, against thresholds scaled
     by the work target —
 
-        Q = #{k ≤ max: n·(p₁+2) > floor(104·2^((k-1)/4))},
-        p₁ = fractional_split(n)'s prefix width
+        Q = #{k ≤ max: n·(p₁+2) > floor(T·2^((k-1)/4))},
+        T = MULTIPROBE_WORK_TARGET, p₁ = fractional_split(n)'s
+        prefix width
 
-    — giving depth ≈ 104/(p₁+2), i.e. work/row ≈ 104 = const at
+    — giving depth ≈ T/(p₁+2), i.e. work/row ≈ T = const at
     every corpus size. Still pure integer comparisons (both factors
     are integers, thresholds are Python-computed literals), so the
     SQL oracle restates it from the same count. Depth shrinks only
@@ -272,7 +304,7 @@ def fractional_split_multiprobe(
 
 
 def fractional_split_multiprobe_sql(
-    count_sql: str, n_bands: int = 4, max_total: int = 60
+    count_sql: str, n_bands: int = 4, max_total: int = MAX_QUARTER_STEPS
 ) -> str:
     """SQL restatement of :func:`fractional_split_multiprobe`'s
     TOTAL (the caller derives p = Q//4, r = Q%4): the inner chain
@@ -281,7 +313,8 @@ def fractional_split_multiprobe_sql(
     fan-out-multiplied count against the work-target thresholds."""
     q1 = adaptive_total_planes_sql(count_sql, n_bands=n_bands, max_total=max_total)
     boosted = (
-        f"SELECT (SELECT ({count_sql})) * ((({q1}) // {n_bands}) + 2)"
+        f"SELECT CAST((SELECT ({count_sql})) AS BIGINT)"
+        f" * ((({q1}) // {n_bands}) + 2)"
     )
     return adaptive_total_planes_sql(
         boosted,
@@ -417,6 +450,9 @@ def hyperplane_bucket_arrow(vec_col: Column, signs) -> Column:
     reference (and the form the SQL oracle textually mirrors)."""
     if not signs:
         return F.lit(0).cast("bigint")
+    # one bigint holds ≤ SIGNATURE_WORD_BITS sign bits — wider
+    # signatures go through hyperplane_bucket_words_arrow
+    assert len(signs) <= SIGNATURE_WORD_BITS, len(signs)
     import numpy as np
     import pandas as pd
 
@@ -425,11 +461,135 @@ def hyperplane_bucket_arrow(vec_col: Column, signs) -> Column:
 
     @F.pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float64)
+        m = _vector_matrix(v, s_t.shape[0])
         bits = (m @ s_t) + 1e-9 >= 0
         return pd.Series((bits * pows).sum(axis=1).astype(np.int64))
 
     return _bucket(vec_col)
+
+
+def _vector_matrix(v, dim: int):
+    """Batch-of-embeddings → (n, dim) float64 matrix for the Arrow
+    signature kernels. The fast path is one np.asarray over the
+    uniform-width batch; a batch with ragged or short rows (which
+    np.asarray would turn into an object array, crashing the matmul
+    with an opaque shape error) falls back to explicit pad/truncate
+    with 0-fill — the same semantics as the declarative twin and the
+    oracle's ``r.i <= len(embedding)`` guard, where a missing
+    dimension contributes 0 to every plane dot."""
+    import numpy as np
+
+    rows = v.tolist()
+    try:
+        m = np.asarray(rows, dtype=np.float64)
+        if m.ndim == 2 and m.shape[1] == dim:
+            return m
+    except ValueError:
+        pass
+    m = np.zeros((len(rows), dim), dtype=np.float64)
+    for i, row in enumerate(rows):
+        a = np.asarray(row[:dim], dtype=np.float64)
+        m[i, : a.shape[0]] = a
+    return m
+
+
+def signature_n_words(
+    n_planes: int, word_bits: int = SIGNATURE_WORD_BITS
+) -> int:
+    """Words of a wide signature: ceil(P / word_bits), minimum 1."""
+    return max(1, -(-n_planes // word_bits))
+
+
+def hyperplane_bucket_words(
+    vec_col: Column, signs, word_bits: int = SIGNATURE_WORD_BITS
+) -> Column:
+    """Multi-word wide signature — the r9 extension past the one-
+    bigint 60-plane cap (SCALING.md §7c, the measured binding
+    constraint at the 100× lake): word w carries the sign bits of
+    planes [w·word_bits, (w+1)·word_bits) as one bigint, so a
+    P-plane signature is an ARRAY of ceil(P/60) bigints. Declarative
+    reference form — each word is one :func:`hyperplane_bucket` over
+    its plane slice (same per-plane IEEE dot + 1e-9 nudge), and the
+    SQL oracle restates each word as an independent CASE·2^(p−60w)
+    sum. Word 0 of a words signature is BIT-IDENTICAL to the legacy
+    single-bigint bucket over the first min(P, 60) planes."""
+    n_words = signature_n_words(len(signs), word_bits)
+    return F.array(
+        *[
+            hyperplane_bucket(
+                vec_col, signs[w * word_bits : (w + 1) * word_bits]
+            )
+            for w in range(n_words)
+        ]
+    )
+
+
+def hyperplane_bucket_words_arrow(
+    vec_col: Column, signs, word_bits: int = SIGNATURE_WORD_BITS
+) -> Column:
+    """Arrow-vectorized twin of :func:`hyperplane_bucket_words`: the
+    sign-bit matrix comes from ONE numpy matmul per batch (the
+    :func:`hyperplane_bucket_arrow` kernel shape — measured 23× on
+    the signature stage at 200 k vectors), then folds into per-word
+    bigints. Same +1e-9 nudge, same word layout; the expression form
+    stays the parity-tested declarative reference."""
+    import numpy as np
+    import pandas as pd
+
+    n_words = signature_n_words(len(signs), word_bits)
+    if not signs:
+        return F.array(F.lit(0).cast("bigint"))
+    s_t = np.asarray(signs, dtype=np.float64).T  # (dim, P)
+    word_pows = [
+        (
+            w * word_bits,
+            min(len(signs), (w + 1) * word_bits) - w * word_bits,
+        )
+        for w in range(n_words)
+    ]
+
+    @F.pandas_udf("array<long>")
+    def _bucket_words(v: pd.Series) -> pd.Series:
+        m = _vector_matrix(v, s_t.shape[0])
+        bits = (m @ s_t) + 1e-9 >= 0
+        words = [
+            (
+                bits[:, off : off + width]
+                * (1 << np.arange(width, dtype=np.int64))
+            ).sum(axis=1)
+            for off, width in word_pows
+        ]
+        stacked = np.stack(words, axis=1).astype(np.int64)
+        return pd.Series(list(stacked))
+
+    return _bucket_words(vec_col)
+
+
+def band_key_words(
+    word_cols: list[Column],
+    off: int,
+    width: int,
+    word_bits: int = SIGNATURE_WORD_BITS,
+) -> Column:
+    """Bit-slice [off, off+width) of a multi-word signature as one
+    bigint band key. ``off``/``width`` are Python literals (the
+    driver-side band layout), so word selection and the straddle
+    split are resolved at plan-build time: a band lies in one word,
+    or spans exactly two (width ≤ 31 < word_bits). The SQL oracle
+    restates the same split with CASE arithmetic over the same
+    layout scalars."""
+    lo_word = off // word_bits
+    lo_off = off % word_bits
+    lo_bits = min(word_bits - lo_off, width)
+    key = F.shiftright(word_cols[lo_word], lo_off).bitwiseAND(
+        F.lit((1 << lo_bits) - 1).cast("bigint")
+    )
+    if width > lo_bits:  # straddles into the next word
+        hi = word_cols[lo_word + 1].bitwiseAND(
+            F.lit((1 << (width - lo_bits)) - 1).cast("bigint")
+        )
+        key = key + F.shiftleft(hi, lo_bits)
+    return key
 
 
 def near_dup_pairs_hyperplane(
@@ -465,6 +625,9 @@ def near_dup_pairs_hyperplane(
     if signs is None:
         n = df.count()
         p, r = fractional_split(n, target_bucket=target_bucket)
+        # the fractional key always fits ONE bigint word: p = Q//4
+        # ≤ MAX_QUARTER_STEPS//4 = 30 planes + the extension bit
+        assert p + 1 <= SIGNATURE_WORD_BITS, (p, SIGNATURE_WORD_BITS)
         # r = 0 never keys on the extension bit — skip its plane (the
         # signature is the dominant per-row cost; one unused plane is
         # +1/p of it for nothing)
@@ -590,6 +753,8 @@ def near_dup_pairs_multiprobe(
     guard never binds at any tested SF (oracle unaffected)."""
     p = len(signs) if prefix_planes is None else prefix_planes
     r = split_r
+    # single-bigint signature by construction: p ≤ MAX_QUARTER_STEPS//4
+    assert p + 1 <= SIGNATURE_WORD_BITS and len(signs) <= SIGNATURE_WORD_BITS
     hp = hyperplane_bucket_arrow(F.col(vec_col), signs)
     bucketed = df.select(
         F.col(id_col),
@@ -711,13 +876,22 @@ def near_dup_pairs_banded(
         for w in widths:
             layout.append((off, w))
             off += w
+    # the signature may exceed one bigint word (total planes = the
+    # full quarter-step count Q ≤ MAX_QUARTER_STEPS) — carry it as
+    # ceil(P/60) words and slice band keys across the word boundary
     bucketed = _cache_signatures(
         df.select(
             F.col(id_col),
             F.col(vec_col),
-            hyperplane_bucket_arrow(F.col(vec_col), signs).alias("hp"),
+            hyperplane_bucket_words_arrow(F.col(vec_col), signs).alias(
+                "hpw"
+            ),
         )
     )
+    words = [
+        F.element_at("hpw", w + 1)
+        for w in range(signature_n_words(len(signs)))
+    ]
     keyed = bucketed.select(
         F.col(id_col),
         F.col(vec_col),
@@ -726,9 +900,7 @@ def near_dup_pairs_banded(
                 *[
                     F.struct(
                         F.lit(r).alias("band"),
-                        F.shiftright("hp", off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("key"),
+                        band_key_words(words, off, w).alias("key"),
                     )
                     for r, (off, w) in enumerate(layout)
                 ]

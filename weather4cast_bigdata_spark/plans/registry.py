@@ -1570,7 +1570,7 @@ def _fractional_signs(emb):
 
 def _multiprobe_signs(emb):
     """Fan-out-normalized split for the multiprobe query: work/row
-    = (p+2)·depth held at the 104 work target
+    = (p+2)·depth held at the MULTIPROBE_WORK_TARGET (80) work target
     (similarity.fractional_split_multiprobe), so the probe join's
     cost per row stays constant as the corpus grows instead of
     drifting by the log-n fan-out."""
@@ -1597,7 +1597,8 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
     signatures; verification is the shared rounded-cosine cut.
     Resolution is additionally FAN-OUT-NORMALIZED (the residual
     super-linearity after the sawtooth fix): the (p, r) split holds
-    (p+2)·depth — probe work per row — at the 104 work target
+    (p+2)·depth — probe work per row — at the
+    MULTIPROBE_WORK_TARGET (80) work target
     instead of holding depth alone, so the measured 3× ratio stays
     ~linear instead of drifting by the log-n fan-out."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1610,7 +1611,9 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
 def _banded_signs(emb, n_bands: int = 4):
     """Plane matrix + fractional band layout for the banded
     construction: total plane count from the 1/4-step chain
-    (adaptive_total_planes, 60-bit cap inside), split by
+    (adaptive_total_planes, MAX_QUARTER_STEPS=120 cap — two bigint
+    words past 60 planes, the r9 extension of the measured 60-bit
+    cap, SCALING.md §7c), split by
     similarity.band_layout into W/W+1 (offset, width) slices — one
     extra data octave moves ONE band by one plane, so candidate work
     steps by ~2^(1/4) instead of the integral chain's 2× (the
@@ -1623,7 +1626,7 @@ def _banded_signs(emb, n_bands: int = 4):
     defined."""
     n = emb.count()
     total = similarity.adaptive_total_planes(
-        n, n_bands=n_bands, target_bucket=8, max_total=60
+        n, n_bands=n_bands, target_bucket=8
     )
     layout = similarity.band_layout(total, n_bands)
     p, r = similarity.fractional_split(n, n_bands=n_bands, target_bucket=8)
@@ -1691,15 +1694,22 @@ def q_sim_lsh_recall(spark, sf_dir):
     signs4, layout, (p_, r_), (p2_, r2_) = _banded_signs(emb)
     mask = F.lit((1 << p_) - 1).cast("bigint")
     mask2 = F.lit((1 << p2_) - 1).cast("bigint")
+    # the wide signature may span two bigint words past 60 planes
+    # (the r9 cap extension); the single-signature reads below touch
+    # only word 0 (p, p2 ≤ 30 by construction), the band slices may
+    # straddle the word boundary
+    n_words = similarity.signature_n_words(len(signs4))
     sig = emb.select(
         "vec_id",
         "embedding",
-        similarity.hyperplane_bucket_arrow(F.col("embedding"), signs4).alias("hp"),
+        similarity.hyperplane_bucket_words_arrow(
+            F.col("embedding"), signs4
+        ).alias("hpw"),
     )
     q = sig.where(F.col("vec_id") % 23 == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("qv_raw"),
-        F.col("hp").alias("hq"),
+        F.col("hpw").alias("hqw"),
     )
     from weather4cast_bigdata_spark.functions.arrays import cosine, to_double_array
     from weather4cast_bigdata_spark.partitioning import ensure_min_parallelism
@@ -1711,7 +1721,7 @@ def q_sim_lsh_recall(spark, sf_dir):
         sig.select(
             F.col("vec_id").alias("b_id"),
             F.col("embedding").alias("cv_raw"),
-            F.col("hp").alias("hc"),
+            F.col("hpw").alias("hcw"),
         )
     )
     scored = (
@@ -1720,8 +1730,8 @@ def q_sim_lsh_recall(spark, sf_dir):
         .select(
             "a_id",
             "b_id",
-            "hq",
-            "hc",
+            "hqw",
+            "hcw",
             F.round(
                 cosine(
                     to_double_array(F.col("qv_raw")),
@@ -1733,23 +1743,30 @@ def q_sim_lsh_recall(spark, sf_dir):
         )
     )
     truth = scored.where(F.col("cos_sim") >= F.lit(0.2))
-    x = F.col("hq").bitwiseXOR(F.col("hc"))
-    xp = x.bitwiseAND(mask)
-    merged_q = (F.col("hq").bitwiseAND(mask) % 4) >= F.lit(r_)
-    ext_same = F.shiftright(x, p_).bitwiseAND(F.lit(1).cast("bigint")) == 0
+    hq0 = F.element_at("hqw", 1)
+    hc0 = F.element_at("hcw", 1)
+    xw = [
+        F.element_at("hqw", w + 1).bitwiseXOR(F.element_at("hcw", w + 1))
+        for w in range(n_words)
+    ]
+    x0 = xw[0]
+    xp = x0.bitwiseAND(mask)
+    merged_q = (hq0.bitwiseAND(mask) % 4) >= F.lit(r_)
+    ext_same = F.shiftright(x0, p_).bitwiseAND(F.lit(1).cast("bigint")) == 0
     hit_exact = F.when((xp == 0) & (merged_q | ext_same), 1).otherwise(0)
-    xp2 = x.bitwiseAND(mask2)
-    merged2_q = (F.col("hq").bitwiseAND(mask2) % 4) >= F.lit(r2_)
-    merged2_c = (F.col("hc").bitwiseAND(mask2) % 4) >= F.lit(r2_)
-    ext2_same = F.shiftright(x, p2_).bitwiseAND(F.lit(1).cast("bigint")) == 0
+    xp2 = x0.bitwiseAND(mask2)
+    merged2_q = (hq0.bitwiseAND(mask2) % 4) >= F.lit(r2_)
+    merged2_c = (hc0.bitwiseAND(mask2) % 4) >= F.lit(r2_)
+    ext2_same = F.shiftright(x0, p2_).bitwiseAND(F.lit(1).cast("bigint")) == 0
     hit_probe = F.when(
         (xp2 == 0)
         | ((F.bit_count(xp2) == 1) & (merged2_q | merged2_c | ext2_same)),
         1,
     ).otherwise(0)
+    # a band key slice of the XOR is 0 ⟺ the two band keys match —
+    # the same word-straddling extraction the candidate query uses
     band_zero = [
-        F.shiftright(x, off).bitwiseAND(F.lit((1 << w) - 1).cast("bigint")) == 0
-        for off, w in layout
+        similarity.band_key_words(xw, off, w) == 0 for off, w in layout
     ]
     hit_banded = F.when(
         band_zero[0] | band_zero[1] | band_zero[2] | band_zero[3], 1

@@ -90,13 +90,15 @@ _COSINE_SQL = """
 """
 
 # Deterministic ±1 hyperplane matrix, embedded at its MAXIMUM
-# resolution (24 planes — enough for ~134M rows at target depth 8);
-# each oracle selects its adaptive prefix pl.p < n_planes where
-# n_planes is derived from count(*) by the same integer-comparison
-# chain the Spark plan evaluates (similarity.adaptive_n_planes /
-# adaptive_n_planes_sql), so plan and oracle share both the planes
-# and the resolution bit-exactly at every corpus size.
-_HP_MAX_PLANES = 24
+# resolution (32 planes — the single-signature families read at most
+# Q//4 + 1 = 31 planes at the MAX_QUARTER_STEPS=120 cap, ~7×10⁹
+# rows); each oracle selects its adaptive prefix pl.p < n_planes
+# where n_planes is derived from count(*) by the same
+# integer-comparison chain the Spark plan evaluates
+# (similarity.adaptive_n_planes / adaptive_n_planes_sql), so plan and
+# oracle share both the planes and the resolution bit-exactly at
+# every corpus size.
+_HP_MAX_PLANES = 32
 _HP_SIGNS = similarity.hyperplane_signs(_HP_MAX_PLANES, 64)
 
 _HP_PLANES_SQL = "\n        UNION ALL ".join(
@@ -117,7 +119,7 @@ _HP_NP250_SQL = similarity.adaptive_n_planes_sql(
 # (band widths W/W+1 summing to q) and, since r8, the
 # single-signature family through the (fp, fr) = (q//4, q%4) split.
 _HP_Q_SQL = similarity.adaptive_total_planes_sql(
-    "SELECT count(*) FROM embeddings", n_bands=4, target_bucket=8, max_total=60
+    "SELECT count(*) FROM embeddings", n_bands=4, target_bucket=8
 )
 
 # Fan-out-normalized quarter-step total for the MULTIPROBE split:
@@ -125,7 +127,7 @@ _HP_Q_SQL = similarity.adaptive_total_planes_sql(
 # the probe fan-out p1+2 against work-target thresholds, so
 # (p+2)·depth stays constant (similarity.fractional_split_multiprobe).
 _HP_Q2_SQL = similarity.fractional_split_multiprobe_sql(
-    "SELECT count(*) FROM embeddings", n_bands=4, max_total=60
+    "SELECT count(*) FROM embeddings", n_bands=4
 )
 
 
@@ -2490,12 +2492,16 @@ f"""
 
 
 
-# Wider master plane table for the BANDED construction (fractional
-# total ≤ 60 planes keeps the full signature inside 60 bits of the
-# bigint bucket; 96 rows cover it with margin).
-_HP_SIGNS96 = similarity.hyperplane_signs(96, 64)
-_HP_PLANES96_SQL = "\n        UNION ALL ".join(
-    f"SELECT {p} AS p, {list(s_)} AS s" for p, s_ in enumerate(_HP_SIGNS96)
+# Wider master plane table for the BANDED construction: the
+# fractional total runs to MAX_QUARTER_STEPS = 120 planes (the r9
+# two-word extension of the measured 60-bit single-bigint cap,
+# SCALING.md §7c), carried as TWO bigint words — word 0 holds planes
+# [0, 60), word 1 holds [60, 120).
+_HP_SIGNS_WIDE = similarity.hyperplane_signs(
+    similarity.MAX_QUARTER_STEPS, 64
+)
+_HP_PLANES_WIDE_SQL = "\n        UNION ALL ".join(
+    f"SELECT {p} AS p, {list(s_)} AS s" for p, s_ in enumerate(_HP_SIGNS_WIDE)
 )
 
 # Band layout restated in SQL from the scalar q: band b covers the
@@ -2510,22 +2516,44 @@ def _band_w_sql(b: str, q: str = "qv.q") -> str:
     return f"(({q} // 4) + (CASE WHEN {b} < {q} % 4 THEN 1 ELSE 0 END))"
 
 
+def _band_key2_sql(hp0: str, hp1: str, b: str, q: str) -> str:
+    """Band key of a TWO-WORD signature — the SQL restatement of
+    similarity.band_key_words at SIGNATURE_WORD_BITS = 60: the low
+    part comes from word 0 when the band starts below bit 60, the
+    high part (when the band straddles or lies past the boundary)
+    from word 1, shifted into place. Offsets/widths are the same
+    q-derived scalars as the one-word form; lo = the bits the band
+    takes from word 0 (0 when off ≥ 60, all of them when
+    off + w ≤ 60)."""
+    off = _band_off_sql(b, q)
+    w = _band_w_sql(b, q)
+    lo = f"greatest(0, least(60 - {off}, {w}))"
+    return (
+        f"((CASE WHEN {off} < 60 THEN ({hp0} >> {off}) ELSE 0 END)"
+        f" & ((1::BIGINT << {lo}) - 1))"
+        f" + ((({hp1} >> greatest({off} - 60, 0))"
+        f" & ((1::BIGINT << ({w} - {lo})) - 1)) << {lo})"
+    )
+
+
 # Banded signature CTE: qv carries the fractional TOTAL plane count
 # (q2v the fan-out-normalized multiprobe total); the signature covers
 # greatest(q, q//4 + 1, q2//4 + 1) planes so the band slices and both
 # of the recall harness's single-signature reads — exact via (fp, fr),
 # probe via the normalized (fp2, fr2) — are defined off one bucket
-# value.
+# value. TWO words (the r9 cap extension): hp0 carries planes
+# [0, 60), hp1 carries [60, 120) — the restatement of
+# similarity.hyperplane_bucket_words at SIGNATURE_WORD_BITS = 60.
 _HP_SIG4_CTE = f"""
     qv AS (SELECT {_HP_Q_SQL} AS q),
     q2v AS (SELECT {_HP_Q2_SQL} AS q2),
-    planes96 AS (
-        {_HP_PLANES96_SQL}
+    planes_wide AS (
+        {_HP_PLANES_WIDE_SQL}
     ),
     dots4 AS (
         SELECT e.vec_id, pl.p,
                sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
-        FROM embeddings e, planes96 pl, (SELECT unnest(range(1, 65)) AS i) r
+        FROM embeddings e, planes_wide pl, (SELECT unnest(range(1, 65)) AS i) r
         WHERE r.i <= len(e.embedding)
           AND pl.p < greatest((SELECT q FROM qv),
                               (SELECT q FROM qv) // 4 + 1,
@@ -2534,7 +2562,10 @@ _HP_SIG4_CTE = f"""
     ),
     bucketed4 AS (
         SELECT vec_id,
-               sum(CASE WHEN dot + 1e-9 >= 0 THEN 1::BIGINT << p ELSE 0 END) AS hp
+               sum(CASE WHEN dot + 1e-9 >= 0 AND p < 60
+                        THEN 1::BIGINT << p ELSE 0 END) AS hp0,
+               sum(CASE WHEN dot + 1e-9 >= 0 AND p >= 60
+                        THEN 1::BIGINT << (p - 60) ELSE 0 END) AS hp1
         FROM dots4 GROUP BY 1
     )
 """
@@ -2549,8 +2580,7 @@ f"""
     WITH {_HP_SIG4_CTE},
     bands AS (
         SELECT b.vec_id, r.band,
-               ((b.hp >> {_band_off_sql("r.band", "qb.q")})
-                & ((1::BIGINT << {_band_w_sql("r.band", "qb.q")}) - 1)) AS key
+               {_band_key2_sql("b.hp0", "b.hp1", "r.band", "qb.q")} AS key
         FROM bucketed4 b, (SELECT unnest(range(4)) AS band) r, qv AS qb
     ),
     cand AS (
@@ -2574,15 +2604,17 @@ f"""
 ORACLES["sim_lsh_recall"] = (
 f"""
     WITH {_HP_SIG4_CTE},
-    q AS (SELECT e.vec_id AS a_id, e.embedding::DOUBLE[] AS qv, b.hp AS hq
+    q AS (SELECT e.vec_id AS a_id, e.embedding::DOUBLE[] AS qv,
+                 b.hp0 AS hq0, b.hp1 AS hq1
           FROM embeddings e JOIN bucketed4 b USING (vec_id)
           WHERE e.vec_id % 23 = 0),
-    c AS (SELECT e.vec_id AS b_id, e.embedding::DOUBLE[] AS cv, b.hp AS hc
+    c AS (SELECT e.vec_id AS b_id, e.embedding::DOUBLE[] AS cv,
+                 b.hp0 AS hc0, b.hp1 AS hc1
           FROM embeddings e JOIN bucketed4 b USING (vec_id)),
     dots AS (
         -- list_dot_product: linear in sample x corpus pairs (the
         -- unnest-per-dimension form cost pairs x 64 rows)
-        SELECT a_id, b_id, hq, hc,
+        SELECT a_id, b_id, hq0, hq1, hc0, hc1,
                list_dot_product(qv, cv) AS dot,
                sqrt(list_dot_product(qv, qv)) AS nq,
                sqrt(list_dot_product(cv, cv)) AS nc
@@ -2590,34 +2622,39 @@ f"""
         WHERE a_id != b_id
     ),
     truth AS (
-        SELECT a_id, b_id, hq, hc, xor(hq, hc) AS x,
+        SELECT a_id, b_id, hq0, hc0,
+               xor(hq0, hc0) AS x0, xor(hq1, hc1) AS x1,
                (SELECT q FROM qv) // 4 AS fp,
                (SELECT q FROM qv) % 4 AS fr,
                (SELECT q2 FROM q2v) // 4 AS fp2,
                (SELECT q2 FROM q2v) % 4 AS fr2,
                (SELECT q FROM qv) AS q FROM (
-            SELECT a_id, b_id, hq, hc,
+            SELECT a_id, b_id, hq0, hq1, hc0, hc1,
                    round(dot / (greatest(nq, 1e-300) * greatest(nc, 1e-300)) + 1e-9, 6) AS cos_sim
             FROM dots
         ) WHERE cos_sim >= 0.2
     ),
     -- exact membership restated with the depth-constant (fp, fr)
     -- split; probe membership with the fan-out-normalized
-    -- (fp2, fr2) split — the same rules the candidate queries use
+    -- (fp2, fr2) split — the same rules the candidate queries use.
+    -- Both single-signature reads touch WORD 0 only (fp, fp2 ≤ 30
+    -- by construction); the band hit slices the XOR words with the
+    -- same straddle extraction the banded candidate query uses
+    -- (a slice of the XOR is 0 ⟺ the band keys match).
     hits AS (
         SELECT
-            CASE WHEN (x & ((1::BIGINT << fp) - 1)) = 0
-                  AND (((hq & ((1::BIGINT << fp) - 1)) % 4) >= fr
-                       OR ((x >> fp) & 1) = 0)
+            CASE WHEN (x0 & ((1::BIGINT << fp) - 1)) = 0
+                  AND (((hq0 & ((1::BIGINT << fp) - 1)) % 4) >= fr
+                       OR ((x0 >> fp) & 1) = 0)
                  THEN 1 ELSE 0 END AS he,
-            CASE WHEN (x & ((1::BIGINT << fp2) - 1)) = 0
-                  OR (bit_count(x & ((1::BIGINT << fp2) - 1)) = 1
-                      AND (((hq & ((1::BIGINT << fp2) - 1)) % 4) >= fr2
-                           OR ((hc & ((1::BIGINT << fp2) - 1)) % 4) >= fr2
-                           OR ((x >> fp2) & 1) = 0))
+            CASE WHEN (x0 & ((1::BIGINT << fp2) - 1)) = 0
+                  OR (bit_count(x0 & ((1::BIGINT << fp2) - 1)) = 1
+                      AND (((hq0 & ((1::BIGINT << fp2) - 1)) % 4) >= fr2
+                           OR ((hc0 & ((1::BIGINT << fp2) - 1)) % 4) >= fr2
+                           OR ((x0 >> fp2) & 1) = 0))
                  THEN 1 ELSE 0 END AS hp_,
             CASE WHEN {" OR ".join(
-                f"((x >> {_band_off_sql(b, 'q')}) & ((1::BIGINT << {_band_w_sql(b, 'q')}) - 1)) = 0"
+                f"({_band_key2_sql('x0', 'x1', b, 'q')}) = 0"
                 for b in ("0", "1", "2", "3")
             )}
                  THEN 1 ELSE 0 END AS hb
