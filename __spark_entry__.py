@@ -26,80 +26,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_evaluate(spark, "/root/testdata/sf0.001")
 
 
-# Verification rotation (round 8): rounds 1-7 driver-checked 200
-# registry queries cumulatively, 0 value failures ever.  Round 8's
-# first-50 window: (1) the NEW query (dedup_minhash_recall) and the
-# four LSH queries whose SEMANTICS/ORACLES changed this round (the
-# fractional (p, r) split replacing the integral chain — three of
-# them also never driver-verified before), (2) the two r3-stale
-# deferrals (window_sessionize, solve_ridge_verified — after these,
-# every oracle-bearing query has a driver-green row at least once),
-# (3) dedup_jaccard_prefix (implementation changed: PPJoin index
-# prefix + df>1 prune; oracle unchanged), then (4) 42 of the 49
-# remaining r4-green entries — after r8 nothing oracle-bearing is
-# older than r4, and the 7 r4 leftovers lead r9:
-# sim_ivf_recall, udf_vectorized_kernel, text_top_ngram_char_frac,
-# scan_binary_roundtrip_verified, project_pivot_wide,
-# partition_subset_select, shuffle_seeded_verified.
-# The 8 genuinely rows-only entries (RNG order / sketch estimates /
+# Verification rotation (round 9): cumulatively 204 distinct queries
+# driver-checked across 8 rounds, 0 value failures ever. Round 9's
+# first-50 window: (1) the 5 queries whose PLANS changed this round —
+# the LSH family (MAX_QUARTER_STEPS=120 two-word cap extension, the
+# small-n signature/verify policy, the census-gated BLAS verify tail
+# for sim_hyperplane_lsh) and dedup_embedding_cosine (auto signature
+# kernel); (2) the 7 r4 leftovers — after these, no query's latest
+# driver green predates r5 (VERDICT r8 item 6); (3) 38 of the 50
+# entries whose latest green is r5 (the oldest remaining cohort; the
+# 12 leftovers — day_boundary_correct, argmin_checkpoint, sort_time,
+# set_intersect, set_distinct, agg_rollup, agg_cube,
+# agg_grouping_sets, agg_percentile, agg_salted,
+# quality_model_filter_verified, sink_submission_h5 — lead r10).
+# The genuinely rows-only entries (RNG order / sketch estimates /
 # k-means training / RNG fixtures) stay pinned to the END of the
 # ordering so they never burn a window slot — each is covered by a
 # hash-verified sibling or invariant tests
 # (tests/test_registry_oracle.py re-checks every rotated-out query
 # with the same dtype-strict compare each session).
-_ROUND8_PRIORITY = [
-    # -- new in r8 / changed semantics / never driver-verified ----------
-    "dedup_minhash_recall",
-    "sim_lsh_multiprobe",
-    "sim_lsh_recall",
-    "sim_lsh_banded",
+_ROUND9_PRIORITY = [
     "sim_hyperplane_lsh",
-    "window_sessionize",
-    "solve_ridge_verified",
-    "dedup_jaccard_prefix",
-    # -- re-verification: 42 of the 49 remaining r4-green entries --------
-    "embed_pq_codes",
-    "graph_pagerank_verified",
-    "text_url_dedup",
-    "agg_approx_distinct_verified",
-    "sample_weighted_priority",
-    "multimodal_audio_features",
-    "sink_lsh_index",
-    "streaming_lsh_ingest",
-    "scan_netcdf_decode",
-    "dedup_simhash_hamming",
-    "text_dsir_weights",
-    "multimodal_plumbing_verified",
-    "flagship_evaluate",
-    "text_dup_line_fraction",
-    "sample_dsir_resample",
-    "text_perplexity_buckets",
-    "scan_static_netcdf",
-    "join_asof_offset",
-    "sample_random_crop",
-    "scan_static_raw",
-    "dedup_semantic_verified",
-    "sim_pq_adc_topk",
-    "quantize_halfeven_parity",
-    "join_time_intersect",
-    "curation_quality_gate",
-    "join_static_broadcast",
-    "join_fallback_day",
-    "cache_decoded",
-    "multimodal_image_features",
-    "sim_ivfpq_topk",
-    "text_decontaminate_bloom",
-    "sink_quantized_partitioned",
-    "udf_scatter_roundtrip_verified",
-    "text_heavy_hitters_cms",
-    "solve_ridge_sum1_verified",
-    "sink_ivfpq_index",
-    "text_c4_rules",
-    "scan_orc_roundtrip",
-    "text_line_dedup_global",
-    "text_gopher_rules",
-    "sink_dsir_model",
-    "sample_unimax",
+    "sim_lsh_multiprobe",
+    "sim_lsh_banded",
+    "sim_lsh_recall",
+    "dedup_embedding_cosine",
+    "sim_ivf_recall",
+    "udf_vectorized_kernel",
+    "text_top_ngram_char_frac",
+    "scan_binary_roundtrip_verified",
+    "project_pivot_wide",
+    "partition_subset_select",
+    "shuffle_seeded_verified",
+    "scan_file_index",
+    "scan_fallback_source",
+    "project_minmax_normalize",
+    "predicate_fill_detect",
+    "impute_mean_nonfill",
+    "impute_constant",
+    "project_affine_geo",
+    "project_clamp_scale",
+    "project_log_clamp",
+    "project_logit",
+    "project_normlogit",
+    "project_inv_normlogit",
+    "project_quantize",
+    "project_channel_select",
+    "conditional_where",
+    "filter_region_membership",
+    "filter_valid_sequence",
+    "predicate_rain_event",
+    "join_multichannel",
+    "join_frame_lookup",
+    "join_ensemble_align",
+    "udf_ensemble_blend",
+    "agg_mean_nonfill",
+    "agg_global_max",
+    "agg_bool_any",
+    "agg_mse",
+    "agg_rounded_mse",
+    "agg_normlogit_mse",
+    "agg_weighted_multiloss",
+    "agg_gram_matrix",
+    "agg_running_mean",
+    "agg_correlation_matrix",
+    "agg_count_sequences",
+    "agg_distinct_times",
+    "window_past_sequence",
+    "window_future_horizon",
+    "interval_arith",
+    "window_prev_day_fallback",
     # ---- 50-entry window boundary ------------------------------------
 ]
 
@@ -113,7 +109,7 @@ _ROWS_ONLY_LAST = sorted(ROWS_ONLY)
 def _ordered_names() -> list[str]:
     seen = set()
     ordered: list[str] = []
-    for name in _ROUND8_PRIORITY:
+    for name in _ROUND9_PRIORITY:
         if name in REGISTRY and name not in seen:
             ordered.append(name)
             seen.add(name)

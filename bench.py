@@ -7,12 +7,18 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Each query is forced with the noop sink (full execution, no driver
 collect), measured after a one-query JVM warm-up. Per query we
-record n>=3 round-robin samples and report the best: the warm-up
-run pays one-off whole-stage codegen compilation and JIT for that
-plan, the min is the steady-state throughput a long-running cluster
-sustains, and the persisted per-query sample distributions expose
-run-to-run GC/scheduling noise instead of letting it masquerade as
-a regression across rounds.
+record n>=3 samples and report the best: the warm-up run pays
+one-off whole-stage codegen compilation and JIT for that plan, the
+min is the steady-state throughput a long-running cluster sustains,
+and the persisted per-query sample distributions expose run-to-run
+GC/scheduling noise instead of letting it masquerade as a
+regression across rounds.
+
+The DEFAULT protocol is fresh-process — one JVM per query (plus one
+for the canaries) — since r9: pooled sessions measured up to 2.6×
+inflation from unreclaimed shuffle state (SCALING.md §7), so the
+committed per-round record must be load-proof. `--pooled` keeps the
+cheaper single-session mode for iteration.
 """
 
 from __future__ import annotations
@@ -248,9 +254,15 @@ def main() -> None:
     if "--one" in sys.argv:  # --fresh-process child
         _run_one(sys.argv[sys.argv.index("--one") + 1], sf_dir, n_runs)
         return
-    fresh = (
-        "--fresh-process" in sys.argv
-        or os.environ.get("SPARK_GRAFT_BENCH_FRESH") == "1"
+    # Fresh-process is the DEFAULT (VERDICT r8 item 3): one JVM per
+    # query, so session-state accumulation cannot leak between
+    # queries — SCALING.md §7 measured pooled sessions inflating
+    # later queries up to 2.6×, which makes pooled records
+    # non-load-proof. `--pooled` (or SPARK_GRAFT_BENCH_FRESH=0)
+    # restores the cheaper pooled session for iteration.
+    fresh = not (
+        "--pooled" in sys.argv
+        or os.environ.get("SPARK_GRAFT_BENCH_FRESH") == "0"
     )
 
     if fresh:

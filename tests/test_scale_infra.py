@@ -1223,3 +1223,45 @@ def test_banded_near_dup_two_word_parity(spark):
             if round(cos + 1e-9, 6) >= 0.2:
                 want.add((a, b))
     assert got == want and len(want) > 0
+
+
+def test_hyperplane_verify_paths_identical(spark, monkeypatch):
+    """near_dup_pairs_hyperplane's two verify tails — the HOF join
+    (small corpora / the declarative reference) and the census-gated
+    BLAS block-pair path (the r9 answer to the Σdepth² weak flag,
+    SCALING.md §7c) — must emit the IDENTICAL pair set with identical
+    rounded cosines. The BLAS path normalizes before the matmul, so
+    this also pins the round-6 + 1e-9 nudge as sufficient tolerance
+    for the float-order difference."""
+    import random
+
+    import numpy as np
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(31)
+    dim = 16
+    centers = [
+        np.array([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(8)
+    ]
+    vecs = [
+        centers[i % 8] + np.array([rng.gauss(0, 0.05) for _ in range(dim)])
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+
+    def run():
+        return {
+            (r["a_id"], r["b_id"]): r["cos_sim"]
+            for r in similarity.near_dup_pairs_hyperplane(
+                df, threshold=0.2, dim=dim, target_bucket=8
+            ).collect()
+        }
+
+    hof = run()  # 240 < ARROW_SIGNATURE_MIN_ROWS -> expression + HOF join
+    monkeypatch.setattr(similarity, "ARROW_SIGNATURE_MIN_ROWS", 1)
+    blas = run()  # forced Arrow signature + BLAS block-pair verify
+    assert hof == blas and len(hof) > 0

@@ -500,6 +500,40 @@ def signature_n_words(
     return max(1, -(-n_planes // word_bits))
 
 
+#: Corpus size where the Arrow signature kernel starts to win. The
+#: pandas_udf round-trip is a FIXED per-query cost (~0.2-0.4 s at
+#: local[32]) that regressed the 2 k-vector bench rows 15-45% in r8
+#: while winning 23× on the signature stage at 200 k vectors
+#: (SCALING.md §7c); below this row count the declarative
+#: higher-order-function form — the form the SQL oracle textually
+#: mirrors, parity-pinned against the kernel — is both faster and
+#: simpler. 10 k ≈ where the interpreted per-row cost (p·dim HOF ops
+#: × rows) first exceeds the kernel's fixed overhead with margin.
+ARROW_SIGNATURE_MIN_ROWS = 10_000
+
+
+def hyperplane_bucket_auto(
+    vec_col: Column, signs, n_rows: int | None
+) -> Column:
+    """Signature-form policy (VERDICT r8 item 5): the Arrow matmul
+    kernel for corpora at or past ARROW_SIGNATURE_MIN_ROWS (or when
+    the size is unknown — the scale-safe default), the expression
+    form below it. Both forms are bit-identical by the parity test;
+    this only picks the cheaper engine for the size."""
+    if n_rows is not None and n_rows < ARROW_SIGNATURE_MIN_ROWS:
+        return hyperplane_bucket(vec_col, signs)
+    return hyperplane_bucket_arrow(vec_col, signs)
+
+
+def hyperplane_bucket_words_auto(
+    vec_col: Column, signs, n_rows: int | None
+) -> Column:
+    """Multi-word twin of :func:`hyperplane_bucket_auto`."""
+    if n_rows is not None and n_rows < ARROW_SIGNATURE_MIN_ROWS:
+        return hyperplane_bucket_words(vec_col, signs)
+    return hyperplane_bucket_words_arrow(vec_col, signs)
+
+
 def hyperplane_bucket_words(
     vec_col: Column, signs, word_bits: int = SIGNATURE_WORD_BITS
 ) -> Column:
@@ -622,6 +656,7 @@ def near_dup_pairs_hyperplane(
     ``signs`` keeps the legacy exact-collision-on-len(signs)-planes
     semantics (used by callers that manage their own resolution,
     e.g. the label-composite dedup_embedding_cosine)."""
+    n = None
     if signs is None:
         n = df.count()
         p, r = fractional_split(n, target_bucket=target_bucket)
@@ -633,15 +668,42 @@ def near_dup_pairs_hyperplane(
         # +1/p of it for nothing)
         signs = hyperplane_signs(p + (1 if r else 0), dim)
         key = fractional_key(
-            hyperplane_bucket_arrow(F.col(vec_col), signs), p, r
+            hyperplane_bucket_auto(F.col(vec_col), signs, n), p, r
         )
     else:
         key = hyperplane_bucket_arrow(F.col(vec_col), signs)
     bucketed = _cache_signatures(
         df.select(F.col(id_col), F.col(vec_col), key.alias("hp_bucket"))
     )
-    return near_dup_pairs(
-        bucketed, "hp_bucket", id_col=id_col, vec_col=vec_col, threshold=threshold
+    # Verify-stage policy (VERDICT r8 weak flag #1): exact-collision
+    # verify work is Σ bucket-depth², and on label-CLUSTERED corpora
+    # dense cells split sub-uniformly as planes are added — measured
+    # Σd² 14.5×/decade at the 100× lake while mean depth stayed flat
+    # (SCALING.md §7c). The interpreted per-pair HOF join made that
+    # second moment the wall-clock term (16.4× wall per decade); the
+    # census-gated BLAS block-pair path computes the same pairs as
+    # numpy matmuls inside applyInPandas — the Σd² work stays (it is
+    # the candidate semantics) but runs at GFLOP speed, and buckets
+    # past split_bucket spread over block-pair tasks so a dense cell
+    # can never straggle one task. Small corpora keep the HOF join
+    # (the declarative reference, faster under the applyInPandas
+    # fixed overhead); both tails are pinned identical by
+    # test_hyperplane_verify_paths_identical and the shared oracle.
+    if n is not None and n < ARROW_SIGNATURE_MIN_ROWS:
+        return near_dup_pairs(
+            bucketed,
+            "hp_bucket",
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+        )
+    return near_dup_pairs_blas(
+        bucketed,
+        "hp_bucket",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        split_bucket=4096,
     )
 
 
@@ -706,6 +768,7 @@ def near_dup_pairs_multiprobe(
     max_bucket: int = 4096,
     prefix_planes: int | None = None,
     split_r: int = 0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Multi-probe extension of :func:`near_dup_pairs_hyperplane` —
     the RECALL knob the adaptive plane count trades against: a pair
@@ -755,7 +818,7 @@ def near_dup_pairs_multiprobe(
     r = split_r
     # single-bigint signature by construction: p ≤ MAX_QUARTER_STEPS//4
     assert p + 1 <= SIGNATURE_WORD_BITS and len(signs) <= SIGNATURE_WORD_BITS
-    hp = hyperplane_bucket_arrow(F.col(vec_col), signs)
+    hp = hyperplane_bucket_auto(F.col(vec_col), signs, n_rows)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -826,6 +889,7 @@ def near_dup_pairs_banded(
     threshold: float = 0.9,
     max_bucket: int = 4096,
     widths: list[int] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Banded (multi-signature) hyperplane LSH — the canonical
     high-recall construction: ONE wide signature of ``len(signs)``
@@ -883,9 +947,9 @@ def near_dup_pairs_banded(
         df.select(
             F.col(id_col),
             F.col(vec_col),
-            hyperplane_bucket_words_arrow(F.col(vec_col), signs).alias(
-                "hpw"
-            ),
+            hyperplane_bucket_words_auto(
+                F.col(vec_col), signs, n_rows
+            ).alias("hpw"),
         )
     )
     words = [

@@ -1551,21 +1551,17 @@ def q_sim_hyperplane_lsh(spark, sf_dir):
     The oracle recomputes the identical plane matrix from embedded
     constants, the identical Q from the same integer-comparison
     chain over count(*), and the identical split key with one
-    modulo."""
+    modulo. r9: past ARROW_SIGNATURE_MIN_ROWS the verify tail is the
+    census-gated BLAS block-pair path — exact-collision verify work
+    is Σ bucket-depth², which on label-clustered corpora grew
+    14.5×/decade while mean depth stayed flat (SCALING.md §7c, weak
+    flag #1); the BLAS path runs the same pair set as numpy matmuls
+    and splits dense cells across block-pair tasks, keeping the
+    second moment off the wall clock."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs_hyperplane(
         emb, threshold=0.2, target_bucket=8
     )
-
-
-def _fractional_signs(emb):
-    """Shared fractional-resolution parameters for the
-    single-signature LSH queries: one bounded count aggregate ->
-    (p, r) quarter-step split -> deterministic md5-parity matrix of
-    p+1 planes (all three restated bit-exactly in the oracles)."""
-    n = emb.count()
-    p, r = similarity.fractional_split(n, target_bucket=8)
-    return similarity.hyperplane_signs(p + (1 if r else 0), 64), p, r
 
 
 def _multiprobe_signs(emb):
@@ -1576,7 +1572,7 @@ def _multiprobe_signs(emb):
     drifting by the log-n fan-out."""
     n = emb.count()
     p, r = similarity.fractional_split_multiprobe(n)
-    return similarity.hyperplane_signs(p + (1 if r else 0), 64), p, r
+    return similarity.hyperplane_signs(p + (1 if r else 0), 64), p, r, n
 
 
 @qdef(
@@ -1602,9 +1598,9 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
     instead of holding depth alone, so the measured 3× ratio stays
     ~linear instead of drifting by the log-n fan-out."""
     emb = _t(spark, sf_dir, "embeddings")
-    signs, p, r = _multiprobe_signs(emb)
+    signs, p, r, n = _multiprobe_signs(emb)
     return similarity.near_dup_pairs_multiprobe(
-        emb, signs, threshold=0.2, prefix_planes=p, split_r=r
+        emb, signs, threshold=0.2, prefix_planes=p, split_r=r, n_rows=n
     )
 
 
@@ -1632,7 +1628,7 @@ def _banded_signs(emb, n_bands: int = 4):
     p, r = similarity.fractional_split(n, n_bands=n_bands, target_bucket=8)
     p2, r2 = similarity.fractional_split_multiprobe(n, n_bands=n_bands)
     signs = similarity.hyperplane_signs(max(total, p + 1, p2 + 1), 64)
-    return signs, layout, (p, r), (p2, r2)
+    return signs, layout, (p, r), (p2, r2), n
 
 
 @qdef(
@@ -1654,9 +1650,14 @@ def q_sim_lsh_banded(spark, sf_dir):
     shifting the single embedded bucket value with the same
     SQL-derived layout (off_b = b·(q//4)+least(b,q%4))."""
     emb = _t(spark, sf_dir, "embeddings")
-    signs, layout, _pr, _pr2 = _banded_signs(emb)
+    signs, layout, _pr, _pr2, n = _banded_signs(emb)
     return similarity.near_dup_pairs_banded(
-        emb, signs, n_bands=4, threshold=0.2, widths=[w for _, w in layout]
+        emb,
+        signs,
+        n_bands=4,
+        threshold=0.2,
+        widths=[w for _, w in layout],
+        n_rows=n,
     )
 
 
@@ -1691,7 +1692,7 @@ def q_sim_lsh_recall(spark, sf_dir):
     # comes straight from similarity.band_layout — the same helper
     # near_dup_pairs_banded rides — so the harness can never
     # desynchronize from the candidate generators).
-    signs4, layout, (p_, r_), (p2_, r2_) = _banded_signs(emb)
+    signs4, layout, (p_, r_), (p2_, r2_), n_emb = _banded_signs(emb)
     mask = F.lit((1 << p_) - 1).cast("bigint")
     mask2 = F.lit((1 << p2_) - 1).cast("bigint")
     # the wide signature may span two bigint words past 60 planes
@@ -1702,8 +1703,8 @@ def q_sim_lsh_recall(spark, sf_dir):
     sig = emb.select(
         "vec_id",
         "embedding",
-        similarity.hyperplane_bucket_words_arrow(
-            F.col("embedding"), signs4
+        similarity.hyperplane_bucket_words_auto(
+            F.col("embedding"), signs4, n_emb
         ).alias("hpw"),
     )
     q = sig.where(F.col("vec_id") % 23 == 0).select(

@@ -570,7 +570,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         F.concat_ws(
             "|",
             F.col("label"),
-            similarity.hyperplane_bucket_arrow(F.col("embedding"), signs),
+            similarity.hyperplane_bucket_auto(F.col("embedding"), signs, n),
         ).alias("bkt"),
     )
     return similarity.near_dup_pairs_blas(bucketed, bucket_col="bkt", threshold=0.2)
