@@ -29,13 +29,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Verification rotation (round 9): cumulatively 204 distinct queries
 # driver-checked across 8 rounds, 0 value failures ever. Round 9's
 # first-50 window: (1) the 5 queries whose PLANS changed this round —
-# the LSH family (MAX_QUARTER_STEPS=120 two-word cap extension, the
+# the LSH family (MAX_QUARTER_STEPS=120 two-word cap extension plus
+# its NEW oracle-bearing coverage query sim_lsh_banded_hiword, the
 # small-n signature/verify policy, the census-gated BLAS verify tail
 # for sim_hyperplane_lsh) and dedup_embedding_cosine (auto signature
 # kernel); (2) the 7 r4 leftovers — after these, no query's latest
-# driver green predates r5 (VERDICT r8 item 6); (3) 38 of the 50
+# driver green predates r5 (VERDICT r8 item 6); (3) 37 of the 50
 # entries whose latest green is r5 (the oldest remaining cohort; the
-# 12 leftovers — day_boundary_correct, argmin_checkpoint, sort_time,
+# 13 leftovers — window_prev_day_fallback, day_boundary_correct,
+# argmin_checkpoint, sort_time,
 # set_intersect, set_distinct, agg_rollup, agg_cube,
 # agg_grouping_sets, agg_percentile, agg_salted,
 # quality_model_filter_verified, sink_submission_h5 — lead r10).
@@ -46,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_registry_oracle.py re-checks every rotated-out query
 # with the same dtype-strict compare each session).
 _ROUND9_PRIORITY = [
+    "sim_lsh_banded_hiword",
     "sim_hyperplane_lsh",
     "sim_lsh_multiprobe",
     "sim_lsh_banded",
@@ -95,7 +98,6 @@ _ROUND9_PRIORITY = [
     "window_past_sequence",
     "window_future_horizon",
     "interval_arith",
-    "window_prev_day_fallback",
     # ---- 50-entry window boundary ------------------------------------
 ]
 

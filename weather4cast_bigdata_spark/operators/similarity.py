@@ -890,6 +890,7 @@ def near_dup_pairs_banded(
     max_bucket: int = 4096,
     widths: list[int] | None = None,
     n_rows: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Banded (multi-signature) hyperplane LSH — the canonical
     high-recall construction: ONE wide signature of ``len(signs)``
@@ -919,8 +920,18 @@ def near_dup_pairs_banded(
     by ~2^(1/n_bands) instead of 2×, flattening the integral
     sawtooth (SCALING.md §7) while everything downstream (census cap,
     bare-id candidate dedup, verify) is width-agnostic. Default
-    (None) keeps the legacy equal split of ``len(signs)``."""
+    (None) keeps the legacy equal split of ``len(signs)``.
+
+    ``offset`` shifts every band slice up by that many planes —
+    band b then covers [offset + off_b, offset + off_b + w_b). The
+    plane statistics are identical (all planes are i.i.d. md5-parity
+    draws), so this changes WHICH independent signature the bands
+    read, not the construction; its purpose is pinning the
+    multi-word signature path (band keys in word 1 / straddling the
+    60-bit boundary) at corpus sizes whose adaptive totals would
+    otherwise stay inside word 0 — see sim_lsh_banded_hiword."""
     if widths is None:
+        assert offset == 0, "offset requires explicit widths"
         total = len(signs)
         assert total % n_bands == 0, "plane count must divide into bands"
         p_band = total // n_bands
@@ -934,9 +945,9 @@ def near_dup_pairs_banded(
         # benign at those sizes, mirrored bit-exactly by the oracle's
         # shifted-slice restatement, and bounded by max_bucket like
         # any other key.
-        assert len(widths) == n_bands and sum(widths) <= len(signs)
+        assert len(widths) == n_bands and offset + sum(widths) <= len(signs)
         layout = []
-        off = 0
+        off = offset
         for w in widths:
             layout.append((off, w))
             off += w

@@ -1647,8 +1647,11 @@ def q_sim_lsh_banded(spark, sf_dir):
     instead of the integral variants' 2× sawtooth. Linear cost: one
     explode to 4 (band, key) rows per vector, equi self-join,
     distinct, cosine verify. The oracle recovers every band key by
-    shifting the single embedded bucket value with the same
-    SQL-derived layout (off_b = b·(q//4)+least(b,q%4))."""
+    slicing the embedded TWO-WORD bucket value (hp0/hp1, the r9
+    MAX_QUARTER_STEPS=120 cap extension) with the same SQL-derived
+    layout (off_b = b·(q//4)+least(b,q%4)); past ~220 k rows the
+    total crosses 60 planes and the keys straddle into word 1 —
+    the path sim_lsh_banded_hiword pins at every gate SF."""
     emb = _t(spark, sf_dir, "embeddings")
     signs, layout, _pr, _pr2, n = _banded_signs(emb)
     return similarity.near_dup_pairs_banded(
@@ -1658,6 +1661,50 @@ def q_sim_lsh_banded(spark, sf_dir):
         threshold=0.2,
         widths=[w for _, w in layout],
         n_rows=n,
+    )
+
+
+#: Plane offset of the hiword coverage query: band slices start at
+#: bit 58, so band 0 straddles the 60-bit word boundary and the rest
+#: read word 1 at EVERY corpus size — the two-word signature path
+#: (r9 cap extension) stays oracle-verified at the gate SFs, where
+#: the adaptive total alone would need >~220 k rows to leave word 0.
+HIWORD_OFFSET = 58
+
+
+@qdef(
+    "sim_lsh_banded_hiword",
+    )
+def q_sim_lsh_banded_hiword(spark, sf_dir):
+    """Banded hyperplane LSH with the band slices shifted to bits
+    [58, 58+Q) of a wider signature — the ORACLE-BEARING coverage
+    query for the r9 multi-word signature path
+    (similarity.hyperplane_bucket_words / band_key_words /
+    MAX_QUARTER_STEPS=120, VERDICT r8 item 1). All planes are i.i.d.
+    md5-parity draws, so the construction and its statistics are
+    exactly sim_lsh_banded's — same adaptive quarter-step total, same
+    W/W+1 band layout, same census cap and verify — but every band
+    key is extracted from word 1 or across the 60-bit straddle, the
+    arithmetic no sf ≤ 10 lake reaches organically (the adaptive
+    total crosses 60 planes only past ~8·2^14.75 ≈ 220 k rows). The
+    oracle restates the two-word signature (hp0 = planes [0,60),
+    hp1 = [60,...)) and the straddling slice extraction with the
+    same q-derived layout scalars; its two-word form covers corpora
+    up to 58 + Q ≤ 120 planes (n ≤ ~311 k — every oracle lake),
+    while the Spark side generalizes to ceil(P/60) words."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    total = similarity.adaptive_total_planes(n, n_bands=4, target_bucket=8)
+    layout = similarity.band_layout(total, 4)
+    signs = similarity.hyperplane_signs(HIWORD_OFFSET + total, 64)
+    return similarity.near_dup_pairs_banded(
+        emb,
+        signs,
+        n_bands=4,
+        threshold=0.2,
+        widths=[w for _, w in layout],
+        n_rows=n,
+        offset=HIWORD_OFFSET,
     )
 
 

@@ -2516,17 +2516,14 @@ def _band_w_sql(b: str, q: str = "qv.q") -> str:
     return f"(({q} // 4) + (CASE WHEN {b} < {q} % 4 THEN 1 ELSE 0 END))"
 
 
-def _band_key2_sql(hp0: str, hp1: str, b: str, q: str) -> str:
-    """Band key of a TWO-WORD signature — the SQL restatement of
-    similarity.band_key_words at SIGNATURE_WORD_BITS = 60: the low
-    part comes from word 0 when the band starts below bit 60, the
-    high part (when the band straddles or lies past the boundary)
-    from word 1, shifted into place. Offsets/widths are the same
-    q-derived scalars as the one-word form; lo = the bits the band
-    takes from word 0 (0 when off ≥ 60, all of them when
-    off + w ≤ 60)."""
-    off = _band_off_sql(b, q)
-    w = _band_w_sql(b, q)
+def _band_key2_from(hp0: str, hp1: str, off: str, w: str) -> str:
+    """Bit-slice [off, off+w) of a TWO-WORD signature — the SQL
+    restatement of similarity.band_key_words at
+    SIGNATURE_WORD_BITS = 60: the low part comes from word 0 when
+    the band starts below bit 60, the high part (when the band
+    straddles or lies past the boundary) from word 1, shifted into
+    place; lo = the bits the band takes from word 0 (0 when
+    off ≥ 60, all of them when off + w ≤ 60)."""
     lo = f"greatest(0, least(60 - {off}, {w}))"
     return (
         f"((CASE WHEN {off} < 60 THEN ({hp0} >> {off}) ELSE 0 END)"
@@ -2534,6 +2531,12 @@ def _band_key2_sql(hp0: str, hp1: str, b: str, q: str) -> str:
         f" + ((({hp1} >> greatest({off} - 60, 0))"
         f" & ((1::BIGINT << ({w} - {lo})) - 1)) << {lo})"
     )
+
+
+def _band_key2_sql(hp0: str, hp1: str, b: str, q: str) -> str:
+    """Two-word band key at the standard q-derived layout (see
+    _band_off_sql/_band_w_sql)."""
+    return _band_key2_from(hp0, hp1, _band_off_sql(b, q), _band_w_sql(b, q))
 
 
 # Banded signature CTE: qv carries the fractional TOTAL plane count
@@ -2582,6 +2585,57 @@ f"""
         SELECT b.vec_id, r.band,
                {_band_key2_sql("b.hp0", "b.hp1", "r.band", "qb.q")} AS key
         FROM bucketed4 b, (SELECT unnest(range(4)) AS band) r, qv AS qb
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    eb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT a_id, b_id,
+               round(list_dot_product(qa.v, qb2.v)
+                     / (greatest(sqrt(list_dot_product(qa.v, qa.v)), 1e-300)
+                        * greatest(sqrt(list_dot_product(qb2.v, qb2.v)), 1e-300))
+                     + 1e-9, 6) AS cos_sim
+        FROM cand JOIN eb qa ON qa.vec_id = cand.a_id
+                  JOIN eb qb2 ON qb2.vec_id = cand.b_id
+    ) WHERE cos_sim >= 0.2
+    """
+)
+
+# Two-word coverage query (r9): band slices start at plane 58, so
+# every band key reads word 1 or straddles the 60-bit boundary at
+# EVERY corpus size. Signature covers 58 + q planes; two words
+# suffice while 58 + q <= 120 (n <= ~311k — every oracle lake).
+ORACLES["sim_lsh_banded_hiword"] = (
+f"""
+    WITH qv AS (SELECT {_HP_Q_SQL} AS q),
+    planes_wide AS (
+        {_HP_PLANES_WIDE_SQL}
+    ),
+    dotsH AS (
+        SELECT e.vec_id, pl.p,
+               sum(e.embedding[r.i]::DOUBLE * pl.s[r.i]) AS dot
+        FROM embeddings e, planes_wide pl, (SELECT unnest(range(1, 65)) AS i) r
+        WHERE r.i <= len(e.embedding)
+          AND pl.p < 58 + (SELECT q FROM qv)
+        GROUP BY 1, 2
+    ),
+    bucketedH AS (
+        SELECT vec_id,
+               sum(CASE WHEN dot + 1e-9 >= 0 AND p < 60
+                        THEN 1::BIGINT << p ELSE 0 END) AS hp0,
+               sum(CASE WHEN dot + 1e-9 >= 0 AND p >= 60
+                        THEN 1::BIGINT << (p - 60) ELSE 0 END) AS hp1
+        FROM dotsH GROUP BY 1
+    ),
+    bands AS (
+        SELECT b.vec_id, r.band,
+               {_band_key2_from("b.hp0", "b.hp1",
+                                f"(58 + {_band_off_sql('r.band', 'qb.q')})",
+                                _band_w_sql("r.band", "qb.q"))} AS key
+        FROM bucketedH b, (SELECT unnest(range(4)) AS band) r, qv AS qb
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
