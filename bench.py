@@ -133,6 +133,11 @@ HEADLINE = [
     # hyperplane-LSH cost regimes (exact / probe / banded) are all
     # wall-tracked per round.
     "sim_lsh_banded",
+    # r9: the two-word signature coverage query (band keys in word 1
+    # / straddling the 60-bit boundary at every SF) — wall-tracked so
+    # the multi-word path's cost stays visible next to its one-word
+    # sibling.
+    "sim_lsh_banded_hiword",
 ]
 
 

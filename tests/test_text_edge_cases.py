@@ -522,3 +522,61 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert (
         dedup.ngram_jaccard_pairs_docs(df, threshold=0.8).count() == 0
     )
+
+
+def test_simhash_wide_hash_lossless_vs_brute_force(spark):
+    """The 60-bit-hash signature family (the r9 scale-adaptive width
+    past 32 bits) must keep Manku's losslessness: every pair at
+    Hamming distance <= k of the 3w-bit md5_hash60-based signature is
+    found by the pigeonhole join — including block widths whose
+    slices reach past bit 32."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(20)) + f" tail{i % 7} x{i % 3}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k, bits = 2, 39  # w = 13, the sf10 adaptive width
+    got = {
+        (r["doc_id_l"], r["doc_id_r"], r["hamming"])
+        for r in dedup.simhash_near_pairs(
+            docs, bits=bits, k=k, hash_bits=60
+        ).collect()
+    }
+    sig = dedup.simhash(docs, bits=bits, hash_bits=60)
+    a = sig.select(F.col("doc_id").alias("l"), F.col("simhash").alias("s1"))
+    b = sig.select(F.col("doc_id").alias("r"), F.col("simhash").alias("s2"))
+    brute = {
+        (r["l"], r["r"], r["h"])
+        for r in a.crossJoin(b)
+        .where(F.col("l") < F.col("r"))
+        .select("l", "r", F.expr("bit_count(s1 ^ s2)").alias("h"))
+        .where(F.col("h") <= k)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_simhash_adaptive_width_chain_python_sql_agree():
+    """The Spark plan derives the SimHash block width from
+    count(*) driver-side; the oracle re-derives it with the embedded
+    integer-comparison chain — the two must agree at every corpus
+    size, including the 8-bit legacy floor and the 20-bit hash
+    ceiling."""
+    import duckdb
+
+    from weather4cast_bigdata_spark.operators import similarity
+    from weather4cast_bigdata_spark.plans.registry_quality import (
+        SIMHASH_BLOCK_TARGET,
+        SIMHASH_MAX_BLOCK_W,
+        _simhash_w,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 64, 500, 5000, 8192, 8193, 16385, 50000, 150000,
+              500000, 10**7, 10**12):
+        chain = similarity.adaptive_n_planes_sql(
+            str(n), target_bucket=SIMHASH_BLOCK_TARGET,
+            max_extra=SIMHASH_MAX_BLOCK_W,
+        )
+        got = con.execute(f"SELECT greatest(8, {chain})").fetchone()[0]
+        assert got == _simhash_w(n), (n, got, _simhash_w(n))

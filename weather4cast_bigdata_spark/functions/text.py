@@ -55,6 +55,15 @@ def md5_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex digits of md5
+    — the wide twin of :func:`md5_hash32` for signatures whose bit
+    count outgrows 32 (e.g. the scale-adaptive SimHash width).
+    DuckDB restatement: CAST(('0x' || substring(md5(x), 1, 15)) AS
+    BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-gram word shingles from a token array → array<string>.
 

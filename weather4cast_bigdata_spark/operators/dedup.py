@@ -809,14 +809,28 @@ def connected_components(
     return labels
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    hash_bits: int = 32,
+) -> DataFrame:
     """SimHash fingerprint: per bit b, sign of Σ_tokens (±1 by bit b of
-    h32(token)); composed into a ``bits``-wide integer.
+    hash(token)); composed into a ``bits``-wide integer.
 
     Token explode + single groupBy(id) with ``bits`` conditional sums.
-    """
+    ``hash_bits`` selects the per-token hash source: 32 (md5_hash32,
+    the default — every signature of ≤32 bits, bit-stable with all
+    recorded results) or 60 (md5_hash60 — for scale-adaptive widths
+    past 32 bits; its LOW bits differ from md5_hash32's, so the two
+    sources are distinct signature families, each restated 1:1 in its
+    oracle)."""
+    assert bits <= hash_bits and hash_bits in (32, 60)
     toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = md5_hash32(F.col("tok"))
+    from weather4cast_bigdata_spark.functions.text import md5_hash60
+
+    h = (md5_hash32 if hash_bits == 32 else md5_hash60)(F.col("tok"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -921,6 +935,7 @@ def simhash_near_pairs(
     bits: int = 24,
     k: int = 2,
     max_bucket: int | None = None,
+    hash_bits: int = 32,
 ) -> DataFrame:
     """All document pairs within SimHash Hamming distance ``k`` — the
     Manku et al. 2007 (Google web-crawl dedup) pigeonhole search.
@@ -951,7 +966,9 @@ def simhash_near_pairs(
     n_blocks = k + 1
     width = bits // n_blocks
     mask = (1 << width) - 1
-    sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    sig = simhash(
+        docs, id_col=id_col, text_col=text_col, bits=bits, hash_bits=hash_bits
+    )
     if max_bucket is not None:
         # The cap branches the plan (bucket census + join-back), which
         # would recompute the corpus-wide signature groupBy once per

@@ -688,28 +688,75 @@ def q_sink_dsir_model(spark, sf_dir):
     return out.select("doc_id", r6(F.col("log_w")).alias("log_w"), "n_tokens")
 
 
-def _simhash24_cte() -> str:
+#: SimHash block-depth target: the adaptive block width w =
+#: max(8, smallest w with n/2^w <= 64) holds E[docs per (block,
+#: value) bucket] — and with it the candidate join's per-doc output,
+#: 3·depth/2 rows — roughly constant as the corpus grows (±2× block
+#: sawtooth: width moves in whole bits). 8 is the legacy floor, so
+#: every corpus ≤ 64·2^7 = 8192 docs (the sf0.01/0.1 gates) keeps the
+#: original 24-bit signature and its recorded results bit-for-bit.
+SIMHASH_BLOCK_TARGET = 64
+SIMHASH_MAX_BLOCK_W = 20  # 3w <= 60: the md5_hash60 signature limit
+
+
+def _simhash_w(n: int) -> int:
+    from weather4cast_bigdata_spark.operators import similarity
+
+    return max(
+        8,
+        similarity.adaptive_n_planes(
+            n, target_bucket=SIMHASH_BLOCK_TARGET,
+            max_extra=SIMHASH_MAX_BLOCK_W,
+        ),
+    )
+
+
+def _simhash_adaptive_cte() -> str:
+    """Adaptive-width SimHash CTE (r9, VERDICT item 4): block width w
+    from the same integer-comparison chain the Spark plan derives
+    from count(*) (greatest(8, adaptive_n_planes(n, 64))), signature
+    = 3 blocks × w bits. The per-token hash source follows the
+    width: md5-first-8-hex (the legacy 32-bit hash) while 3w ≤ 32 —
+    keeping every recorded ≤32-bit result stable — else
+    md5-first-15-hex (60-bit). Bit sums are emitted for all 60
+    positions; compose gates each on b < 3w, so both engines read
+    the identical signature at every corpus size."""
+    from weather4cast_bigdata_spark.operators import similarity
     from weather4cast_bigdata_spark.plans.registry import _H32_SQL, _TOKS_SQL
 
+    w_chain = similarity.adaptive_n_planes_sql(
+        "SELECT count(*) FROM documents",
+        target_bucket=SIMHASH_BLOCK_TARGET,
+        max_extra=SIMHASH_MAX_BLOCK_W,
+    )
+    h60 = "CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)"
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
-        for b in range(24)
+        for b in range(60)
     )
     compose = " + ".join(
-        f"CASE WHEN bit_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(24)
+        f"CASE WHEN {b} < 3 * (SELECT w FROM wv) AND bit_{b} > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(60)
     )
     return f"""
+    wv AS (SELECT greatest(8, {w_chain}) AS w),
     toks AS (
         SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ),
-    hashed AS (SELECT doc_id, {_H32_SQL.format(expr='tok')} AS h FROM toks),
+    hashed AS (
+        SELECT doc_id,
+               CASE WHEN 3 * (SELECT w FROM wv) <= 32
+                    THEN {_H32_SQL.format(expr='tok')}
+                    ELSE {h60} END AS h
+        FROM toks
+    ),
     bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
     sig AS (SELECT doc_id, {compose} AS simhash FROM bits),
     blocks AS (
         SELECT doc_id, simhash, j,
-               CASE j WHEN 0 THEN simhash & 255
-                      WHEN 1 THEN (simhash >> 8) & 255
-                      ELSE (simhash >> 16) & 255 END AS bv
+               (simhash >> (j * (SELECT w FROM wv)))
+               & ((1::BIGINT << (SELECT w FROM wv)) - 1) AS bv
         FROM sig, unnest([0, 1, 2]) AS t(j)
     ),
     cand AS (
@@ -724,7 +771,7 @@ def _simhash24_cte() -> str:
 @qdef(
     "dedup_simhash_hamming",
     oracle=f"""
-    WITH {_simhash24_cte()}
+    WITH {_simhash_adaptive_cte()}
     SELECT doc_id_l, doc_id_r,
            bit_count(xor(s1, s2)) AS hamming
     FROM cand
@@ -733,15 +780,28 @@ def _simhash24_cte() -> str:
 )
 def q_dedup_simhash_hamming(spark, sf_dir):
     """SimHash near-duplicate pairs at Hamming distance <= 2 (Manku
-    et al. 2007, the Google web-crawl dedup): pigeonhole the 24-bit
+    et al. 2007, the Google web-crawl dedup): pigeonhole the
     signature into 3 blocks — any pair at distance <= 2 agrees
     exactly on >= 1 block — so candidates come from an equi self-join
     per block (one shuffle), verified in-row with bit_count(xor).
     Lossless at the threshold; sim_hyperplane_lsh's identical-
-    signature pairing is the distance-0 special case. See
+    signature pairing is the distance-0 special case. r9: the block
+    width is SCALE-ADAPTIVE — w = max(8, smallest w with n/2^w ≤ 64)
+    from the same count-derived integer chain as the LSH family
+    (Manku's own scale knob: wider signatures, not a recall-losing
+    bucket cap) — so E[docs per block bucket], and with it the
+    candidate join's per-doc output, stays ~constant as the corpus
+    grows instead of the measured quadratic blowup of a fixed 24-bit
+    signature (uncapped sf10 candidate volume was heading to ~1.5B
+    pairs). Corpora ≤ 8192 docs (both bench gates) keep the original
+    24-bit signature bit-for-bit; the per-token hash widens from
+    md5-first-8-hex to md5-first-15-hex only when 3w > 32, both
+    restated 1:1 in the oracle. See
     operators/dedup.py:simhash_near_pairs."""
     from weather4cast_bigdata_spark.operators import dedup
 
+    docs = _t(spark, sf_dir, "documents")
+    w = _simhash_w(docs.count())
     return dedup.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), bits=24, k=2
+        docs, bits=3 * w, k=2, hash_bits=32 if 3 * w <= 32 else 60
     )
