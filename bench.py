@@ -361,22 +361,38 @@ def main() -> None:
                     rec = json.loads(line[line.rindex('{"metric"'):])
                 else:
                     # the driver's stdout capture front-truncates long
-                    # records (r7's lost its opening `{"metric": "...`);
-                    # rebuild by re-heading at the first string-value
-                    # boundary. The truncation USUALLY lands inside the
-                    # leading metric string — when it doesn't, the
-                    # rebuilt record could parse but carry garbage, so
-                    # require the keys a real record always has (and a
-                    # plausible query count) before trusting it.
+                    # records; rebuild by re-heading at the first
+                    # string-value boundary. Two observed truncation
+                    # sites: inside the leading metric string (r7) and
+                    # inside the queries dict itself (r8 — the record
+                    # resumes mid-`"name": 0.45,`, so re-open the dict
+                    # with one sacrificial key). Both rebuilds must
+                    # pass the same structural check before being
+                    # trusted — a wrong re-head parses but carries
+                    # garbage.
+                    rec = None
                     cut = line.find('", "')
-                    if cut == -1:
-                        continue
-                    rec = json.loads('{"metric": "x' + line[cut:])
-                    if not (
-                        isinstance(rec.get("queries"), dict)
-                        and len(rec["queries"]) >= 10
-                        and "canary" in rec
-                    ):
+                    candidates = []
+                    if cut != -1:
+                        candidates.append('{"metric": "x' + line[cut:])
+                    if line.startswith('"'):
+                        candidates.append(
+                            '{"metric": "x", "queries": {"_truncated' + line
+                        )
+                    for cand in candidates:
+                        try:
+                            got = json.loads(cand)
+                        except ValueError:
+                            continue
+                        if (
+                            isinstance(got.get("queries"), dict)
+                            and len(got["queries"]) >= 10
+                            and "canary" in got
+                        ):
+                            got["queries"].pop("_truncated", None)
+                            rec = got
+                            break
+                    if rec is None:
                         continue
             if rec.get("queries"):
                 prev_rounds.append((os.path.basename(path), rec))

@@ -511,27 +511,46 @@ def signature_n_words(
 #: × rows) first exceeds the kernel's fixed overhead with margin.
 ARROW_SIGNATURE_MIN_ROWS = 10_000
 
+#: ... or when rows × planes crosses this (measured r9, sf0.1 = 2 k
+#: rows: a 90-plane signature ran 2.45 s expression vs 1.24 s Arrow —
+#: the interpreted cost is per plane-dot, the kernel's fixed cost is
+#: per query — while at ≤16 planes the two are within window noise).
+ARROW_SIGNATURE_MIN_WORK = 100_000
+
+
+def _use_arrow_signature(n_rows: int | None, n_planes: int) -> bool:
+    """Signature-form policy (VERDICT r8 item 5): the Arrow matmul
+    kernel when the corpus is large (ARROW_SIGNATURE_MIN_ROWS), the
+    per-query plane-dot work is large (ARROW_SIGNATURE_MIN_WORK), or
+    the size is unknown (the scale-safe default); the declarative
+    expression form otherwise — it avoids the pandas_udf round-trip
+    that regressed the 2 k-vector bench rows in r8. Both forms are
+    bit-identical by the parity tests; this only picks the cheaper
+    engine for the shape."""
+    return (
+        n_rows is None
+        or n_rows >= ARROW_SIGNATURE_MIN_ROWS
+        or n_rows * max(n_planes, 1) >= ARROW_SIGNATURE_MIN_WORK
+    )
+
 
 def hyperplane_bucket_auto(
     vec_col: Column, signs, n_rows: int | None
 ) -> Column:
-    """Signature-form policy (VERDICT r8 item 5): the Arrow matmul
-    kernel for corpora at or past ARROW_SIGNATURE_MIN_ROWS (or when
-    the size is unknown — the scale-safe default), the expression
-    form below it. Both forms are bit-identical by the parity test;
-    this only picks the cheaper engine for the size."""
-    if n_rows is not None and n_rows < ARROW_SIGNATURE_MIN_ROWS:
-        return hyperplane_bucket(vec_col, signs)
-    return hyperplane_bucket_arrow(vec_col, signs)
+    """Form-picking wrapper over the two parity-pinned signature
+    kernels — see :func:`_use_arrow_signature`."""
+    if _use_arrow_signature(n_rows, len(signs)):
+        return hyperplane_bucket_arrow(vec_col, signs)
+    return hyperplane_bucket(vec_col, signs)
 
 
 def hyperplane_bucket_words_auto(
     vec_col: Column, signs, n_rows: int | None
 ) -> Column:
     """Multi-word twin of :func:`hyperplane_bucket_auto`."""
-    if n_rows is not None and n_rows < ARROW_SIGNATURE_MIN_ROWS:
-        return hyperplane_bucket_words(vec_col, signs)
-    return hyperplane_bucket_words_arrow(vec_col, signs)
+    if _use_arrow_signature(n_rows, len(signs)):
+        return hyperplane_bucket_words_arrow(vec_col, signs)
+    return hyperplane_bucket_words(vec_col, signs)
 
 
 def hyperplane_bucket_words(
