@@ -34,9 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # small-n signature/verify policy, the census-gated BLAS verify tail
 # for sim_hyperplane_lsh) and dedup_embedding_cosine (auto signature
 # kernel); (2) the 7 r4 leftovers — after these, no query's latest
-# driver green predates r5 (VERDICT r8 item 6); (3) 37 of the 50
+# driver green predates r5 (VERDICT r8 item 6); (3) 36 of the 50
 # entries whose latest green is r5 (the oldest remaining cohort; the
-# 13 leftovers — window_prev_day_fallback, day_boundary_correct,
+# 14 leftovers — interval_arith, window_prev_day_fallback, day_boundary_correct,
 # argmin_checkpoint, sort_time,
 # set_intersect, set_distinct, agg_rollup, agg_cube,
 # agg_grouping_sets, agg_percentile, agg_salted,
@@ -49,6 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # with the same dtype-strict compare each session).
 _ROUND9_PRIORITY = [
     "sim_lsh_banded_hiword",
+    "sim_lsh_multiprobe_bounded",
     "sim_hyperplane_lsh",
     "sim_lsh_multiprobe",
     "sim_lsh_banded",
@@ -97,7 +98,6 @@ _ROUND9_PRIORITY = [
     "agg_distinct_times",
     "window_past_sequence",
     "window_future_horizon",
-    "interval_arith",
     # ---- 50-entry window boundary ------------------------------------
 ]
 

@@ -138,6 +138,10 @@ HEADLINE = [
     # the multi-word path's cost stays visible next to its one-word
     # sibling.
     "sim_lsh_banded_hiword",
+    # r9: the bounded-fan-out multiprobe (Lv et al.) — the
+    # truly-linear probe-family member (n_probes+2 fan-out at every
+    # corpus size).
+    "sim_lsh_multiprobe_bounded",
 ]
 
 

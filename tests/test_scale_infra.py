@@ -1265,3 +1265,94 @@ def test_hyperplane_verify_paths_identical(spark, monkeypatch):
     monkeypatch.setattr(similarity, "ARROW_SIGNATURE_MIN_ROWS", 1)
     blas = run()  # forced Arrow signature + BLAS block-pair verify
     assert hof == blas and len(hof) > 0
+
+
+def test_bounded_multiprobe_equals_unbounded_when_mask_covers(spark):
+    """With n_probes >= prefix_planes every prefix flip is masked in,
+    so the bounded operator must emit EXACTLY near_dup_pairs_multiprobe's
+    pairs — the gate-SF regime (p <= 8 at sf0.01/0.1), and the pin
+    that the mask machinery changes nothing except which flips are
+    probed."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(37)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for p, r in ((5, 0), (6, 2)):
+        signs = similarity.hyperplane_signs(p + 1, dim)
+        unb = {
+            (x["a_id"], x["b_id"], x["cos_sim"])
+            for x in similarity.near_dup_pairs_multiprobe(
+                df, signs, threshold=0.2, prefix_planes=p, split_r=r
+            ).collect()
+        }
+        bnd = {
+            (x["a_id"], x["b_id"], x["cos_sim"])
+            for x in similarity.near_dup_pairs_multiprobe_bounded(
+                df, signs, prefix_planes=p, split_r=r, threshold=0.2,
+                n_probes=p,
+            ).collect()
+        }
+        assert bnd == unb and len(unb) > 0, (p, r)
+
+
+def test_bounded_multiprobe_matches_python_reference(spark):
+    """The bounded meet rule, checked against a driver-side
+    reference derived from the SAME kernel outputs (signature +
+    probe mask): a d=1 pair qualifies iff the differing plane is in
+    A's mask and (merged_b or ext_a = ext_b), or symmetrically — the
+    per-direction rule the oracle restates. Small n_probes so the
+    bound actually binds (some d=1 pairs are excluded)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(41)
+    dim = 16
+    p, r, t = 7, 2, 2
+    signs = similarity.hyperplane_signs(p + 1, dim)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(260)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sp = similarity.hyperplane_bucket_probe_arrow(
+        F.col("embedding"), signs, p, t
+    )
+    side = {
+        x["vec_id"]: (x["sp"]["hp"], x["sp"]["probe_mask"])
+        for x in df.select("vec_id", sp.alias("sp")).collect()
+    }
+    got = {
+        (x["a_id"], x["b_id"])
+        for x in similarity.near_dup_pairs_multiprobe_bounded(
+            df, signs, prefix_planes=p, split_r=r, threshold=-1.0,
+            n_probes=t,
+        ).collect()
+    }
+    pm_full = (1 << p) - 1
+    want = set()
+    excluded_d1 = 0
+    for a in sorted(side):
+        for b in sorted(side):
+            if a >= b:
+                continue
+            ha, ma = side[a]
+            hb, mb = side[b]
+            pa, pb = ha & pm_full, hb & pm_full
+            ea, eb = (ha >> p) & 1, (hb >> p) & 1
+            mga, mgb = (pa % 4) >= r, (pb % 4) >= r
+            x = pa ^ pb
+            if x == 0:
+                want.add((a, b))
+            elif bin(x).count("1") == 1:
+                if (x & ma == x and (mgb or ea == eb)) or (
+                    x & mb == x and (mga or ea == eb)
+                ):
+                    want.add((a, b))
+                else:
+                    excluded_d1 += 1
+    assert got == want and len(want) > 0
+    assert excluded_d1 > 0, "fixture too small: the bound never bound"

@@ -25,7 +25,7 @@ SECTIONS = {
     "§2.7 Array / string / date functions": ["array_stack_channels", "array_slice_2d", "array_concat", "array_transpose", "array_flatten", "str_parse_ts", "str_format_path", "str_replace"],
     "§2.8 UDF / inference": ["udf_vectorized_kernel", "udf_batch_inference", "udf_ensemble_blend", "solve_ridge", "solve_ridge_sum1", "solve_ridge_verified", "crr_combo_switch"],
     "Extensions: dedup (training-data pipeline)": ["dedup_exact", "dedup_minhash_signature", "dedup_minhash_lsh", "dedup_minhash_recall", "dedup_minhash_estimate", "dedup_simhash", "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_embedding_cosine", "dedup_connected_components", "dedup_substring_spans", "dedup_semantic", "dedup_simhash_hamming", "dedup_ngram_containment", "sink_lsh_index", "sink_exact_dedup_index", "graph_pagerank", "graph_triangles"],
-    "Extensions: similarity search": ["sim_cosine_topk", "sim_cosine_topk_blas", "sim_cosine_bucketed", "sim_ivf_topk", "sim_ivf_recall", "sim_hyperplane_lsh", "sim_lsh_multiprobe", "sim_lsh_banded", "sim_lsh_banded_hiword", "sim_lsh_recall", "embed_quantize_int8", "embed_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk", "sink_ivf_index", "sink_ivfpq_index"],
+    "Extensions: similarity search": ["sim_cosine_topk", "sim_cosine_topk_blas", "sim_cosine_bucketed", "sim_ivf_topk", "sim_ivf_recall", "sim_hyperplane_lsh", "sim_lsh_multiprobe", "sim_lsh_multiprobe_bounded", "sim_lsh_banded", "sim_lsh_banded_hiword", "sim_lsh_recall", "embed_quantize_int8", "embed_pq_codes", "sim_pq_adc_topk", "sim_ivfpq_topk", "sink_ivf_index", "sink_ivfpq_index"],
     "Extensions: multimodal": ["multimodal_image_features", "multimodal_frame_sample", "multimodal_audio_features"],
     "Extensions: text analysis": ["text_lang_id", "text_quality_score", "text_token_count", "text_fingerprint", "text_vocab_topk", "text_unigram_logprob", "text_strip_markup", "text_tfidf_topk", "text_pii_redact", "text_repetition_score", "text_bigram_logprob", "text_inverted_index", "text_pmi_collocations", "quality_model_filter", "text_heavy_hitters_cms"],
     "Extensions: curation wave 3": ["text_decontaminate", "text_decontaminate_bloom", "sample_mixture_weighted", "sample_topk_per_group", "sample_exact_k_per_group", "sample_weighted_priority", "pack_chunked", "text_chunk_overlap", "window_ewma", "agg_winsorize"],

@@ -618,6 +618,50 @@ def hyperplane_bucket_words_arrow(
     return _bucket_words(vec_col)
 
 
+def hyperplane_bucket_probe_arrow(
+    vec_col: Column, signs, prefix_planes: int, n_probes: int
+) -> Column:
+    """Signature + bounded probe mask in ONE Arrow kernel: returns
+    struct(hp, probe_mask) where ``hp`` is the usual sign-bit bucket
+    over all ``signs`` and ``probe_mask`` has bit i set for the
+    ``n_probes`` PREFIX planes (i < prefix_planes) whose dot product
+    sits closest to the hyperplane — the planes most likely to flip
+    for a borderline neighbor (Lv et al. 2007 multi-probe LSH). The
+    closeness order is over round(|dot| + 1e-9, 6) with the plane
+    index as tiebreak — quantized here as
+    floor((|dot| + 1e-9)·10⁶ + 0.5), the exact positive-value
+    half-up the SQL round() computes (numpy's own round is
+    half-EVEN), so the oracle's row_number restatement ranks
+    identically under float-summation-order noise (the same
+    nudge-then-round policy as every cosine cut)."""
+    import numpy as np
+    import pandas as pd
+
+    assert signs and len(signs) <= SIGNATURE_WORD_BITS
+    assert prefix_planes <= len(signs)
+    s_t = np.asarray(signs, dtype=np.float64).T  # (dim, P)
+    pows = 1 << np.arange(len(signs), dtype=np.int64)
+    t = min(n_probes, prefix_planes)
+
+    @F.pandas_udf("struct<hp: long, probe_mask: long>")
+    def _sig_probe(v: pd.Series) -> pd.DataFrame:
+        m = _vector_matrix(v, s_t.shape[0])
+        dots = m @ s_t
+        hp = (((dots + 1e-9) >= 0) * pows).sum(axis=1).astype(np.int64)
+        key = np.floor(
+            (np.abs(dots[:, :prefix_planes]) + 1e-9) * 1e6 + 0.5
+        )
+        # lexicographic (quantized |dot|, plane idx): argsort is
+        # stable, so ties break toward the lower plane index
+        order = np.argsort(key, axis=1, kind="stable")[:, :t]
+        mask = np.zeros(len(hp), dtype=np.int64)
+        for j in range(order.shape[1]):
+            mask |= np.int64(1) << order[:, j].astype(np.int64)
+        return pd.DataFrame({"hp": hp, "probe_mask": mask})
+
+    return _sig_probe(vec_col)
+
+
 def band_key_words(
     word_cols: list[Column],
     off: int,
@@ -887,6 +931,109 @@ def near_dup_pairs_multiprobe(
     # least/greatests only the flip meetings was measured at all
     # three SFs: no win — the distinct is not the binding stage — so
     # the simpler single join stays.)
+    cand = (
+        probes.join(exact, on="probe")
+        .where(F.col(id_col) != F.col("item_id"))
+        .select(
+            F.least(F.col(id_col), F.col("item_id")).alias("a_id"),
+            F.greatest(F.col(id_col), F.col("item_id")).alias("b_id"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(cand, df, id_col, vec_col, threshold)
+
+
+def near_dup_pairs_multiprobe_bounded(
+    df: DataFrame,
+    signs,
+    prefix_planes: int,
+    split_r: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_bucket: int = 4096,
+    n_probes: int = 8,
+) -> DataFrame:
+    """Bounded-fan-out multiprobe (Lv et al. 2007, "Multi-Probe
+    LSH") — the TRULY-LINEAR member of the probe family: instead of
+    flipping every prefix plane (fan-out p+2, which grows with
+    log n and leaves an n·log n explode even after the work-target
+    normalization — the 11.1×/decade residual in SCALING.md §7d),
+    each row probes only its ``n_probes`` LOWEST-|dot| prefix planes
+    — the flips a borderline neighbor is most likely to differ in —
+    plus the exact key and the extension flip. Work per row =
+    (n_probes+2)·depth with BOTH factors constant (depth from the
+    depth-constant fractional split), so total work is linear in the
+    corpus at every scale.
+
+    The pair rule in signature terms: with x = xor(prefix_a,
+    prefix_b), a pair is a candidate iff x = 0 (the extension flip
+    covers unmerged ext mismatches), or bit_count(x) = 1 AND the
+    differing plane is in EITHER side's probe mask AND the
+    fractional-key meet condition holds (merged_a OR merged_b OR
+    ext_a = ext_b) — the :func:`near_dup_pairs_multiprobe` rule
+    restricted to masked planes; when n_probes ≥ prefix_planes the
+    two operators are identical (the gate-SF regime, unit-pinned).
+    Recall: a d=1 pair is missed only when the differing plane is
+    outside BOTH rows' nearest-``n_probes`` sets — by construction
+    the least-likely-to-flip planes.
+
+    One Arrow kernel emits (signature, probe mask) per row
+    (:func:`hyperplane_bucket_probe_arrow`); candidate generation is
+    the same explode → equi join → bare-id distinct shape, with the
+    probe array filtered by the mask JVM-side, and the same
+    hot-bucket census cap and rounded-cosine verify tail."""
+    p, r = prefix_planes, split_r
+    assert p + 1 <= SIGNATURE_WORD_BITS and len(signs) <= SIGNATURE_WORD_BITS
+    sp = hyperplane_bucket_probe_arrow(F.col(vec_col), signs, p, n_probes)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), sp.alias("_sp")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_sp.hp").alias("hp"),
+        F.col("_sp.probe_mask").alias("pm"),
+        fractional_key(F.col("_sp.hp"), p, r).alias("hpk"),
+    )
+    bucketed = _cache_signatures(bucketed)
+    hot = (
+        bucketed.groupBy("hpk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket)
+        .select("hpk")
+    )
+    bucketed = bucketed.join(F.broadcast(hot), on="hpk", how="left_anti")
+    prefix = F.col("hp").bitwiseAND(F.lit((1 << p) - 1).cast("bigint"))
+    ext = F.shiftright(F.col("hp"), p).bitwiseAND(F.lit(1).cast("bigint"))
+    keyed = lambda pref, e: fractional_key_parts(pref, e, r)  # noqa: E731
+    # exact key + extension flip always probe; prefix flip i only
+    # when bit i of the row's mask is set — filtered JVM-side before
+    # the explode so fan-out is n_probes+2, not p+2
+    probe_arr = F.array(
+        F.struct(F.col("hpk").alias("k"), F.lit(True).alias("keep")),
+        F.struct(
+            keyed(prefix, F.lit(1).cast("bigint") - ext).alias("k"),
+            F.lit(True).alias("keep"),
+        ),
+        *[
+            F.struct(
+                keyed(
+                    prefix.bitwiseXOR(F.lit(1 << i).cast("bigint")), ext
+                ).alias("k"),
+                (
+                    F.shiftright(F.col("pm"), i).bitwiseAND(F.lit(1)) == 1
+                ).alias("keep"),
+            )
+            for i in range(p)
+        ],
+    )
+    probes = bucketed.select(
+        F.col(id_col),
+        F.explode(F.filter(probe_arr, lambda s: s["keep"])).alias("pr"),
+    ).select(F.col(id_col), F.col("pr.k").alias("probe"))
+    exact = bucketed.select(
+        F.col(id_col).alias("item_id"), F.col("hpk").alias("probe")
+    )
     cand = (
         probes.join(exact, on="probe")
         .where(F.col(id_col) != F.col("item_id"))

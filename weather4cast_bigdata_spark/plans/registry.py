@@ -1604,6 +1604,36 @@ def q_sim_lsh_multiprobe(spark, sf_dir):
     )
 
 
+@qdef(
+    "sim_lsh_multiprobe_bounded",
+    )
+def q_sim_lsh_multiprobe_bounded(spark, sf_dir):
+    """Bounded-fan-out multiprobe LSH near-dup pairs (Lv et al.
+    2007): each row probes its exact fractional bucket, the
+    extension flip, and ONLY its 8 lowest-|dot| prefix planes — the
+    flips a borderline neighbor is most likely to differ in — so
+    probe work per row is (8+2)·depth with BOTH factors constant
+    (depth from the depth-constant quarter-step split). This is the
+    truly-linear member of the probe family: `sim_lsh_multiprobe`'s
+    full-prefix fan-out p+2 grows with log n, the n·log n explode
+    measured as its 11.1×/decade residual (SCALING.md §7d); here the
+    explode is n·10 at every corpus size. At gate SFs where p ≤ 8
+    the mask covers every prefix plane and the two operators emit
+    identical pairs (unit-pinned). The oracle restates the probe
+    mask with a row_number over the identically-quantized
+    round(|dot|+1e-9, 6) and the per-DIRECTION meet rule: a
+    one-plane-apart pair is a candidate iff the differing plane is
+    in A's mask and (merged_b OR ext_a = ext_b), or symmetrically
+    for B."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    p, r = similarity.fractional_split(n, target_bucket=8)
+    signs = similarity.hyperplane_signs(p + (1 if r else 0), 64)
+    return similarity.near_dup_pairs_multiprobe_bounded(
+        emb, signs, prefix_planes=p, split_r=r, threshold=0.2, n_probes=8
+    )
+
+
 def _banded_signs(emb, n_bands: int = 4):
     """Plane matrix + fractional band layout for the banded
     construction: total plane count from the 1/4-step chain

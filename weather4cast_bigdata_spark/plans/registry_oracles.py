@@ -2604,6 +2604,55 @@ f"""
     """
 )
 
+# Bounded-fan-out multiprobe (r9): the probe mask is the 8
+# lowest-|dot| prefix planes per row — restated with a row_number
+# over the identically-quantized key (round(|dot|+1e-9, 6); the
+# kernel computes floor((|dot|+1e-9)·10⁶+0.5), the same positive-
+# value half-up, as its sort key), plane index as tiebreak. The
+# d = 1 meet rule is per DIRECTION: A's flip-i probe lands in B's
+# exact bucket iff i ∈ mask_a AND (merged_b OR ext_a = ext_b).
+ORACLES["sim_lsh_multiprobe_bounded"] = (
+f"""
+    WITH {_HP_FRAC_CTE},
+    ranked AS (
+        SELECT d.vec_id, d.p,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY round(abs(d.dot) + 1e-9, 6), d.p)
+                   AS rnk
+        FROM dots1 d, pv WHERE d.p < pv.fp
+    ),
+    pmask AS (
+        SELECT vec_id,
+               sum(CASE WHEN rnk <= 8 THEN 1::BIGINT << p ELSE 0 END) AS pm
+        FROM ranked GROUP BY 1
+    ),
+    eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                  k.pref, k.ext, k.merged, COALESCE(m.pm, 0) AS pm
+           FROM embeddings e JOIN keyed k USING (vec_id)
+           LEFT JOIN pmask m USING (vec_id)),
+    cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               a.v AS qv, b.v AS cv
+        FROM eb a JOIN eb b
+          ON a.vec_id < b.vec_id
+         AND (xor(a.pref, b.pref) = 0
+              OR (bit_count(xor(a.pref, b.pref)) = 1
+                  AND (((xor(a.pref, b.pref) & a.pm) = xor(a.pref, b.pref)
+                        AND (b.merged OR a.ext = b.ext))
+                       OR ((xor(a.pref, b.pref) & b.pm) = xor(a.pref, b.pref)
+                           AND (a.merged OR a.ext = b.ext)))))
+    )
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT a_id, b_id,
+               round(list_dot_product(qv, cv)
+                     / (greatest(sqrt(list_dot_product(qv, qv)), 1e-300)
+                        * greatest(sqrt(list_dot_product(cv, cv)), 1e-300))
+                     + 1e-9, 6) AS cos_sim
+        FROM cand
+    ) WHERE cos_sim >= 0.2
+    """
+)
+
 # Two-word coverage query (r9): band slices start at plane 58, so
 # every band key reads word 1 or straddles the 60-bit boundary at
 # EVERY corpus size. Signature covers 58 + q planes; two words
