@@ -26,78 +26,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_evaluate(spark, "/root/testdata/sf0.001")
 
 
-# Verification rotation (round 9): cumulatively 204 distinct queries
-# driver-checked across 8 rounds, 0 value failures ever. Round 9's
-# first-50 window: (1) the 5 queries whose PLANS changed this round —
-# the LSH family (MAX_QUARTER_STEPS=120 two-word cap extension plus
-# its NEW oracle-bearing coverage query sim_lsh_banded_hiword, the
-# small-n signature/verify policy, the census-gated BLAS verify tail
-# for sim_hyperplane_lsh) and dedup_embedding_cosine (auto signature
-# kernel); (2) the 7 r4 leftovers — after these, no query's latest
-# driver green predates r5 (VERDICT r8 item 6); (3) 36 of the 50
-# entries whose latest green is r5 (the oldest remaining cohort; the
-# 14 leftovers — interval_arith, window_prev_day_fallback, day_boundary_correct,
-# argmin_checkpoint, sort_time,
-# set_intersect, set_distinct, agg_rollup, agg_cube,
-# agg_grouping_sets, agg_percentile, agg_salted,
-# quality_model_filter_verified, sink_submission_h5 — lead r10).
-# The genuinely rows-only entries (RNG order / sketch estimates /
-# k-means training / RNG fixtures) stay pinned to the END of the
-# ordering so they never burn a window slot — each is covered by a
-# hash-verified sibling or invariant tests
-# (tests/test_registry_oracle.py re-checks every rotated-out query
-# with the same dtype-strict compare each session).
-_ROUND9_PRIORITY = [
+# Verification rotation (round 10): cumulatively 205 distinct
+# oracle-bearing queries driver-checked across 9 rounds, 0 value
+# failures ever. Round 10's first-50 window: (1) the queries whose
+# PLANS or ORACLES changed this round — sim_lsh_multiprobe (the
+# size-gated bounded-T default + its unified per-direction oracle,
+# VERDICT r9 item 1), dedup_simhash_hamming (fractional 1-bit
+# signature widths + footer-metadata count, item 3),
+# sim_lsh_banded_hiword (loud two-word oracle guard, ADVICE r9),
+# and the rest of the LSH family whose count derivation moved to
+# parquet footer metadata (same values, same plans — re-led out of
+# caution); (2) the 14 r5-stale leftovers (VERDICT r9 item 6 — after
+# these no query's latest green predates r6); (3) 28 of the 47
+# entries whose latest green is r6 (the oldest remaining cohort —
+# the leftovers lead r11). The genuinely rows-only entries (RNG
+# order / sketch estimates / k-means training / RNG fixtures) stay
+# pinned to the END of the ordering so they never burn a window
+# slot — each is covered by a hash-verified sibling or invariant
+# tests (tests/test_registry_oracle.py re-checks every rotated-out
+# query with the same dtype-strict compare each session).
+_ROUND10_PRIORITY = [
+    # -- (1) changed this round ----------------------------------------
+    "sim_lsh_multiprobe",
+    "dedup_simhash_hamming",
     "sim_lsh_banded_hiword",
     "sim_lsh_multiprobe_bounded",
-    "sim_hyperplane_lsh",
-    "sim_lsh_multiprobe",
     "sim_lsh_banded",
-    "sim_lsh_recall",
+    "sim_hyperplane_lsh",
     "dedup_embedding_cosine",
-    "sim_ivf_recall",
-    "udf_vectorized_kernel",
-    "text_top_ngram_char_frac",
-    "scan_binary_roundtrip_verified",
-    "project_pivot_wide",
-    "partition_subset_select",
-    "shuffle_seeded_verified",
-    "scan_file_index",
-    "scan_fallback_source",
-    "project_minmax_normalize",
-    "predicate_fill_detect",
-    "impute_mean_nonfill",
-    "impute_constant",
-    "project_affine_geo",
-    "project_clamp_scale",
-    "project_log_clamp",
-    "project_logit",
-    "project_normlogit",
-    "project_inv_normlogit",
-    "project_quantize",
-    "project_channel_select",
-    "conditional_where",
-    "filter_region_membership",
-    "filter_valid_sequence",
-    "predicate_rain_event",
-    "join_multichannel",
-    "join_frame_lookup",
-    "join_ensemble_align",
-    "udf_ensemble_blend",
-    "agg_mean_nonfill",
-    "agg_global_max",
-    "agg_bool_any",
-    "agg_mse",
-    "agg_rounded_mse",
-    "agg_normlogit_mse",
-    "agg_weighted_multiloss",
-    "agg_gram_matrix",
-    "agg_running_mean",
-    "agg_correlation_matrix",
-    "agg_count_sequences",
-    "agg_distinct_times",
-    "window_past_sequence",
-    "window_future_horizon",
+    "sim_lsh_recall",
+    # -- (2) the r5-stale cohort ----------------------------------------
+    "interval_arith",
+    "window_prev_day_fallback",
+    "day_boundary_correct",
+    "argmin_checkpoint",
+    "sort_time",
+    "set_intersect",
+    "set_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_salted",
+    "quality_model_filter_verified",
+    "sink_submission_h5",
+    # -- (3) oldest r6 greens --------------------------------------------
+    "agg_approx_percentile_verified",
+    "agg_entropy",
+    "agg_histogram",
+    "array_concat",
+    "array_flatten",
+    "array_slice_2d",
+    "array_stack_channels",
+    "array_transpose",
+    "crr_combo_switch",
+    "curation_pipeline",
+    "dedup_connected_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signature",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "join_asof_nearest",
+    "join_bucketed_colocated",
+    "json_get",
+    "multimodal_frame_sample",
+    "plot_frame_grid",
+    "sample_augment",
+    "sample_stratified_split",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "sim_cosine_bucketed",
+    "streaming_submission_h5",
     # ---- 50-entry window boundary ------------------------------------
 ]
 
@@ -111,7 +112,7 @@ _ROWS_ONLY_LAST = sorted(ROWS_ONLY)
 def _ordered_names() -> list[str]:
     seen = set()
     ordered: list[str] = []
-    for name in _ROUND9_PRIORITY:
+    for name in _ROUND10_PRIORITY:
         if name in REGISTRY and name not in seen:
             ordered.append(name)
             seen.add(name)

@@ -419,7 +419,20 @@ def main() -> None:
             f"vs best recorded {best_prior:.3f})"
         )
     if prev_rounds:
-        prev_name, prev = prev_rounds[-1]
+        # Same-protocol anchoring (VERDICT r9 item 2): a pooled-session
+        # record and a fresh-process record are NOT comparable — pooled
+        # inflation hits shuffle-heavy queries up to ~2.6x while barely
+        # moving canary_cpu, so canary normalization cannot bridge the
+        # protocols (BENCH_r09's vs_prev printed 1.807 "slower" against
+        # pooled r8 when the true fresh-to-fresh ratio was 1.027).
+        # vs_prev therefore anchors to the LATEST PRIOR RECORD WITH THE
+        # SAME mode; if none exists, it falls back to the latest record
+        # of any mode and says so in `protocol_note`.
+        same_mode = [
+            (n, r) for n, r in prev_rounds
+            if r.get("mode", "pooled-session") == result["mode"]
+        ]
+        prev_name, prev = (same_mode or prev_rounds)[-1]
         prev_q, prev_c = prev["queries"], prev.get("canary", {})
         common = sorted(set(prev_q) & set(timings))
         raw = sum(timings[q] for q in common) / max(
@@ -444,6 +457,7 @@ def main() -> None:
             gm = gm ** (1.0 / len(drift))
         result["vs_prev"] = {
             "record": prev_name,
+            "protocol": prev.get("mode", "pooled-session"),
             "common_queries": len(common),
             "raw_total_ratio": round(raw, 3),
             "canary_drift": {n: round(v, 3) for n, v in drift.items()},
@@ -452,6 +466,12 @@ def main() -> None:
                 **({"geomean": round(raw / gm, 3)} if gm else {}),
             },
         }
+        if not same_mode:
+            result["vs_prev"]["protocol_note"] = (
+                "CROSS-PROTOCOL comparison (no prior record in "
+                f"{result['mode']} mode) — ratios confounded by session "
+                "pooling; do not read as a performance delta"
+            )
     # Full record (with per-sample distributions) goes to a repo file:
     # the driver captures stdout's tail, and r5's giant single line got
     # front-truncated there, losing the headline total — the printed

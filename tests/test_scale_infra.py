@@ -1356,3 +1356,103 @@ def test_bounded_multiprobe_matches_python_reference(spark):
                     excluded_d1 += 1
     assert got == want and len(want) > 0
     assert excluded_d1 > 0, "fixture too small: the bound never bound"
+
+
+def test_multiprobe_auto_gate_dispatch(spark):
+    """The size-gated default (VERDICT r9 item 1): at p <= 8 the
+    auto form emits exactly the full-prefix rule's pairs; at p > 8
+    exactly the bounded-T=8 rule's pairs — so probe rows/input row
+    is bounded by 10 at every corpus size while gate-SF results are
+    unchanged."""
+    import random
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    rng = random.Random(53)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(280)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pairs(d):
+        return {(x["a_id"], x["b_id"], x["cos_sim"]) for x in d.collect()}
+
+    # below the gate: identical to the full-prefix operator
+    p, r = 6, 1
+    signs = similarity.hyperplane_signs(p + 1, dim)
+    assert pairs(
+        similarity.near_dup_pairs_multiprobe_auto(
+            df, signs, prefix_planes=p, split_r=r, threshold=0.2
+        )
+    ) == pairs(
+        similarity.near_dup_pairs_multiprobe(
+            df, signs, threshold=0.2, prefix_planes=p, split_r=r
+        )
+    )
+    # past the gate: identical to the bounded-T operator
+    p, r = 10, 2
+    signs = similarity.hyperplane_signs(p + 1, dim)
+    assert pairs(
+        similarity.near_dup_pairs_multiprobe_auto(
+            df, signs, prefix_planes=p, split_r=r, threshold=0.2
+        )
+    ) == pairs(
+        similarity.near_dup_pairs_multiprobe_bounded(
+            df, signs, prefix_planes=p, split_r=r, threshold=0.2,
+            n_probes=similarity.MULTIPROBE_BOUNDED_FANOUT,
+        )
+    )
+
+
+def test_probe_arrow_tie_heavy_rank_is_quantized_half_up(spark):
+    """Tie-heavy fixture for the probe kernel's rank key (ADVICE r9):
+    vectors built so several planes share EXACTLY the same |dot|
+    (axis-aligned ±1 signs, integer-coordinate vectors) plus values
+    sitting a hair under/over a 1e-6 quantization edge. The mask must
+    equal a driver-side restatement of floor((|dot|+1e-9)*1e6 + 0.5)
+    ranked with plane-index tiebreak — i.e. ties break to the LOWER
+    plane, and half-up (not numpy half-even) decides edge values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from weather4cast_bigdata_spark.operators import similarity
+
+    dim = 8
+    # planes 0/1 identical |dot| for every integer vector (pure axis
+    # signs); planes 2/3 scaled so |dot| lands on a .5e-6 edge
+    signs = [
+        [1, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1, 0, 0, 0, 0, 0],
+        [0, 0, 0, 1, 0, 0, 0, 0],
+        [0, 0, 0, 0, 1, 0, 0, 0],
+    ]
+    rows = []
+    for i in range(64):
+        v = [0.0] * dim
+        v[0] = 1.0  # plane 0 |dot| = 1.0
+        v[1] = -1.0  # plane 1 |dot| = 1.0 (exact tie with plane 0)
+        v[2] = 1.0000005  # plane 2: quantization-edge value
+        v[3] = 0.9999995  # plane 3: quantization-edge value
+        v[4] = 2.0 + i  # plane 4: clearly far
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    p, t = 5, 2
+    sp = similarity.hyperplane_bucket_probe_arrow(
+        F.col("embedding"), signs, p, t
+    )
+    got = {
+        x["vec_id"]: x["sp"]["probe_mask"]
+        for x in df.select("vec_id", sp.alias("sp")).collect()
+    }
+    s_t = np.asarray(signs, dtype=np.float64).T
+    for vid, vec in rows:
+        dots = np.asarray(vec, dtype=np.float64) @ s_t
+        key = np.floor((np.abs(dots[:p]) + 1e-9) * 1e6 + 0.5)
+        order = np.argsort(key, kind="stable")[:t]
+        want = 0
+        for j in order:
+            want |= 1 << int(j)
+        assert got[vid] == want, (vid, got[vid], want, key.tolist())
+    # the fixture is genuinely tie-heavy: planes 0 and 1 quantize
+    # identically, so the stable sort must have picked plane 0 first
+    assert all(m & 1 for m in got.values())

@@ -556,27 +556,68 @@ def test_simhash_wide_hash_lossless_vs_brute_force(spark):
     assert got == brute
 
 
-def test_simhash_adaptive_width_chain_python_sql_agree():
-    """The Spark plan derives the SimHash block width from
-    count(*) driver-side; the oracle re-derives it with the embedded
+def test_simhash_fractional_widths_lossless(spark):
+    """Fractional block widths (r10: total bits not divisible by 3 —
+    the first B%3 blocks carry one extra bit) keep the pigeonhole
+    losslessness at distance <= k, across the 32-bit and 60-bit hash
+    families and both straddle shapes (B%3 = 1 and 2)."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(15)) + f" tail{i % 5} y{i % 2}")
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 2
+    for bits, hb in ((25, 32), (26, 32), (40, 60)):
+        got = {
+            (r["doc_id_l"], r["doc_id_r"], r["hamming"])
+            for r in dedup.simhash_near_pairs(
+                docs, bits=bits, k=k, hash_bits=hb
+            ).collect()
+        }
+        sig = dedup.simhash(docs, bits=bits, hash_bits=hb)
+        a = sig.select(F.col("doc_id").alias("l"), F.col("simhash").alias("s1"))
+        b = sig.select(F.col("doc_id").alias("r"), F.col("simhash").alias("s2"))
+        brute = {
+            (r["l"], r["r"], r["h"])
+            for r in a.crossJoin(b)
+            .where(F.col("l") < F.col("r"))
+            .select("l", "r", F.expr("bit_count(s1 ^ s2)").alias("h"))
+            .where(F.col("h") <= k)
+            .collect()
+        }
+        assert got == brute, (bits, hb)
+
+
+def test_simhash_adaptive_bits_chain_python_sql_agree():
+    """The Spark plan derives the SimHash signature width (total
+    bits B, 1-bit fractional steps) from the corpus count
+    driver-side; the oracle re-derives it with the embedded
     integer-comparison chain — the two must agree at every corpus
-    size, including the 8-bit legacy floor and the 20-bit hash
-    ceiling."""
+    size, including the 24-bit legacy floor and the 60-bit hash
+    ceiling, and B must be monotone with 1-bit steps."""
     import duckdb
 
-    from weather4cast_bigdata_spark.operators import similarity
     from weather4cast_bigdata_spark.plans.registry_quality import (
-        SIMHASH_BLOCK_TARGET,
-        SIMHASH_MAX_BLOCK_W,
-        _simhash_w,
+        _simhash_bits,
+        _simhash_bits_sql,
+        _simhash_cap,
     )
 
     con = duckdb.connect()
-    for n in (1, 64, 500, 5000, 8192, 8193, 16385, 50000, 150000,
-              500000, 10**7, 10**12):
-        chain = similarity.adaptive_n_planes_sql(
-            str(n), target_bucket=SIMHASH_BLOCK_TARGET,
-            max_extra=SIMHASH_MAX_BLOCK_W,
-        )
-        got = con.execute(f"SELECT greatest(8, {chain})").fetchone()[0]
-        assert got == _simhash_w(n), (n, got, _simhash_w(n))
+    prev = None
+    for n in (1, 64, 500, 5000, 8192, 8193, 16384, 16385, 19660,
+              19661, 50000, 150000, 500000, 10**7, 10**8, 10**12):
+        got = con.execute(f"SELECT {_simhash_bits_sql(str(n))}").fetchone()[0]
+        assert got == _simhash_bits(n), (n, got, _simhash_bits(n))
+        if prev is not None:
+            assert got >= prev
+        prev = got
+    # legacy floor: both bench gates stay at the recorded 24-bit form
+    assert _simhash_bits(8192) == 24 and _simhash_bits(16384) == 24
+    # first fractional step is ONE bit, not a whole block
+    assert _simhash_bits(16385) == 25
+    # ceiling saturates at the 60-bit hash limit
+    assert _simhash_bits(10**12) == 60
+    # capacity thresholds are strictly monotone (the chain's premise)
+    caps = [_simhash_cap(b) for b in range(24, 60)]
+    assert caps == sorted(caps) and len(set(caps)) == len(caps)

@@ -67,6 +67,11 @@ def main() -> None:
     here = os.path.abspath(__file__)
     for sf_dir in args.sf_dirs.split(","):
         for name in args.queries.split(","):
+            # proc is rebound per iteration BEFORE the run call: a timeout
+            # on the FIRST child previously raised NameError here, and a
+            # timeout on a later child reported the PREVIOUS query's
+            # returncode/stderr tail (ADVICE r9).
+            proc = None
             try:
                 proc = subprocess.run(
                     [sys.executable, here, "--one", name,
@@ -79,9 +84,11 @@ def main() -> None:
             except subprocess.TimeoutExpired:
                 row = {}
             if not row:
+                rc = proc.returncode if proc is not None else "timeout"
+                tail = proc.stderr[-300:] if proc is not None and proc.stderr else ""
                 row = {"query": name, "sf": sf_dir,
-                       "error": f"child failed rc={getattr(proc, 'returncode', 'timeout')}",
-                       "stderr_tail": (proc.stderr[-300:] if 'proc' in dir() and proc.stderr else "")}
+                       "error": f"child failed rc={rc}",
+                       "stderr_tail": tail}
             print(json.dumps(row), file=sink, flush=True)
             print(json.dumps(row), file=sys.stderr, flush=True)
     if sink is not sys.stdout:

@@ -64,7 +64,7 @@ def main(argv=None) -> int:
     p.add_argument("--frames-dir", default="", help="Parquet frame lake (long layout); default: bundled fixtures")
     p.add_argument("--regions", default="", help="Comma-separated region whitelist")
     p.add_argument("--submission-dir", default="", help="submit: output path for the quantized partitioned sink")
-    p.add_argument("--submission-format", default="parquet", choices=["parquet", "h5"], help="submit: parquet lake (default) or the scorer's per-(region,day) HDF5 files (npy-fallback without h5py)")
+    p.add_argument("--submission-format", default="parquet", choices=["parquet", "h5"], help="submit: parquet lake (default) or the scorer's per-(region,day) HDF5 files (pure-Python HDF5 writer when h5py is absent)")
     p.add_argument("--ensemble-weights", default="ridge", choices=["ridge", "equal", "ridge_lagrange"])
     p.add_argument("--docs-dir", default="", help="curate/audit/decontaminate/pack: documents parquet (doc_id, text, ...)")
     p.add_argument("--output-dir", default="", help="curate/decontaminate/pack: write results here (else print summary only)")

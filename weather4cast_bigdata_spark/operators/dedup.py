@@ -964,8 +964,20 @@ def simhash_near_pairs(
     keeps the exact pigeonhole guarantee.
     """
     n_blocks = k + 1
-    width = bits // n_blocks
-    mask = (1 << width) - 1
+    # FRACTIONAL block widths (r10, VERDICT item 3 — the same 1-bit
+    # resolution the LSH chains got as quarter-steps): the signature's
+    # ``bits`` need not divide evenly; the first bits % n_blocks
+    # blocks carry one extra bit. Pigeonhole is width-agnostic (k+1
+    # disjoint blocks still force agreement on one), and per-block
+    # candidate volume n²/2^w_j interpolates in ~2^(1/(k+1)) steps
+    # per added bit instead of jumping 2× per whole-block-width
+    # increment (the measured 9.4×/decade sawtooth of the integral
+    # form). bits % n_blocks == 0 reproduces the legacy equal split
+    # bit-for-bit — every recorded ≤ 8192-doc result is unchanged.
+    base_w = bits // n_blocks
+    rem = bits % n_blocks
+    widths = [base_w + (1 if j < rem else 0) for j in range(n_blocks)]
+    offs = [j * base_w + min(j, rem) for j in range(n_blocks)]
     sig = simhash(
         docs, id_col=id_col, text_col=text_col, bits=bits, hash_bits=hash_bits
     )
@@ -987,7 +999,9 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), j * width).bitwiseAND(F.lit(mask))
+                    F.shiftright(F.col("simhash"), offs[j]).bitwiseAND(
+                        F.lit((1 << widths[j]) - 1)
+                    )
                     for j in range(n_blocks)
                 ]
             )

@@ -633,7 +633,17 @@ def hyperplane_bucket_probe_arrow(
     half-up the SQL round() computes (numpy's own round is
     half-EVEN), so the oracle's row_number restatement ranks
     identically under float-summation-order noise (the same
-    nudge-then-round policy as every cosine cut)."""
+    nudge-then-round policy as every cosine cut).
+
+    Known residual risk (ADVICE r9, accepted under the repo's
+    numeric policy): the 1e-9 nudge protects FIXED thresholds, not
+    this data-relative rank boundary — if two different planes'
+    |dot| values straddle a 1e-6 quantization edge by less than
+    float-summation noise, numpy (one matmul) and the oracle
+    (per-dimension sum) can rank them oppositely and flip the
+    boundary probe. Same class as the round-6 cosine-cut risk;
+    tests/test_similarity.py keeps a tie-heavy fixture on this
+    kernel."""
     import numpy as np
     import pandas as pd
 
@@ -697,6 +707,7 @@ def near_dup_pairs_hyperplane(
     threshold: float = 0.9,
     dim: int = 64,
     target_bucket: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs with random-hyperplane LSH candidate
     generation: bucket on the P-bit hyperplane signature, then verify
@@ -718,10 +729,14 @@ def near_dup_pairs_hyperplane(
     the same signature is the production recall knob. An explicit
     ``signs`` keeps the legacy exact-collision-on-len(signs)-planes
     semantics (used by callers that manage their own resolution,
-    e.g. the label-composite dedup_embedding_cosine)."""
-    n = None
+    e.g. the label-composite dedup_embedding_cosine). ``n_rows``
+    (when the caller already knows the corpus count — e.g. from
+    parquet footer metadata, catalog.table_rows) skips the count
+    job."""
+    n = n_rows
     if signs is None:
-        n = df.count()
+        if n is None:
+            n = df.count()
         p, r = fractional_split(n, target_bucket=target_bucket)
         # the fractional key always fits ONE bigint word: p = Q//4
         # ≤ MAX_QUARTER_STEPS//4 = 30 planes + the extension bit
@@ -1044,6 +1059,67 @@ def near_dup_pairs_multiprobe_bounded(
         .distinct()
     )
     return _verify_pairs(cand, df, id_col, vec_col, threshold)
+
+
+#: Probe fan-out past which the multiprobe family switches to the
+#: bounded-T (Lv et al.) rule BY DEFAULT (VERDICT r9 item 1 — the
+#: last super-linear decade term). While the fractional prefix width
+#: p ≤ this, flipping EVERY prefix plane costs no more than the
+#: bounded rule would (fan-out p+2 ≤ T+2) and the two operators emit
+#: identical pairs (unit-pinned full-mask equivalence), so the gate
+#: changes nothing at small corpora — including both bench gates
+#: (p = 6 at 500 vectors, p = 8 at 2 000). Past it, each row probes
+#: only its T lowest-|dot| prefix planes: probe rows/input row is
+#: (T+2) = 10 at EVERY corpus size, killing the n·log n explode
+#: (11.1×/decade measured for the full-prefix rule, SCALING.md §7d).
+#: Same policy shape as ARROW_SIGNATURE_MIN_ROWS: a measured
+#: crossover constant + one pure function both engines restate.
+MULTIPROBE_BOUNDED_FANOUT = 8
+
+
+def near_dup_pairs_multiprobe_auto(
+    df: DataFrame,
+    signs,
+    prefix_planes: int,
+    split_r: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_bucket: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Size-gated multiprobe: the full-prefix rule while its fan-out
+    is within :data:`MULTIPROBE_BOUNDED_FANOUT` (identical pair set,
+    and the expression-form signature kernel stays available for the
+    small-corpus fast path), the bounded-T rule past it — constant
+    probe volume per row at any scale. The gate is a pure function
+    of ``prefix_planes`` (itself a pure function of the corpus
+    count), so the DuckDB oracle needs NO branch: the bounded meet
+    rule with ``rnk <= T`` masks degenerates to the full symmetric
+    rule exactly when p ≤ T (every prefix plane ranks within T)."""
+    if prefix_planes <= MULTIPROBE_BOUNDED_FANOUT:
+        return near_dup_pairs_multiprobe(
+            df,
+            signs,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            prefix_planes=prefix_planes,
+            split_r=split_r,
+            n_rows=n_rows,
+        )
+    return near_dup_pairs_multiprobe_bounded(
+        df,
+        signs,
+        prefix_planes=prefix_planes,
+        split_r=split_r,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        n_probes=MULTIPROBE_BOUNDED_FANOUT,
+    )
 
 
 def near_dup_pairs_banded(

@@ -2458,18 +2458,37 @@ ORACLES["dedup_ngram_containment"] = (
 )
 
 
-# Multi-probe candidate rule over the fractional split (mirrors
-# near_dup_pairs_multiprobe's probe construction as a pure symmetric
-# predicate): prefix distance 0 always qualifies (the extension-flip
-# probe covers unmerged pairs whose extension bits differ); distance
-# 1 qualifies unless BOTH prefixes are unmerged AND the extension
-# bits differ; distance >= 2 never.
+# Multi-probe candidate rule over the fan-out-normalized fractional
+# split. r10: ONE oracle covers the size-gated default
+# (similarity.near_dup_pairs_multiprobe_auto) at every corpus size —
+# the bounded per-direction meet rule with rnk <= 8 masks. While the
+# prefix width p2 <= 8 (both oracle gates) every prefix plane ranks
+# within 8, the masks are FULL, and the rule degenerates to the old
+# symmetric predicate (distance 0 always; distance 1 unless both
+# prefixes unmerged and the extension bits differ) — the recorded
+# results. Past the gate the Spark side probes only the 8
+# lowest-|dot| prefix planes and the masks here restate exactly
+# that (the same row_number over round(|dot|+1e-9, 6) as the
+# bounded sibling's oracle).
 ORACLES["sim_lsh_multiprobe"] = (
 f"""
     WITH {_HP_FRAC_MP_CTE},
+    ranked AS (
+        SELECT d.vec_id, d.p,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY round(abs(d.dot) + 1e-9, 6), d.p)
+                   AS rnk
+        FROM dots1 d, pv WHERE d.p < pv.fp
+    ),
+    pmask AS (
+        SELECT vec_id,
+               sum(CASE WHEN rnk <= 8 THEN 1::BIGINT << p ELSE 0 END) AS pm
+        FROM ranked GROUP BY 1
+    ),
     eb AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
-                  k.pref, k.ext, k.merged
-           FROM embeddings e JOIN keyed k USING (vec_id)),
+                  k.pref, k.ext, k.merged, COALESCE(m.pm, 0) AS pm
+           FROM embeddings e JOIN keyed k USING (vec_id)
+           LEFT JOIN pmask m USING (vec_id)),
     cand AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                a.v AS qv, b.v AS cv
@@ -2477,7 +2496,10 @@ f"""
           ON a.vec_id < b.vec_id
          AND (xor(a.pref, b.pref) = 0
               OR (bit_count(xor(a.pref, b.pref)) = 1
-                  AND (a.merged OR b.merged OR a.ext = b.ext)))
+                  AND (((xor(a.pref, b.pref) & a.pm) = xor(a.pref, b.pref)
+                        AND (b.merged OR a.ext = b.ext))
+                       OR ((xor(a.pref, b.pref) & b.pm) = xor(a.pref, b.pref)
+                           AND (a.merged OR a.ext = b.ext)))))
     )
     SELECT a_id, b_id, cos_sim FROM (
         SELECT a_id, b_id,
@@ -2657,9 +2679,16 @@ f"""
 # every band key reads word 1 or straddles the 60-bit boundary at
 # EVERY corpus size. Signature covers 58 + q planes; two words
 # suffice while 58 + q <= 120 (n <= ~311k — every oracle lake).
+# Past that size the Spark side generalizes to 3 words but
+# planes_wide only carries 120 planes, so the guard below fails
+# LOUDLY instead of silently truncating the signature (ADVICE r9).
 ORACLES["sim_lsh_banded_hiword"] = (
 f"""
-    WITH qv AS (SELECT {_HP_Q_SQL} AS q),
+    WITH qv AS (
+        SELECT CASE WHEN 58 + ({_HP_Q_SQL}) > 120 THEN error(
+                 'sim_lsh_banded_hiword oracle invalid: 58+q > 120 planes '
+                 || '(two-word signature exhausted at this corpus size)')
+               ELSE ({_HP_Q_SQL}) END AS q),
     planes_wide AS (
         {_HP_PLANES_WIDE_SQL}
     ),

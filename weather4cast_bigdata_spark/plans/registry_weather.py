@@ -560,7 +560,11 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     single-signature recall trade is documented at
     near_dup_pairs_hyperplane."""
     emb = _t(spark, sf_dir, "embeddings")
-    n = emb.count()  # bounded driver action: one count aggregate
+    # footer-metadata count: no Spark job for the one scalar the
+    # adaptive width needs (VERDICT r9 item 3's fixed-overhead trim)
+    from weather4cast_bigdata_spark.sources.catalog import table_rows
+
+    n = table_rows(spark, sf_dir, "embeddings")
     signs = similarity.hyperplane_signs(
         similarity.adaptive_n_planes(n, target_bucket=250), 64
     )

@@ -106,6 +106,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a lake table from parquet FOOTER metadata —
+    no Spark job. The scale-adaptive operators (LSH plane counts,
+    SimHash block widths) need only ``count(*)`` of the raw table to
+    pick their resolution; a ``df.count()`` launches a full scan
+    stage per query for one scalar (r9's adaptive SimHash paid +0.5 s
+    of its +38 % sf0.1 regression on exactly this, VERDICT r9 item
+    3). Parquet row counts are footer statistics: pyarrow's
+    ``count_rows`` folds them without touching data pages, O(#files)
+    metadata reads on the driver. Falls back to the distributed
+    ``df.count()`` for paths pyarrow can't open locally (object
+    stores without a mounted filesystem) — at true cluster scale with
+    millions of files THAT is the right engine anyway; this fast
+    path serves the per-query derivation on directory-addressable
+    lakes. Both paths return the identical integer, so derived plans
+    (and their DuckDB oracle restatements over ``count(*)``) are
+    unchanged."""
+    try:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(
+            f"{sf_dir}/{name}.parquet", format="parquet"
+        ).count_rows()
+    except Exception:
+        return load_table(spark, sf_dir, name).count()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register each table as a temp view (mirrors the driver's DuckDB views)."""
     dfs = load_tables(spark, sf_dir)
