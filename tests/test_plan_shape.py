@@ -246,6 +246,45 @@ def test_range_join_binned_broadcasts_interval_side(noaqe, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_curation_label_joinback_plan(noaqe, sf_dir):
+    """The CC label join-back is the curation flagship's one stage
+    AQE must get right at web scale (SCALING.md §2: 30-50% near-dup
+    rates make comp corpus-sized; a FORCED broadcast would OOM,
+    a hint-less plan lets AQE broadcast only when comp measures
+    small). Pin the structural halves of that contract (the runtime
+    half is measured on the clone-heavy lake,
+    tools/curation_skew_probe.py → SCALING.md §7g):
+    1. no broadcast hint anywhere on the comp side — with broadcast
+       ruled out by threshold, the join compiles to the scale-safe
+       SortMergeJoin on doc_id;
+    2. with default thresholds at this SF, the tiny comp side DOES
+       broadcast — the small-corpus fast path stays intact."""
+    from weather4cast_bigdata_spark.plans import curation
+    from weather4cast_bigdata_spark.sources.catalog import load_table
+
+    docs = load_table(noaqe, sf_dir, "documents").select("doc_id", "text")
+    # corpus-sized comp regime: force the count gate closed AND rule
+    # out estimator broadcasts — the pipeline must compile to the
+    # scale-safe sort-merge with no hidden hint anywhere
+    old = noaqe.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved = curation.BROADCAST_LABELS_MAX_ROWS
+    try:
+        curation.BROADCAST_LABELS_MAX_ROWS = -1
+        noaqe.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _formatted_plan(curation.curate(docs))
+        assert "BroadcastHashJoin" not in plan, plan
+        # the tree section prints the join type inline
+        assert "SortMergeJoin LeftOuter" in plan, plan
+    finally:
+        curation.BROADCAST_LABELS_MAX_ROWS = saved
+        noaqe.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # small-comp regime: the measured count gate broadcasts the label
+    # table even though the checkpointed comp has no size stats (the
+    # AQE/estimator blind spot the clone-heavy probe exposed)
+    plan = _formatted_plan(curation.curate(docs))
+    assert re.search(r"BroadcastHashJoin LeftOuter", plan), plan
+
+
 def test_explain_md_covers_every_audited_query():
     """EXPLAIN.md must carry a row for every query the plan audit
     claims to cover (bench HEADLINE + explain_audit AUDIT_EXTRA) —
