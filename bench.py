@@ -366,14 +366,19 @@ def main() -> None:
                 else:
                     # the driver's stdout capture front-truncates long
                     # records; rebuild by re-heading at the first
-                    # string-value boundary. Two observed truncation
-                    # sites: inside the leading metric string (r7) and
-                    # inside the queries dict itself (r8 — the record
-                    # resumes mid-`"name": 0.45,`, so re-open the dict
-                    # with one sacrificial key). Both rebuilds must
-                    # pass the same structural check before being
-                    # trusted — a wrong re-head parses but carries
-                    # garbage.
+                    # string-value boundary. THREE observed truncation
+                    # sites: inside the leading metric string (r7),
+                    # inside the queries dict at a key boundary (r8 —
+                    # the record resumes mid-`"name": 0.45,`, so
+                    # re-open the dict with one sacrificial key), and
+                    # inside a NUMERIC value (r9 — the record resumes
+                    # `.505, "name": ...`, so the sacrificial key also
+                    # re-opens the number). Every rebuild must pass
+                    # the same structural check before being trusted —
+                    # a wrong re-head parses but carries garbage; an
+                    # unhandled site silently DROPS the round from
+                    # vs_prev anchoring (how r10's first close record
+                    # lost its only fresh-process anchor).
                     rec = None
                     cut = line.find('", "')
                     candidates = []
@@ -382,6 +387,19 @@ def main() -> None:
                     if line.startswith('"'):
                         candidates.append(
                             '{"metric": "x", "queries": {"_truncated' + line
+                        )
+                    if line[:1].isdigit() or line[:1] == ".":
+                        # ".505, ..." needs the number re-opened with a
+                        # leading 0; "505, ..." must NOT get one (JSON
+                        # rejects leading zeros) — try both, the
+                        # structural check keeps whichever parses
+                        candidates.append(
+                            '{"metric": "x", "queries": {"_truncated": 0'
+                            + line
+                        )
+                        candidates.append(
+                            '{"metric": "x", "queries": {"_truncated": '
+                            + line
                         )
                     for cand in candidates:
                         try:

