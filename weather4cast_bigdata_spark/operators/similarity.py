@@ -15,27 +15,40 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from weather4cast_bigdata_spark.functions.arrays import cosine, to_double_array
+from weather4cast_bigdata_spark.functions.arrays import dot, norm, to_double_array
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, on=None) -> DataFrame:
+    # Norms are attached PER VECTOR before the pairing join (r10):
+    # computing cosine(qv, cv) per pair re-folds norm(qv)/norm(cv)
+    # for every pair a vector appears in — 3 HOF folds per pair where
+    # 1 suffices. The per-pair expression is now one dot fold + a
+    # multiply/divide over the carried norms; values are bit-identical
+    # (same fold on the same input, IEEE ops in the same order), so
+    # every recorded oracle hash is unchanged.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double_array(F.col(vec_col)).alias("qv"),
         *([F.col(c) for c in on] if on else []),
-    )
+    ).withColumn("_qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("item_id"),
         to_double_array(F.col(vec_col)).alias("cv"),
         *([F.col(c_) for c_ in on] if on else []),
-    )
+    ).withColumn("_cn", norm(F.col("cv")))
     joined = q.join(c, on=list(on), how="inner") if on else q.crossJoin(c)
     # +1e-9 tie-break epsilon before rounding (see plans.registry
     # numeric policy): summation order differs across engines.
     return joined.where(F.col("query_id") != F.col("item_id")).select(
         "query_id",
         "item_id",
-        F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias("cos_sim"),
+        F.round(
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")), F.col("_qn") * F.col("_cn")
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("cos_sim"),
     )
 
 
@@ -816,22 +829,29 @@ def _verify_pairs(
 ) -> DataFrame:
     """Attach both vectors to DISTINCT candidate id-pairs and apply
     the shared rounded-cosine cut — the verify tail common to the
-    probe/band candidate generators."""
+    probe/band candidate generators. Norms ride the vector
+    projections (n folds), not the pair expression (2·pairs folds) —
+    bit-identical values, ~3× less per-pair HOF work (r10; same
+    rewrite as _scored)."""
     a = df.select(
         F.col(id_col).alias("a_id"), to_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn", norm(F.col("qv")))
     b = df.select(
         F.col(id_col).alias("b_id"), to_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("_cn", norm(F.col("cv")))
     return (
         cand.join(a, on="a_id")
         .join(b, on="b_id")
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("qv"), F.col("cv")) + F.lit(1e-9), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("_qn") * F.col("_cn")
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
     )

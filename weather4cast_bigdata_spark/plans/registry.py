@@ -1818,18 +1818,25 @@ def q_sim_lsh_recall(spark, sf_dir):
         F.col("embedding").alias("qv_raw"),
         F.col("hpw").alias("hqw"),
     )
-    from weather4cast_bigdata_spark.functions.arrays import cosine, to_double_array
+    from weather4cast_bigdata_spark.functions.arrays import dot, norm, to_double_array
     from weather4cast_bigdata_spark.partitioning import ensure_min_parallelism
 
     # the CORPUS side streams through the nested-loop join (the small
     # query sample broadcasts), so its partition count is the join's
-    # parallelism — without this the brute-force truth runs one task
+    # parallelism — without this the brute-force truth runs one task.
+    # Norms ride each side ONCE (r10, same rewrite as
+    # similarity._scored): the truth computes sample × corpus
+    # cosines, and folding norm(cv) per PAIR re-did the corpus fold
+    # |sample| times — bit-identical values, 3× less per-pair work.
+    q = q.select(
+        "a_id", "hqw", to_double_array(F.col("qv_raw")).alias("qv")
+    ).withColumn("_qn", norm(F.col("qv")))
     c = ensure_min_parallelism(
         sig.select(
             F.col("vec_id").alias("b_id"),
-            F.col("embedding").alias("cv_raw"),
+            to_double_array(F.col("embedding")).alias("cv"),
             F.col("hpw").alias("hcw"),
-        )
+        ).withColumn("_cn", norm(F.col("cv")))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -1840,9 +1847,9 @@ def q_sim_lsh_recall(spark, sf_dir):
             "hqw",
             "hcw",
             F.round(
-                cosine(
-                    to_double_array(F.col("qv_raw")),
-                    to_double_array(F.col("cv_raw")),
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("_qn") * F.col("_cn"),
                 )
                 + F.lit(1e-9),
                 6,
