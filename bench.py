@@ -154,7 +154,22 @@ def _run_one(name: str, sf_dir: str, n_runs: int) -> None:
     headline query (or the canary pair) in a brand-new JVM — the
     r7 pooled-session finding (SCALING.md §7: unreclaimed shuffle
     files inflate later queries up to ~2.2x) made protocol, applied
-    to the headline harness. Prints one JSON line {name: samples}."""
+    to the headline harness. Prints one JSON line
+    ``{name: samples, "_attrib": {...}}``.
+
+    Per-child ATTRIBUTION (VERDICT r10 item 1): the round-level
+    canary pair runs in its OWN child, so it cannot see machine
+    state local to another child's window — the r10 driver record
+    had five queries 1.9–3.6× their baselines while its canaries
+    read the best values ever recorded, and nothing in the record
+    could say which was lying. Each query child therefore also
+    records (a) its own in-JVM canary_cpu (timed AFTER the samples,
+    same plan as the round canary), (b) the warm-up wall (plan
+    compile + whole-stage codegen + JIT — the one-off cost the
+    outlier plans are heaviest in), and (c) the sample spread. A
+    future outlier is then attributable at read time: inflated
+    child canary → machine window; inflated warm-up with flat
+    samples → compile-cost shift; flat both → real regression."""
     spark = get_spark("w4c-bench-one")
     spark.sparkContext.setLogLevel("ERROR")
     plans = (
@@ -162,28 +177,47 @@ def _run_one(name: str, sf_dir: str, n_runs: int) -> None:
         if name == "__canaries__"
         else {name: None}
     )
-    out: dict[str, list[float]] = {}
+    out: dict = {}
     for qname in plans:
         mk = (
             (lambda: plans[qname])
             if name == "__canaries__"
             else (lambda: REGISTRY[qname].fn(spark, sf_dir))
         )
+        t0 = time.perf_counter()
         force(mk())  # warm-up: codegen + JIT + parquet footers
+        warmup = round(time.perf_counter() - t0, 3)
         ts = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             force(mk())
             ts.append(round(time.perf_counter() - t0, 3))
         out[qname] = ts
+    if name != "__canaries__":
+        # the child's own canary: best of 2 runs of the fixed
+        # codegen-CPU plan, in THIS JVM, after the measurements
+        cdf = _canaries(spark)["canary_cpu"]
+        cs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(cdf)
+            cs.append(time.perf_counter() - t0)
+        out["_attrib"] = {
+            "warmup": warmup,
+            "child_canary_cpu": round(min(cs), 3),
+        }
     print(json.dumps(out))
 
 
 def _fresh_process_samples(
     sf_dir: str, n_runs: int
-) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+) -> tuple[
+    dict[str, list[float]], dict[str, list[float]], dict[str, dict]
+]:
     """Spawn one python/JVM per headline query (plus one for the
-    canaries) and collect their sample lists. Wall cost ~10 s of JVM
+    canaries) and collect their sample lists plus each child's
+    attribution triple (warm-up wall, in-JVM canary — see
+    :func:`_run_one`). Wall cost ~10 s of JVM
     startup per query on top of the measurements — the load-proof
     mode for close-of-round records; the pooled default stays for
     iteration."""
@@ -192,6 +226,7 @@ def _fresh_process_samples(
     here = os.path.abspath(__file__)
     samples: dict[str, list[float]] = {}
     canary_samples: dict[str, list[float]] = {}
+    attrib: dict[str, dict] = {}
     for name in HEADLINE + ["__canaries__"]:
         try:
             proc = subprocess.run(
@@ -227,8 +262,11 @@ def _fresh_process_samples(
         if name == "__canaries__":
             canary_samples.update(got)
         else:
+            a = got.pop("_attrib", None)
+            if a is not None:
+                attrib[name] = a
             samples.update(got)
-    return samples, canary_samples
+    return samples, canary_samples, attrib
 
 
 def _canaries(spark) -> dict:
@@ -275,7 +313,9 @@ def main() -> None:
     )
 
     if fresh:
-        samples, canary_samples = _fresh_process_samples(sf_dir, n_runs)
+        samples, canary_samples, attrib = _fresh_process_samples(
+            sf_dir, n_runs
+        )
     else:
         spark = get_spark("w4c-bench")
         spark.sparkContext.setLogLevel("ERROR")
@@ -318,6 +358,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 force(cdf)
                 canary_samples[cname].append(round(time.perf_counter() - t0, 3))
+        # pooled mode shares one JVM, so there is no per-child window
+        # to attribute — the round canaries ride the same round-robin
+        attrib = {}
 
     timings = {name: min(s) for name, s in samples.items()}
     canaries = {n: min(s) for n, s in canary_samples.items()}
@@ -490,6 +533,73 @@ def main() -> None:
                 f"{result['mode']} mode) — ratios confounded by session "
                 "pooling; do not read as a performance delta"
             )
+        # Per-query outlier attribution (VERDICT r10 item 1): the r10
+        # driver record carried five queries at 1.9–3.6× their
+        # baselines while its round canaries read the best values
+        # ever — and nothing in the record could say whether that was
+        # a code regression or a per-child machine window (it was the
+        # latter: all five reproduced at baseline the next session,
+        # tools/outlier_repro_r11.jsonl). The record now explains its
+        # own outliers: any query whose best-of-n is >1.5× the
+        # same-protocol previous round gets a row with its sample
+        # spread, warm-up wall, and ITS OWN child's in-JVM canary,
+        # plus a mechanical reading. Placed at the END of the compact
+        # line because the driver's stdout capture truncates from the
+        # FRONT — the attribution must be in the surviving tail.
+        if attrib:
+            child_canaries = [
+                a["child_canary_cpu"]
+                for a in attrib.values()
+                if a.get("child_canary_cpu")
+            ]
+            best_child = min(child_canaries) if child_canaries else None
+            outliers = {}
+            for q in common:
+                if prev_q[q] <= 0 or timings[q] / prev_q[q] <= 1.5:
+                    continue
+                a = attrib.get(q, {})
+                cc = a.get("child_canary_cpu")
+                spread = (
+                    round(max(samples[q]) / min(samples[q]), 2)
+                    if samples.get(q) and min(samples[q]) > 0
+                    else None
+                )
+                if cc and best_child and cc > 1.25 * best_child:
+                    read = (
+                        "child window LOADED (its canary "
+                        f"{cc:.3f} vs best child {best_child:.3f}) — "
+                        "machine state, not code"
+                    )
+                elif spread and spread > 1.5:
+                    read = (
+                        "noisy samples (spread "
+                        f"{spread}x) — transient, best-of-n unstable"
+                    )
+                else:
+                    read = (
+                        "quiet child + tight samples — candidate REAL "
+                        "regression, reproduce at n>=5"
+                    )
+                outliers[q] = {
+                    "ratio_vs_prev": round(timings[q] / prev_q[q], 2),
+                    "spread": spread,
+                    "warmup": a.get("warmup"),
+                    "child_canary_cpu": cc,
+                    "read": read,
+                }
+            if outliers:
+                result["outliers"] = outliers
+            if best_child is not None:
+                loaded = sorted(
+                    q
+                    for q, a in attrib.items()
+                    if a.get("child_canary_cpu", 0) > 1.25 * best_child
+                )
+                result["child_canary_range"] = {
+                    "best": best_child,
+                    "worst": max(child_canaries),
+                    "loaded_children": loaded,
+                }
     # Full record (with per-sample distributions) goes to a repo file:
     # the driver captures stdout's tail, and r5's giant single line got
     # front-truncated there, losing the headline total — the printed
@@ -497,6 +607,7 @@ def main() -> None:
     full = dict(result)
     full["samples"] = samples
     full["canary_samples"] = canary_samples
+    full["per_query_attrib"] = attrib
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
         json.dump(full, f, indent=1)
