@@ -150,12 +150,13 @@ def decontaminate_bloom(
     independent 32-bit slices of its md5 digest, each mod ``m_bits``.
     The broadcast side is then the distinct SET-BIT positions —
     bounded by ``m_bits`` (≤ 2^18 rows ≈ 2 MB) **no matter how large
-    the eval corpus grows**. The training side probes with a
-    broadcast-hash join on the 8-byte position (no O(m) membership
-    scan per row, no shuffle of the 100 TB side); a shingle "hits"
-    iff all ``k`` of its positions are set (``count(distinct j) =
-    k``), and a doc is flagged at ≥ ``min_overlap`` hitting
-    shingles.
+    the eval corpus grows**. The training side computes its ``k``
+    slice positions as COLUMNS of each (doc, shingle) row and chains
+    ``k`` LEFT SEMI broadcast-hash probes against that table (no
+    O(m) membership scan per row, no shuffle and no k× row explode
+    of the 100 TB side); a shingle "hits" iff it survives the whole
+    chain — all ``k`` positions set — and a doc is flagged at
+    ≥ ``min_overlap`` hitting shingles.
 
     One-sided error: Bloom membership has false positives only, so
     ``contaminated`` here is a superset of the exact operator's flag
@@ -175,25 +176,44 @@ def decontaminate_bloom(
             F.explode(F.array_distinct(F.transform(sh, F.md5))).alias("h"),
         )
 
-    def bit_positions(df: DataFrame) -> DataFrame:
-        slices = F.array(
-            *[
-                F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("bigint")
-                % F.lit(m_bits)
-                for j in range(k)
-            ]
-        )
-        return df.select("*", F.posexplode(slices).alias("j", "pos"))
+    def slice_pos(j):
+        return F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast(
+            "bigint"
+        ) % F.lit(m_bits)
 
-    eval_bits = bit_positions(shingle_md5(eval_docs)).select("pos").distinct()
-    train_bits = bit_positions(shingle_md5(train))
-    hits = (
-        train_bits.join(F.broadcast(eval_bits), on="pos")
-        .groupBy(id_col, "h")
-        .agg(F.countDistinct("j").alias("_nj"))
-        .where(F.col("_nj") == F.lit(k))
+    # Eval side: k slice positions per distinct shingle, folded to the
+    # distinct SET-BIT position table (≤ m_bits rows by construction).
+    eval_bits = (
+        shingle_md5(eval_docs)
+        .select(F.explode(F.array(*[slice_pos(j) for j in range(k)])).alias("pos"))
+        .distinct()
     )
-    overlap = hits.groupBy(id_col).agg(
+    # Train side (r11 restructure, guide §2.3/§2.4): the previous form
+    # posexploded every train shingle to k position ROWS (k× the probe
+    # volume), broadcast-joined, then needed a corpus-keyed
+    # groupBy(id, h) + countDistinct(j) exchange AND a second
+    # groupBy(id) exchange to undo the explode. "All k positions set"
+    # is instead tested IN-ROW: the k positions are computed as
+    # columns of the one (id, shingle) row and each probes the same
+    # broadcast bit table with a LEFT SEMI broadcast-hash join — a
+    # shingle survives the chain iff every slice position is set,
+    # exactly countDistinct(j) = k of the exploded form (positions
+    # are per-(doc, shingle) constants, so conjunction of k semi
+    # probes ⟺ all k hit). No train-side row multiplication, no
+    # (id, h) exchange: the only shuffle left is the map-combined
+    # per-doc count — at web scale the difference between exchanging
+    # every hitting (shingle, j) row and exchanging one partial count
+    # per (task, doc).
+    probe = shingle_md5(train).select(
+        F.col(id_col), *[slice_pos(j).alias(f"_p{j}") for j in range(k)]
+    )
+    for j in range(k):
+        probe = probe.join(
+            F.broadcast(eval_bits.withColumnRenamed("pos", f"_p{j}")),
+            on=f"_p{j}",
+            how="left_semi",
+        )
+    overlap = probe.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_overlap_bloom")
     )
     return (
@@ -1156,9 +1176,28 @@ def line_dedup_global(
             " ",
         ).alias("clean"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # Per-doc line total = the chunk count, a pure function of the
+    # token count — previously a SECOND full pass over the exploded
+    # lines (the tokenize+window subplan re-ran end to end, plus a
+    # corpus-keyed groupBy exchange of every line row) just to count
+    # what the narrow projection already knows (r11, guide §1.2:
+    # don't compute things you throw away). posexplode emits exactly
+    # n_chunks rows per doc (sequence(0, n_chunks-1) — ≥ 1, since
+    # tokens() yields [""] for empty text), so the values are
+    # identical by construction; the null-text guard reproduces the
+    # old inner-groupBy semantics (no lines → doc absent).
+    totals = docs.select(
+        F.col(id_col), n_chunks.cast("bigint").alias("n_lines")
+    ).where(F.col("n_lines").isNotNull())
+    # merge hint: with totals now narrow (good size stats), the
+    # planner would otherwise BROADCAST the right side — reassembled
+    # carries the full cleaned TEXT per doc, a corpus-cardinality
+    # string column that must never ship as a build relation at any
+    # scale (measured 2.8 s broadcast vs 1.8 s merge at the 10×
+    # lake); sort-merge reuses reassembled's groupBy partitioning,
+    # so the hint costs one tiny (id, n_lines) exchange.
     return (
-        totals.join(reassembled, id_col, "left")
+        totals.join(reassembled.hint("merge"), id_col, "left")
         .select(
             id_col,
             "n_lines",
