@@ -211,6 +211,39 @@ def test_decontaminate_broadcasts_eval_shingles(noaqe, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bloom_decontaminate_probes_in_row(noaqe, sf_dir):
+    """r11 restructure pin: the Bloom probe's train side tests its
+    k=3 slice positions IN-ROW via chained LEFT SEMI broadcast
+    probes — no posexplode of positions into rows (the old k× probe
+    volume) and no (doc, shingle)-keyed aggregate. Exactly 3
+    Generate nodes remain (eval shingle+position explodes, train
+    shingle explode) and the probe chain is 3 semi joins."""
+    plan = _formatted_plan(
+        REGISTRY["text_decontaminate_bloom"].fn(noaqe, sf_dir)
+    )
+    assert plan.count("BroadcastHashJoin LeftSemi") >= 3, plan
+    gens = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert gens == 3, (gens, plan)
+    # the countDistinct(j) stage is gone with the explode
+    assert "posexplode" not in plan, plan
+
+
+def test_line_dedup_totals_are_analytic(noaqe, sf_dir):
+    """r11 restructure pin: the per-doc line total is the narrow
+    ceil(n_tokens/8) projection, not a second end-to-end pass over
+    the exploded lines — exactly 2 Generate nodes (df-census pass +
+    reassembly pass) — and the final join must NOT broadcast the
+    reassembled side (a corpus-cardinality text column): the merge
+    hint pins SortMergeJoin."""
+    plan = _formatted_plan(
+        REGISTRY["text_line_dedup_global"].fn(noaqe, sf_dir)
+    )
+    gens = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert gens == 2, (gens, plan)
+    assert "SortMergeJoin LeftOuter" in plan, plan
+    assert "BroadcastHashJoin LeftOuter" not in plan, plan
+
+
 def test_ngram_pair_stage_carries_max_df_cap(noaqe, sf_dir):
     """The shingle-bucket pair stage must carry the finite max_df
     stop-list by DEFAULT (a shingle in d docs emits d(d-1)/2 pair
