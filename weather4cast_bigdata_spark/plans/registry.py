@@ -1641,7 +1641,22 @@ def q_sim_lsh_multiprobe_bounded(spark, sf_dir):
     round(|dot|+1e-9, 6) and the per-DIRECTION meet rule: a
     one-plane-apart pair is a candidate iff the differing plane is
     in A's mask and (merged_b OR ext_a = ext_b), or symmetrically
-    for B."""
+    for B.
+
+    ROLE (r11, VERDICT r10 item 3): this query is the COVERAGE pin
+    of the bounded-T rule — the production default is
+    ``sim_lsh_multiprobe``'s size-gated auto form, which this
+    operator backs past the gate. It deliberately keeps the
+    DEPTH-CONSTANT split (depth 8) rather than the default's
+    fan-out-normalized one, so its per-row probe work equals the
+    default's at T=8 but its buckets run ~2× deeper at large n —
+    the measured ~10–11×/decade wall (tools/sf10_trend_r11.jsonl:
+    2.80 s sf1 → 32.2 s sf10) is that verify-volume-for-recall
+    trade, documented in SCALING.md §7f, not a probe explode; the
+    r11 stage probe attributed the sf1 wall to candidate
+    join+distinct (1.75 s) + verify (1.09 s), and a vectorized
+    verify tail was measured SLOWER (Arrow pair transfer dominates
+    — OPTIMIZATION_r11.md, rejected change #1)."""
     emb = _t(spark, sf_dir, "embeddings")
     n = table_rows(spark, sf_dir, "embeddings")
     p, r = similarity.fractional_split(n, target_bucket=8)
