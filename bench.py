@@ -612,7 +612,79 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
-    print(json.dumps(result))
+    print(json.dumps(_compact_line(result), separators=(",", ":")))
+
+
+#: Hard ceiling for the printed one-line record. The driver's stdout
+#: capture keeps a 2000-char TAIL: r10's record outgrew it and was
+#: front-truncated mid-line, which zeroed out PERF_r11's entire
+#: round-over-round comparison (every prev_sec null — VERDICT r11
+#: item 2). The printed line is therefore a COMPACT projection of
+#: the full record (which always lands intact in BENCH_LATEST.json):
+#: contract fields + best-of-n per query + canaries + verdict fields,
+#: with verbose prose and per-query attribution left to the file.
+PRINTED_LINE_MAX = 1950
+
+
+def _compact_line(result: dict) -> dict:
+    """Project the full bench record onto the driver-facing one-line
+    form (< PRINTED_LINE_MAX chars). Contract fields (metric, value,
+    unit, queries, sf) are never dropped; if queries growth ever
+    pushes the line over the ceiling, optional context fields are
+    shed deterministically, least-load-bearing first."""
+    out = {
+        k: result[k]
+        for k in ("metric", "value", "unit", "sf", "n", "mode", "canary")
+        if k in result
+    }
+    cs = result.get("canary_status")
+    if cs:
+        # "LOADED 0.223>0.162" / "quiet 0.143 (best 0.143)" — the
+        # verdict word + both numbers; the explanatory sentence
+        # stays in BENCH_LATEST.json
+        # first number = this round's canary_cpu, last = the best
+        # recorded one (the middle "1.25x" is the fixed threshold)
+        nums = re.findall(r"\d+\.\d+", cs)
+        word = "LOADED" if cs.startswith("LOADED") else "quiet"
+        pair = [nums[0], nums[-1]] if len(nums) >= 2 else nums
+        out["canary_status"] = f"{word} " + ">".join(pair)
+    vp = result.get("vs_prev")
+    if vp:
+        out["vs_prev"] = {
+            "record": vp.get("record", "").replace("BENCH_", "").replace(".json", ""),
+            "common": vp.get("common_queries"),
+            "raw": vp.get("raw_total_ratio"),
+            "norm_geomean": vp.get("normalized_total_ratio", {}).get("geomean"),
+        }
+        if "protocol_note" in vp:
+            out["vs_prev"]["cross_protocol"] = True
+    ol = result.get("outliers")
+    if ol:
+        worst = max(ol, key=lambda q: ol[q].get("ratio_vs_prev") or 0)
+        out["outliers_digest"] = {
+            "n": len(ol),
+            "worst": [worst, ol[worst].get("ratio_vs_prev")],
+            "machine": sum(
+                1 for v in ol.values() if "machine" in (v.get("read") or "")
+            ),
+        }
+    ccr = result.get("child_canary_range")
+    if ccr:
+        out["child_canary"] = {
+            "best": ccr.get("best"),
+            "worst": ccr.get("worst"),
+            "n_loaded": len(ccr.get("loaded_children", [])),
+        }
+    # queries LAST: the driver capture truncates from the FRONT, so
+    # if the line ever overflows anyway, the surviving tail still
+    # carries the full per-query dict for the re-heading recovery
+    # parser above
+    out["queries"] = result["queries"]
+    for drop in ("child_canary", "outliers_digest", "vs_prev", "canary_status"):
+        if len(json.dumps(out, separators=(",", ":"))) <= PRINTED_LINE_MAX:
+            break
+        out.pop(drop, None)
+    return out
 
 
 if __name__ == "__main__":

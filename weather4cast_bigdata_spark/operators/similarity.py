@@ -894,15 +894,37 @@ def near_dup_pairs_multiprobe(
     (p = len(signs), r = 0: plain Hamming ≤ 1 on the full
     signature).
 
-    Meeting rule: side A carries its exact fractional key, the p
-    keys obtained by flipping each prefix bit (re-deriving the
-    FLIPPED prefix's merged status — the target bucket's layout,
-    not the prober's), and the extension-flip key (a no-op
-    duplicate for merged prefixes); side B carries the exact key
-    only. Every qualifying unordered pair meets at least once
-    through A→B or B→A and the bare-id distinct collapses
-    multiplicity. Verification is the same rounded-cosine cut as
-    every sibling.
+    Meeting rule (CANONICAL-DIRECTION probing, r12 — guide §2.3):
+    side A carries its exact fractional key plus one probe per
+    qualifying flip, side B carries the exact key only. Because the
+    full-prefix rule is SYMMETRIC (unlike the bounded-T sibling,
+    whose per-side probe masks force two-directional probing), each
+    d = 1 pair needs only ONE of its two directional meetings, so a
+    row emits:
+
+    - UP prefix flips only (planes where its own bit is 0): for a
+      pair differing in plane i, exactly the side with bit 0 probes,
+      and the key match encodes the fractional meet condition
+      against the TARGET prefix's layout — merged(target) always
+      matches, unmerged(target) matches iff the ext bits agree;
+    - DOWN prefix flips only where they rescue the one asymmetric
+      case — own prefix UNMERGED, flipped prefix MERGED (only
+      possible for planes 0/1, the ``% 4`` selector bits): the
+      up-probing partner keys on (target prefix, own ext) against
+      this row's two-ext merged bucket and always matches, but the
+      REVERSE case (this row unmerged, ext differing) matches
+      nothing, so the unmerged side must also reach down into the
+      merged bucket;
+    - the extension flip only when UNMERGED with ext = 0 (probing
+      "up" to the ext = 1 sibling bucket; merged rows key both exts
+      to one bucket, making their ext flip a no-op duplicate of the
+      exact probe — the Σdepth² re-enumeration removed in r12).
+
+    Every qualifying unordered pair meets EXACTLY once per probe
+    class (d = 0 pairs twice, through both exact probes), the join
+    enumerates ~half the meetings of the two-directional form, and
+    the bare-id distinct collapses what multiplicity remains.
+    Verification is the same rounded-cosine cut as every sibling.
 
     Hot-bucket guard (same contract as dedup.lsh_candidate_pairs'
     census-enforced cap): vectors whose EXACT key's bucket exceeds
@@ -939,21 +961,39 @@ def near_dup_pairs_multiprobe(
     # several probes, so dedup before the vectors attach — otherwise
     # every duplicate candidate drags two 64-dim arrays through the
     # distinct's exchange
+    unmerged = (prefix % 4) < F.lit(r)
+
+    def flip_probe(i: int) -> Column:
+        # canonical-direction probing (see the docstring's meeting
+        # rule): UP flips always, DOWN flips only into a MERGED
+        # target from an UNMERGED prefix — statically impossible for
+        # planes >= 2 (the flip does not change prefix % 4, so the
+        # target's merged status equals the prober's)
+        target = prefix.bitwiseXOR(F.lit(1 << i).cast("bigint"))
+        up = F.shiftright(prefix, i).bitwiseAND(F.lit(1).cast("bigint")) == 0
+        cond = up
+        if i < 2 and r > 0:
+            cond = cond | (unmerged & ((target % 4) >= F.lit(r)))
+        return F.when(cond, keyed(target, ext))
+
     probes = bucketed.select(
         F.col(id_col),
         F.explode(
             F.array(
                 F.col("hpk"),
-                keyed(prefix, F.lit(1).cast("bigint") - ext),
-                *[
-                    keyed(
-                        prefix.bitwiseXOR(F.lit(1 << i).cast("bigint")), ext
-                    )
-                    for i in range(p)
-                ],
+                # ext flip: only unmerged rows have a distinct ext
+                # bucket (merged keys zero the ext term — probing it
+                # would re-enumerate the whole exact bucket, the
+                # Σdepth² term), and one direction suffices for the
+                # symmetric d = 0 rule
+                F.when(
+                    unmerged & (ext == F.lit(0).cast("bigint")),
+                    keyed(prefix, F.lit(1).cast("bigint")),
+                ),
+                *[flip_probe(i) for i in range(p)],
             )
         ).alias("probe"),
-    )
+    ).where(F.col("probe").isNotNull())
     exact = bucketed.select(
         F.col(id_col).alias("item_id"), F.col("hpk").alias("probe")
     )
@@ -1046,9 +1086,14 @@ def near_dup_pairs_multiprobe_bounded(
     # the explode so fan-out is n_probes+2, not p+2
     probe_arr = F.array(
         F.struct(F.col("hpk").alias("k"), F.lit(True).alias("keep")),
+        # ext flip only for UNMERGED prefixes: a merged row's flip
+        # keys identically to its exact probe (fractional_key_parts
+        # zeroes the ext term), which would re-enumerate the whole
+        # exact bucket — the Σdepth² candidate-join term — twice
+        # per direction (see near_dup_pairs_multiprobe; guide §2.3)
         F.struct(
             keyed(prefix, F.lit(1).cast("bigint") - ext).alias("k"),
-            F.lit(True).alias("keep"),
+            ((prefix % 4) < F.lit(r)).alias("keep"),
         ),
         *[
             F.struct(
