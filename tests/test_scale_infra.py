@@ -1478,3 +1478,32 @@ def test_probe_arrow_tie_heavy_rank_is_quantized_half_up(spark):
     # the fixture is genuinely tie-heavy: planes 0 and 1 quantize
     # identically, so the stable sort must have picked plane 0 first
     assert all(m & 1 for m in got.values())
+
+
+def test_ensure_scan_parallelism_row_budget(spark):
+    """The r12 scan-parallelism guard: a deficient single-partition
+    input with a known row count is repartitioned to
+    min(defaultParallelism, ceil(n / rows_per_task)); a corpus within
+    one task's budget — every bench gate — and an unknown count are
+    passed through UNTOUCHED (no exchange enters the gate plans)."""
+    from weather4cast_bigdata_spark.partitioning import (
+        SCAN_ROWS_PER_TASK,
+        ensure_scan_parallelism,
+    )
+
+    one = spark.range(0, 10_000).coalesce(1)
+    cores = spark.sparkContext.defaultParallelism
+    want = min(cores, -(-10_000 // SCAN_ROWS_PER_TASK))
+    got = ensure_scan_parallelism(one, 10_000)
+    assert got.rdd.getNumPartitions() == want > 1
+    # row set unchanged (round-robin moves rows, never drops them)
+    assert got.count() == 10_000
+
+    # within one task's budget -> untouched plan object
+    small = spark.range(0, SCAN_ROWS_PER_TASK).coalesce(1)
+    assert ensure_scan_parallelism(small, SCAN_ROWS_PER_TASK) is small
+    # unknown count -> untouched
+    assert ensure_scan_parallelism(one, None) is one
+    # already-parallel scan -> untouched (the 100 TB no-op path)
+    wide = spark.range(0, 10_000).repartition(cores)
+    assert ensure_scan_parallelism(wide, 10_000) is wide

@@ -62,13 +62,21 @@ def emit(**kw):
 
 
 def bounded_query(mod, spark, sf_dir):
+    import inspect
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     p, r = mod.fractional_split(n, target_bucket=8)
     signs = mod.hyperplane_signs(p + (1 if r else 0), 64)
+    kw = {}
+    if "n_rows" in inspect.signature(
+        mod.near_dup_pairs_multiprobe_bounded
+    ).parameters:  # mirrors the registry call; old HEADs lack the kwarg
+        kw["n_rows"] = n
     return (
         mod.near_dup_pairs_multiprobe_bounded(
-            emb, signs, prefix_planes=p, split_r=r, threshold=0.2, n_probes=8
+            emb, signs, prefix_planes=p, split_r=r, threshold=0.2,
+            n_probes=8, **kw,
         ),
         (emb, n, p, r, signs),
     )

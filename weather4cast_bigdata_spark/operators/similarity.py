@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from weather4cast_bigdata_spark.functions.arrays import dot, norm, to_double_array
+from weather4cast_bigdata_spark.partitioning import ensure_scan_parallelism
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str, on=None) -> DataFrame:
@@ -763,6 +764,7 @@ def near_dup_pairs_hyperplane(
         )
     else:
         key = hyperplane_bucket_arrow(F.col(vec_col), signs)
+    df = ensure_scan_parallelism(df, n)
     bucketed = _cache_signatures(
         df.select(F.col(id_col), F.col(vec_col), key.alias("hp_bucket"))
     )
@@ -939,6 +941,7 @@ def near_dup_pairs_multiprobe(
     # single-bigint signature by construction: p ≤ MAX_QUARTER_STEPS//4
     assert p + 1 <= SIGNATURE_WORD_BITS and len(signs) <= SIGNATURE_WORD_BITS
     hp = hyperplane_bucket_auto(F.col(vec_col), signs, n_rows)
+    df = ensure_scan_parallelism(df, n_rows)
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -1028,6 +1031,7 @@ def near_dup_pairs_multiprobe_bounded(
     threshold: float = 0.9,
     max_bucket: int = 4096,
     n_probes: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Bounded-fan-out multiprobe (Lv et al. 2007, "Multi-Probe
     LSH") — the TRULY-LINEAR member of the probe family: instead of
@@ -1061,6 +1065,7 @@ def near_dup_pairs_multiprobe_bounded(
     p, r = prefix_planes, split_r
     assert p + 1 <= SIGNATURE_WORD_BITS and len(signs) <= SIGNATURE_WORD_BITS
     sp = hyperplane_bucket_probe_arrow(F.col(vec_col), signs, p, n_probes)
+    df = ensure_scan_parallelism(df, n_rows)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), sp.alias("_sp")
     ).select(
@@ -1184,6 +1189,7 @@ def near_dup_pairs_multiprobe_auto(
         threshold=threshold,
         max_bucket=max_bucket,
         n_probes=MULTIPROBE_BOUNDED_FANOUT,
+        n_rows=n_rows,
     )
 
 
@@ -1261,6 +1267,7 @@ def near_dup_pairs_banded(
     # the signature may exceed one bigint word (total planes = the
     # full quarter-step count Q ≤ MAX_QUARTER_STEPS) — carry it as
     # ceil(P/60) words and slice band keys across the word boundary
+    df = ensure_scan_parallelism(df, n_rows)
     bucketed = _cache_signatures(
         df.select(
             F.col(id_col),

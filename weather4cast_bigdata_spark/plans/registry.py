@@ -1662,7 +1662,8 @@ def q_sim_lsh_multiprobe_bounded(spark, sf_dir):
     p, r = similarity.fractional_split(n, target_bucket=8)
     signs = similarity.hyperplane_signs(p + (1 if r else 0), 64)
     return similarity.near_dup_pairs_multiprobe_bounded(
-        emb, signs, prefix_planes=p, split_r=r, threshold=0.2, n_probes=8
+        emb, signs, prefix_planes=p, split_r=r, threshold=0.2, n_probes=8,
+        n_rows=n,
     )
 
 

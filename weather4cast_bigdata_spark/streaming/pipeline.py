@@ -509,6 +509,7 @@ def submission_ingest(
     outright.
     """
     import os
+    from urllib.parse import unquote
 
     from weather4cast_bigdata_spark.sources import hdf5
 
@@ -531,13 +532,33 @@ def submission_ingest(
             .mode("overwrite")
             .parquet(stage)
         )
-        # Touched groups this batch: bounded by the number of scorer
-        # FILES in the batch (the reference writes one per (region,
-        # day)), so the collect is a file-listing, not a data read.
-        touched = [
-            (r["region"], r["day"])
-            for r in batch_df.select("region", "day").distinct().collect()
-        ]
+        # Touched groups this batch, recovered from the staged
+        # write's OWN directory tree: the static overwrite just
+        # materialized exactly this batch's (region, day) groups as
+        # partition directories, so one bounded two-level FS listing
+        # answers "which groups" without a second Spark job scanning
+        # batch_df (r12, guide §1.2 — the old
+        # `batch_df.select(region, day).distinct().collect()` re-read
+        # every batch row to learn what the write already knows).
+        # Listing happens after the write commits, so a replayed
+        # batch lists its own rewrite — replay/idempotence unchanged.
+        # Values round-trip through Spark's partition-path escaping
+        # (%-encoded specials; day is a bare int) via unquote.
+        jpath = sess._jvm.org.apache.hadoop.fs.Path
+        fs = jpath(stage).getFileSystem(sess._jsc.hadoopConfiguration())
+        touched = []
+        for rdir in fs.listStatus(jpath(stage)):
+            rname = rdir.getPath().getName()
+            if not (rdir.isDirectory() and rname.startswith("region=")):
+                continue
+            for ddir in fs.listStatus(rdir.getPath()):
+                dname = ddir.getPath().getName()
+                if ddir.isDirectory() and dname.startswith("day="):
+                    touched.append(
+                        (unquote(rname[len("region="):]),
+                         int(dname[len("day="):]))
+                    )
+        touched.sort()
         if not touched:
             # an empty (replay-tail) batch touches no files; commit an
             # empty manifest so the _SUCCESS skip still works
