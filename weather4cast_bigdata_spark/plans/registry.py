@@ -1649,14 +1649,19 @@ def q_sim_lsh_multiprobe_bounded(spark, sf_dir):
     operator backs past the gate. It deliberately keeps the
     DEPTH-CONSTANT split (depth 8) rather than the default's
     fan-out-normalized one, so its per-row probe work equals the
-    default's at T=8 but its buckets run ~2× deeper at large n —
-    the measured ~10–11×/decade wall (tools/sf10_trend_r11.jsonl:
-    2.80 s sf1 → 32.2 s sf10) is that verify-volume-for-recall
-    trade, documented in SCALING.md §7f, not a probe explode; the
-    r11 stage probe attributed the sf1 wall to candidate
-    join+distinct (1.75 s) + verify (1.09 s), and a vectorized
-    verify tail was measured SLOWER (Arrow pair transfer dominates
-    — OPTIMIZATION_r11.md, rejected change #1)."""
+    default's at T=8 but its buckets run ~2× deeper at large n.
+    r12 closed the super-linear-decade flag this query carried: the
+    r11-measured "candidate join+distinct" wall was the candidate
+    stage running at the SCAN's deficient parallelism (one small
+    parquet file → ≤7 of 32 cores through signature kernel, probe
+    explode and meeting enumeration — everything below it is a
+    broadcast join; `partitioning.ensure_scan_parallelism` now
+    guards it) plus the merged-row ext-flip duplicate probe
+    re-enumerating every same-bucket meeting. Decade now 6.4×
+    (tools/sf10_trend_r12.jsonl: 2.29 s sf1 → 14.58 s sf10, was
+    11.5×), SCALING.md §7h; the verify tail stays HOF — a
+    vectorized form was measured SLOWER (Arrow pair transfer
+    dominates — OPTIMIZATION_r11.md, rejected change #1)."""
     emb = _t(spark, sf_dir, "embeddings")
     n = table_rows(spark, sf_dir, "embeddings")
     p, r = similarity.fractional_split(n, target_bucket=8)
