@@ -26,21 +26,18 @@ REPO = os.path.dirname(HERE)
 # The 15 heaviest headline queries at sf1 (r12 family trend +
 # opening baseline ordering).
 QUERIES = [
+    # compute-heavy at sf1 (should scale with cores):
     "dedup_jaccard_prefix",
     "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
     "dedup_simhash_hamming",
     "dedup_minhash_lsh",
-    "sink_lsh_index",
     "sim_lsh_multiprobe",
     "sim_lsh_multiprobe_bounded",
-    "sim_lsh_banded",
-    "sim_hyperplane_lsh",
-    "curation_pipeline",
+    "sink_lsh_index",
     "text_decontaminate_bloom",
-    "text_line_dedup_global",
+    "curation_pipeline",
+    # fixed-floor representative (expected ~1 ratio, named as such):
     "streaming_submission_h5",
-    "agg_percentile_histref",
 ]
 
 
